@@ -1,0 +1,574 @@
+"""Driver-contract queries + exact-match DuckDB oracle SQL.
+
+Every entry in :data:`QUERIES` is a ``Callable[[sf_dir], Dataset | Table]``
+running a Ray-Data pipeline; :data:`ORACLES` holds the ANSI-SQL twin that
+DuckDB runs on the same parquet views. The driver compares row count,
+schema and an order-insensitive value hash — so column NAMES and exact
+values must match.
+
+Exactness strategy (see SURVEY.md §7.5 "exact reference-output matching"):
+
+* aggregate in the **integer domain** wherever possible — quantities are
+  integer-valued; prices become cents via round(x*100); event values
+  become micros. Integer sums are order-independent, so Ray's combine tree
+  and DuckDB's scan order cannot diverge.
+* emit cell ids / tile coords / ids / counts (ints), never raw floats,
+  except where a value is a single arithmetic expression of exact inputs
+  (bit-identical on both sides) or explicitly rounded.
+* the geocoder table and the rectangle layer are embedded in the SQL as
+  VALUES literals via ``repr`` (round-trip exact doubles).
+* points are synthesized on a 0.01-degree lattice (+0.003), polygon edges
+  on a 0.005 lattice, so strict vs closed boundary semantics and 1-ulp
+  transcendental differences can never flip a containment or floor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from gis_scripts_ray.functions import wkb
+from gis_scripts_ray.sources.polygons import rectangles_table
+from gis_scripts_ray.sources.webpages import site_locations, urls_for_doc_ids
+from gis_scripts_ray.stages.encode import EncodeConfig, encode_cells
+from gis_scripts_ray.stages.knn import knn_brute
+from gis_scripts_ray.stages.pip_join import pip_join
+from gis_scripts_ray.stages.scalar import condition_mask, condition_sql
+from gis_scripts_ray.stages.tile_agg import cell_sum_count
+from gis_scripts_ray.state.geocoder import host_geo_table
+
+TILE_Z = 6
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_HIDX_SQL = (
+    "CASE WHEN (doc_id*2654435761)%1000000 < 800000 "
+    "THEN (doc_id*40503)%40 ELSE 40+(doc_id*9973)%160 END"
+)
+
+
+def _host_geo_values() -> str:
+    t = host_geo_table()
+    lat = t["lat"].to_pylist()
+    lon = t["lon"].to_pylist()
+    return ", ".join(f"({i}, {la!r}, {lo!r})" for i, (la, lo) in enumerate(zip(lat, lon)))
+
+
+def _located_cte(cols: str = "d.*") -> str:
+    """CTE chain deriving (doc_id..., lat, lon) exactly like the geocoder."""
+    return (
+        f"WITH hx AS (SELECT *, {_HIDX_SQL} AS hidx FROM documents), "
+        f"hostgeo(hidx, lat, lon) AS (VALUES {_host_geo_values()}), "
+        f"located AS (SELECT {cols}, g.lat AS lat, g.lon AS lon "
+        f"FROM hx d JOIN hostgeo g ON d.hidx = g.hidx)"
+    )
+
+
+def _tile_sql(z: int) -> tuple[str, str]:
+    n = float(1 << z)
+    x = f"CAST(FLOOR((lon+180.0)/360.0*{n}) AS BIGINT)"
+    y = (
+        f"CAST(FLOOR((1.0 - LN(TAN(lat*(PI()/180.0)) + 1.0/COS(lat*(PI()/180.0)))/PI())"
+        f"/2.0*{n}) AS BIGINT)"
+    )
+    return x, y
+
+
+_HAVERSINE_SQL = (
+    "2.0*6371008.8*ASIN(SQRT("
+    "POWER(SIN((lat*(PI()/180.0)-({plat})*(PI()/180.0))/2.0),2) + "
+    "COS(({plat})*(PI()/180.0))*COS(lat*(PI()/180.0))*"
+    "POWER(SIN((lon*(PI()/180.0)-({plon})*(PI()/180.0))/2.0),2)))"
+)
+
+
+def _rect_values() -> str:
+    t = rectangles_table()
+    return ", ".join(
+        f"({pid}, '{cls}', {x0!r}, {y0!r}, {x1!r}, {y1!r}, {prio})"
+        for pid, cls, x0, y0, x1, y1, prio in zip(
+            t["polygon_id"].to_pylist(),
+            t["class"].to_pylist(),
+            t["xmin"].to_pylist(),
+            t["ymin"].to_pylist(),
+            t["xmax"].to_pylist(),
+            t["ymax"].to_pylist(),
+            t["priority"].to_pylist(),
+        )
+    )
+
+
+_RECT_JOIN = (
+    "JOIN (VALUES {values}) AS r(polygon_id, class, xmin, ymin, xmax, ymax, priority) "
+    "ON located.lat BETWEEN r.ymin AND r.ymax AND located.lon BETWEEN r.xmin AND r.xmax"
+)
+
+
+def rect_polygon_table() -> pa.Table:
+    """The rectangle subset of the polygon layer, as WKB (engine side)."""
+    t = rectangles_table()
+    blobs = [
+        wkb.box_wkb(x0, y0, x1, y1)
+        for x0, y0, x1, y1 in zip(
+            t["xmin"].to_pylist(),
+            t["ymin"].to_pylist(),
+            t["xmax"].to_pylist(),
+            t["ymax"].to_pylist(),
+        )
+    ]
+    return pa.table(
+        {
+            "polygon_id": t["polygon_id"],
+            "class": t["class"],
+            "wkb": pa.array(blobs, pa.binary()),
+            "priority": t["priority"],
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# engine-side building blocks
+# ---------------------------------------------------------------------------
+
+
+def located_documents(sf_dir: str, cols: tuple[str, ...] = ("doc_id",)) -> ray.data.Dataset:
+    """documents -> url -> geocoder actor pool -> (cols..., lat, lon)."""
+    from gis_scripts_ray.pipelines.flagship import geocode
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        return batch.append_column("url", urls_for_doc_ids(batch["doc_id"].to_numpy()))
+
+    return geocode(ds.map_batches(add_url, batch_format="pyarrow"), concurrency=2)
+
+
+def _cents(col) -> pa.Array:
+    v = np.asarray(col.to_numpy(), dtype=np.float64)
+    return pa.array(np.round(v * 100.0).astype(np.int64), pa.int64())
+
+
+def _micros(col) -> pa.Array:
+    v = np.asarray(col.to_numpy(), dtype=np.float64)
+    return pa.array(np.round(v * 1_000_000.0).astype(np.int64), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_geo_tile_counts(sf_dir: str):
+    ds = encode_cells(located_documents(sf_dir), EncodeConfig(tile_z=TILE_Z))
+    return ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n_docs"))
+
+
+def _sql_geo_tile_counts() -> str:
+    x, y = _tile_sql(TILE_Z)
+    return (
+        _located_cte("d.doc_id")
+        + f" SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_docs FROM "
+        f"(SELECT {x} AS tile_x, {y} AS tile_y FROM located) GROUP BY tile_x, tile_y"
+    )
+
+
+def q_geo_pip_class_stats(sf_dir: str):
+    ds = located_documents(sf_dir, ("doc_id", "n_chars"))
+    joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id", "n_chars"], concurrency=2)
+    return cell_sum_count(joined, ["class"], ["n_chars"])
+
+
+def _sql_geo_pip_class_stats() -> str:
+    return (
+        _located_cte("d.doc_id, d.n_chars")
+        + " SELECT class, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM located "
+        + _RECT_JOIN.format(values=_rect_values())
+        + " GROUP BY class"
+    )
+
+
+def q_geo_pip_join_rows(sf_dir: str):
+    ds = located_documents(sf_dir)
+    joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id"], concurrency=2)
+    return joined.select_columns(["doc_id", "polygon_id"])
+
+
+def _sql_geo_pip_join_rows() -> str:
+    return (
+        _located_cte("d.doc_id")
+        + " SELECT doc_id, CAST(r.polygon_id AS BIGINT) AS polygon_id FROM located "
+        + _RECT_JOIN.format(values=_rect_values())
+    )
+
+
+def q_geo_source_tile_stats(sf_dir: str):
+    ds = encode_cells(
+        located_documents(sf_dir, ("doc_id", "source", "n_chars")),
+        EncodeConfig(tile_z=TILE_Z),
+    )
+    return cell_sum_count(ds, ["tile_x", "tile_y", "source"], ["n_chars"])
+
+
+def _sql_geo_source_tile_stats() -> str:
+    x, y = _tile_sql(TILE_Z)
+    return (
+        _located_cte("d.doc_id, d.source, d.n_chars")
+        + f" SELECT tile_x, tile_y, source, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM "
+        f"(SELECT source, n_chars, {x} AS tile_x, {y} AS tile_y FROM located) "
+        f"GROUP BY tile_x, tile_y, source"
+    )
+
+
+def q_geo_knn(sf_dir: str):
+    plat, plon = site_locations()
+    top = knn_brute(located_documents(sf_dir), float(plat[0]), float(plon[0]), k=25)
+    return top.select(["doc_id", "rank"]).rename_columns(["doc_id", "knn_rank"])
+
+
+def _sql_geo_knn() -> str:
+    plat, plon = site_locations()
+    hav = _HAVERSINE_SQL.format(plat=repr(float(plat[0])), plon=repr(float(plon[0])))
+    return (
+        _located_cte("d.doc_id")
+        + f" SELECT doc_id, knn_rank FROM (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        f"(ORDER BY {hav} ASC, doc_id ASC) AS BIGINT) AS knn_rank FROM located) "
+        f"WHERE knn_rank <= 25"
+    )
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = pa.array(batch["l_quantity"].to_numpy().astype(np.int64), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "price_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty", "price_cents"],
+    )
+
+
+def _sql_lineitem_pricing_summary() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+_QTY_CONDS = [">4", "<10"]
+
+
+def q_count_conditions(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = condition_mask(batch["l_quantity"], _QTY_CONDS)
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "qty": pa.array(b["l_quantity"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["l_returnflag"], ["qty"])
+
+
+def _sql_count_conditions() -> str:
+    return (
+        "SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+        f"WHERE {condition_sql('l_quantity', _QTY_CONDS)} GROUP BY l_returnflag"
+    )
+
+
+def q_orders_nation_rollup(sf_dir: str):
+    """Broadcast dimension join: orders -> customer -> nation, no shuffle."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ckey = cust["c_custkey"].to_numpy()
+    cnat = cust["c_nationkey"].to_numpy()
+    lookup = dict(zip(ckey.tolist(), (nmap[int(nk)] for nk in cnat)))
+    import ray
+
+    lookup_ref = ray.put(lookup)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    class NationTagger:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.lookup = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            custs = batch["o_custkey"].to_pylist()
+            names = [self.lookup.get(c) for c in custs]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "total_cents": _cents(batch["o_totalprice"]),
+                }
+            )
+
+    tagged = ds.map_batches(
+        NationTagger,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    return cell_sum_count(tagged, ["n_name"], ["total_cents"])
+
+
+def _sql_orders_nation_rollup() -> str:
+    return (
+        "SELECT n_name, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        hour = us // 3_600_000_000
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour, pa.int64()),
+                "value_micros": _micros(batch["value"]),
+            }
+        )
+
+    return cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["event_type", "hour"], ["value_micros"])
+
+
+def _sql_events_hourly() -> str:
+    return (
+        "SELECT event_type, epoch_us(ts)//3600000000 AS hour, "
+        "CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, hour"
+    )
+
+
+def q_dos_value(sf_dir: str):
+    """A6: median of the lowest 5% of prices (as cents), halved.
+
+    Global sort/top-k: k = n//20 via per-batch partial top-k then a tiny
+    global sort — the reference's ``seagrass_lib.py:344-347`` semantics on
+    exact integers.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    n = ds.count()
+    k = max(n // 20, 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["l_extendedprice"]).to_numpy()
+        kk = min(k, len(c))
+        part = np.partition(c, kk - 1)[:kk]
+        return pa.table({"c": pa.array(part, pa.int64())})
+
+    low = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort("c")
+        .limit(k)
+        .to_pandas()["c"]
+        .to_numpy()
+    )
+    med = (
+        float(low[(k - 1) // 2] + low[k // 2]) / 2.0
+    )  # exact median of sorted ints
+    return pa.table({"dos_value": pa.array([med / 200.0], pa.float64())})
+
+
+def _sql_dos_value() -> str:
+    return (
+        "WITH cents AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM lineitem), "
+        "k AS (SELECT GREATEST(COUNT(*)//20, 1) AS k FROM cents), "
+        "low AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM cents), "
+        "sel AS (SELECT c, rn FROM low, k WHERE rn <= k.k) "
+        "SELECT (CAST(a.c AS DOUBLE) + CAST(b.c AS DOUBLE))/2.0/200.0 AS dos_value "
+        "FROM sel a, sel b, k "
+        "WHERE a.rn = (k.k - 1)//2 + 1 AND b.rn = k.k//2 + 1"
+    )
+
+
+def q_distinct_langs(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    langs = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(langs, pa.string())})
+
+
+def _sql_distinct_langs() -> str:
+    return "SELECT DISTINCT lang FROM documents"
+
+
+def q_top_hosts(sf_dir: str):
+    ds = located_documents(sf_dir)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        from gis_scripts_ray.state.geocoder import extract_host
+
+        return pa.table({"host": extract_host(batch["url"].combine_chunks())})
+
+    counts = (
+        ds.map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    top = counts.sort(["n_docs", "host"], descending=[True, False]).limit(10)
+    return top
+
+
+def _sql_top_hosts() -> str:
+    return (
+        _located_cte("d.doc_id, d.hidx")
+        + " SELECT printf('site%03d.example.org', CAST(hidx AS INT)) AS host, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM located GROUP BY host "
+        "ORDER BY n_docs DESC, host ASC LIMIT 10"
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup over documents UNION shifted-copy: every text has >= 2
+    occurrences; keep the minimum doc_id (D3 'first wins' semantics)."""
+    from gis_scripts_ray.stages.dedup import dedup_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(batch["doc_id"], 1_000_000),
+                "text": batch["text"],
+            }
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    stats = dedup_stats(both, "text", "doc_id")
+    return stats.select_columns(["keep_id", "n_dups"])
+
+
+def _sql_dedup_exact() -> str:
+    return (
+        "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+        "FROM (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents) GROUP BY text"
+    )
+
+
+def q_token_counts(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        toks = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return pa.table(
+            {"lang": batch["lang"], "tokens": pc.cast(toks, pa.int64())}
+        )
+
+    return cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["lang"], ["tokens"])
+
+
+def _sql_token_counts() -> str:
+    return (
+        "SELECT lang, CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) "
+        "AS sum_tokens, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+    )
+
+
+def q_embedding_topk(sf_dir: str):
+    """Brute-force cosine top-k against a broadcast query vector."""
+    from gis_scripts_ray.stages.similarity import cosine_topk, query_vector
+
+    qv = query_vector(sf_dir, vec_id=0)
+    top = cosine_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        qv,
+        k=10,
+    )
+    return top.select(["vec_id"])
+
+
+def _sql_embedding_topk() -> str:
+    return (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+        "SELECT vec_id FROM (SELECT vec_id, list_cosine_similarity(embedding, q.qv) AS sim "
+        "FROM embeddings, q) ORDER BY sim DESC, vec_id ASC LIMIT 10"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable] = {
+    "geo_tile_counts": q_geo_tile_counts,
+    "geo_pip_class_stats": q_geo_pip_class_stats,
+    "geo_pip_join_rows": q_geo_pip_join_rows,
+    "geo_source_tile_stats": q_geo_source_tile_stats,
+    "geo_knn": q_geo_knn,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "count_conditions": q_count_conditions,
+    "orders_nation_rollup": q_orders_nation_rollup,
+    "events_hourly": q_events_hourly,
+    "dos_value": q_dos_value,
+    "distinct_langs": q_distinct_langs,
+    "top_hosts": q_top_hosts,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "embedding_topk": q_embedding_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "geo_tile_counts": _sql_geo_tile_counts(),
+    "geo_pip_class_stats": _sql_geo_pip_class_stats(),
+    "geo_pip_join_rows": _sql_geo_pip_join_rows(),
+    "geo_source_tile_stats": _sql_geo_source_tile_stats(),
+    "geo_knn": _sql_geo_knn(),
+    "lineitem_pricing_summary": _sql_lineitem_pricing_summary(),
+    "count_conditions": _sql_count_conditions(),
+    "orders_nation_rollup": _sql_orders_nation_rollup(),
+    "events_hourly": _sql_events_hourly(),
+    "dos_value": _sql_dos_value(),
+    "distinct_langs": _sql_distinct_langs(),
+    "top_hosts": _sql_top_hosts(),
+    "dedup_exact": _sql_dedup_exact(),
+    "token_counts": _sql_token_counts(),
+    "embedding_topk": _sql_embedding_topk(),
+}

@@ -1,0 +1,294 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's dedup surface is mosaic overlap resolution (last/first
+wins — ``global_match.py:302-312``, ``merge_tif_files_rastario.py:28-49``),
+skip-if-exists downloads (``download_usgs_lidar.py:29-35``) and
+``list(set(...))`` uniques (``seagrass_lib.py:527``). A web-scale
+training-data engine needs the full text-dedup family, built here
+Ray-Data-first:
+
+* **exact** — 128-bit content hash (two independent 64-bit xxhashes via
+  polars, vectorized) -> in-batch partial combine -> small groupby. The
+  shuffle moves one row per distinct hash per batch, never the text.
+* **MinHash + LSH** — word-shingle hashes -> p permutations (vectorized
+  affine hashing) -> banded LSH keys -> groupby(band key) emits candidate
+  pairs -> optional exact-Jaccard verification.
+* **SimHash** — 64-bit sign fingerprint; near-dups = equal fingerprints
+  (or Hamming<=d via d-bit-flip buckets).
+
+At 10^12 rows the groupbys shuffle only (hash, id) pairs; hot buckets
+(boilerplate text) are capped by ``max_group`` to bound pair explosion —
+capped groups are reported, not silently dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+_MERSENNE = (1 << 61) - 1
+
+
+def content_hash_cols(batch: pa.Table, col: str) -> pa.Table:
+    """Append h1/h2: two independent 64-bit hashes (vectorized, stable)."""
+    s = pl.from_arrow(batch[col])
+    if isinstance(s, pl.DataFrame):  # chunked input
+        s = s.to_series()
+    h1 = s.hash(seed=0).to_numpy().astype(np.int64)
+    h2 = s.hash(seed=17).to_numpy().astype(np.int64)
+    return batch.append_column("h1", pa.array(h1, pa.int64())).append_column(
+        "h2", pa.array(h2, pa.int64())
+    )
+
+
+def dedup_stats(
+    ds: ray.data.Dataset, content_col: str, id_col: str
+) -> ray.data.Dataset:
+    """One row per distinct content: (h1, h2, keep_id=min(id), n_dups).
+
+    Two-level combine: in-batch partial (Arrow group_by) then a groupby of
+    the partials — the all-to-all never carries the content column.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = content_hash_cols(batch, content_col)
+        out = (
+            b.select(["h1", "h2", id_col])
+            .group_by(["h1", "h2"])
+            .aggregate([(id_col, "min"), (id_col, "count")])
+        )
+        return out.rename_columns(
+            ["keep_id" if c == f"{id_col}_min" else "n" if c == f"{id_col}_count" else c
+             for c in out.column_names]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["h1", "h2"]).aggregate(
+        Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_dups")
+    )
+
+
+def dedup_rows(
+    ds: ray.data.Dataset, content_col: str, id_col: str
+) -> ray.data.Dataset:
+    """The deduplicated dataset itself: keep the min-id row per content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return content_hash_cols(batch, content_col)
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, id_col)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns(["h1", "h2"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text: str, w: int) -> np.ndarray:
+    """Hashes of word w-shingles (unique), via numpy polynomial rolling."""
+    words = text.split()
+    if len(words) < w:
+        words = words + [""] * (w - len(words))
+    # stable per-word FNV-1a
+    wh = np.array([_fnv(word) for word in words], dtype=np.uint64)
+    n = len(wh) - w + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for k in range(w):
+        acc = acc * np.uint64(1099511628211) + wh[k : k + n]
+    return np.unique(acc)
+
+
+def _fnv(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class MinHasher:
+    """Per-actor state: permutation coefficients (built once).
+
+    ``__call__`` emits (id, band, band_key) LSH rows — ``num_perm``
+    minhashes split into ``bands`` bands of ``num_perm // bands`` rows.
+    """
+
+    def __init__(
+        self,
+        id_col: str,
+        text_col: str,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_w: int = 3,
+        seed: int = 42,
+    ):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_w = shingle_w
+
+    def minhash(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.shingle_w) % np.uint64(_MERSENNE)
+        # (num_perm, n_shingles) affine hashes mod Mersenne prime
+        m = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return m.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = self.minhash(t or "")
+        # band keys: FNV-combine each band's rows
+        r = self.rows_per_band
+        out_id = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        keys = np.zeros((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            blk = sigs[:, b * r : (b + 1) * r]
+            acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(r):
+                acc = (acc ^ blk[:, j]) * np.uint64(0x100000001B3)
+            keys[:, b] = acc
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int64()),
+                "band_key": pa.array(keys.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    max_group: int = 64,
+    concurrency: int | tuple[int, int] = 4,
+) -> ray.data.Dataset:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH.
+
+    Groups larger than ``max_group`` are truncated to the smallest ids and
+    flagged via the ``capped`` column (no silent drops).
+    """
+    lsh = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "id_col": id_col,
+            "text_col": text_col,
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_w": shingle_w,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(group[id_col].to_numpy())
+        capped = len(ids) > max_group
+        ids = ids[:max_group]
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "capped": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "capped": bool}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "capped": capped}
+        )
+
+    cand = lsh.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
+    # a pair found in multiple bands appears once
+    return cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def jaccard_verify(
+    pairs: pa.Table, texts_by_id: dict[int, str], shingle_w: int = 3
+) -> pa.Table:
+    """Exact shingle-Jaccard for candidate pairs (small side — driver/test).
+
+    At scale this runs as a broadcast of the candidate ids' texts or a
+    repartition-by-id join; here it is the verification oracle.
+    """
+    ja = []
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        sa = set(_shingle_hashes(texts_by_id[a], shingle_w).tolist())
+        sb = set(_shingle_hashes(texts_by_id[b], shingle_w).tolist())
+        inter = len(sa & sb)
+        union = len(sa | sb) or 1
+        ja.append(inter / union)
+    return pairs.append_column("jaccard", pa.array(ja, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash fingerprint per row (token-hash sign aggregation)."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash(text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        th = np.array([_fnv(w) for w in words], dtype=np.uint64)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        score = (2 * bits - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for k in np.nonzero(score > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(k)
+        return int(fp)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        fps = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(fps.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def simhash_fingerprints(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    concurrency: int | tuple[int, int] = 4,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -1,0 +1,175 @@
+"""kNN by great-circle distance: per-batch partial top-k + cell-ring variant.
+
+North-star operator: "kNN via cell-ring candidate generation plus exact
+haversine refinement". The reference's nearest-neighbor analog is the IDW
+rasterization window (``create_dem_tiles_from_array.py:234-241``,
+``writers.gdal window_size=30``) — aggregate the k nearest points per
+target.
+
+Determinism: ties (co-located rows — common, since geocoding is host-level)
+are broken by ascending id EVERYWHERE, including inside the per-batch
+partial selection. A bare ``argpartition`` would pick an arbitrary subset
+of tied rows depending on block structure — the partial keeps ALL rows at
+the threshold distance and lexsorts (dist, id).
+
+Two strategies:
+
+* :func:`knn_brute` — distributed brute force: every batch reduces to its
+  local top-k (vectorized haversine), the tiny partial set is globally
+  sorted. Exact for any k; shuffle payload O(k x #batches).
+* :func:`knn_cell_ring` — hex-cell-ring candidate pruning with a proven
+  coverage bound; identical results, smaller candidate sets. The 100 TB
+  path: with the fact table partitioned by hex cell, a ring probe touches
+  only matching partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from gis_scripts_ray.functions import geo
+
+_LAT_M_PER_DEG = 110_500.0  # conservative meters per degree latitude
+_LON_M_PER_DEG = 111_320.0  # equatorial meters per degree longitude
+
+
+def _select_topk_ties(d: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest by (d, id), tie-complete and deterministic."""
+    if len(d) > k:
+        part = np.argpartition(d, k - 1)
+        thresh = d[part[k - 1]]
+        sel = np.nonzero(d <= thresh)[0]
+    else:
+        sel = np.arange(len(d))
+    order = np.lexsort((ids[sel], d[sel]))[:k]
+    return sel[order]
+
+
+def knn_brute(
+    ds: ray.data.Dataset,
+    probe_lat: float,
+    probe_lon: float,
+    k: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> pa.Table:
+    """Exact k nearest rows to the probe. Ties broken by ascending id.
+
+    Returns a small Arrow table (id_col, dist_m, rank) with rank 1..k —
+    materialized at the driver (k rows).
+    """
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy()
+        lon = batch[lon_col].to_numpy()
+        ids = batch[id_col].to_numpy()
+        d = geo.haversine_m(probe_lat, probe_lon, lat, lon)
+        sel = _select_topk_ties(d, ids, k)
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel], pa.int64()),
+                "dist_m": pa.array(d[sel], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    # global refine over the tiny partial set
+    top = partials.sort(["dist_m", id_col]).limit(k).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def _ring_covers_m(probe_lat: float, hex_res: int, r: int, lat_bound: float) -> float:
+    """Ground distance d such that EVERY point within d of the probe is
+    guaranteed inside ring r.
+
+    Plane guarantee: a point in a cell at hex distance > r is at plane
+    distance >= s*(1.5*r - 0.5) (min center spacing 1.5*s per hex step,
+    minus two circumradii). Ground->plane conversion is bounded by the
+    worst-case latitude actually reachable — capped by ``lat_bound``, the
+    max |lat| present in the DATA (points beyond it do not exist, so the
+    bound need not account for polar longitude shrink past it).
+    """
+    s = geo.hex_edge_deg(hex_res)
+    plane_deg = max(s * (1.5 * r - 0.5), 0.0)
+    lat_reach = min(abs(probe_lat) + plane_deg, lat_bound, 89.9)
+    cos_band = max(np.cos(np.radians(lat_reach)), 1e-3)
+    inv = np.sqrt(
+        (1.0 / _LAT_M_PER_DEG) ** 2 + (1.0 / (_LON_M_PER_DEG * cos_band)) ** 2
+    )
+    return plane_deg / inv
+
+
+def knn_cell_ring(
+    ds: ray.data.Dataset,
+    probe_lat: float,
+    probe_lon: float,
+    k: int,
+    hex_res: int = 6,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_col: str = "hex_cell",
+    max_r: int = 4096,
+) -> pa.Table:
+    """Exact kNN with hex-cell-ring candidate pruning.
+
+    Requires ``cell_col`` already encoded at ``hex_res``. A one-pass
+    per-cell census (tiny: one row per distinct cell) gives the candidate
+    universe; the ring radius starts at the smallest hex distance whose
+    cells hold >= k rows and doubles until the guaranteed coverage radius
+    exceeds the k-th distance — at which point the result provably equals
+    :func:`knn_brute`. Candidate cells come from intersecting the census
+    with the ring (no ring enumeration — no blow-up at large radii), with
+    antimeridian handled by also measuring hex distance to the probe's
+    longitude-shifted ghosts (the hex plane does not wrap).
+
+    In a multi-probe pipeline the census is computed once and shared.
+    """
+    cell_tbl = ds.groupby(cell_col).count().to_pandas()
+    cells = cell_tbl[cell_col].to_numpy()
+    counts = cell_tbl["count()"].to_numpy()
+    if len(cells) == 0:
+        return knn_brute(ds, probe_lat, probe_lon, k, id_col, lat_col, lon_col)
+
+    def probe_cell_at(lon_val: float) -> int:
+        return int(
+            geo.lonlat_to_hex_cell(np.array([lon_val]), np.array([probe_lat]), hex_res)[0]
+        )
+
+    # hex distance to the probe, accounting for the antimeridian via ghosts
+    hd = geo.hex_distance(cells, np.full(len(cells), probe_cell_at(probe_lon)))
+    for ghost_lon in (probe_lon - 360.0, probe_lon + 360.0):
+        hd = np.minimum(
+            hd, geo.hex_distance(cells, np.full(len(cells), probe_cell_at(ghost_lon)))
+        )
+
+    # data latitude bound for the coverage conversion (cell centers +- edge)
+    _, cell_lat = geo.hex_cell_center(cells)
+    lat_bound = float(np.abs(cell_lat).max()) + 2.0 * geo.hex_edge_deg(hex_res)
+
+    order = np.argsort(hd, kind="stable")
+    cum = np.cumsum(counts[order])
+    enough = np.nonzero(cum >= k)[0]
+    r = max(1, int(hd[order][enough[0]]) if len(enough) else int(hd.max()))
+
+    while True:
+        sel = pa.array(cells[hd <= r], pa.int64())
+
+        def in_ring(batch: pa.Table, _ring=sel) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.is_in(batch[cell_col], value_set=_ring))
+
+        cand = ds.map_batches(in_ring, batch_format="pyarrow")
+        top = knn_brute(cand, probe_lat, probe_lon, k, id_col, lat_col, lon_col)
+        covered_m = _ring_covers_m(probe_lat, hex_res, r, lat_bound)
+        if len(top) >= k and top["dist_m"][k - 1].as_py() <= covered_m:
+            return top
+        if r >= max_r or int(hd.max()) <= r:
+            # candidates already include every data cell
+            return top
+        r *= 2

@@ -1,0 +1,112 @@
+"""Partitioned point-in-polygon join — broadcast STRtree, actor-pool probe.
+
+The engine's J3-J5 (SURVEY.md §2.4): the reference extracts per-polygon
+raster windows feature-by-feature (``seagrass_lib.py:510-558``
+``shp_to_roi``), computes footprint-AOI coverage joins
+(``seagrass_lib.py:181-193``), and zonal stats (``Assess_Agreement.R:45-66``).
+Here the polygon side is parsed + STR-indexed ONCE, broadcast via
+``ray.put``, and every worker probes it with vectorized batch queries —
+a broadcast spatial join with no shuffle of the fact table.
+
+Two output shapes:
+
+* :func:`pip_join` — inner join rows ``(row cols..., polygon_id, class)``;
+  a row inside k polygons emits k rows (reference J4 semantics).
+* :func:`pip_tag_best` — left tag with the single best polygon by
+  (priority desc, polygon_id desc) — the mosaic "last wins" overlap rule
+  (``global_match.py:302-312``; ``merge_tif_files_rastario.py:28-49``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from gis_scripts_ray.state.strtree import PolygonIndex
+
+
+class PipJoiner:
+    """Actor-pool stage: probe the broadcast PolygonIndex per batch."""
+
+    def __init__(self, index_ref, carry_cols: list[str], mode: str = "inner"):
+        self.index: PolygonIndex = ray.get(index_ref)
+        self.carry_cols = carry_cols
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        pt, part = idx.pip(lon, lat)
+        if self.mode == "inner":
+            take = pa.array(pt)
+            out = batch.select(self.carry_cols).take(take)
+            return out.append_column(
+                "polygon_id", pa.array(idx.part_polygon_id[part], pa.int64())
+            ).append_column("class", pa.array(idx.part_class[part].tolist(), pa.string()))
+        # best-match tag: keep every input row; pick max (priority, polygon_id)
+        n = len(batch)
+        best_part = np.full(n, -1, dtype=np.int64)
+        # rank encodes (priority, polygon_id) — unique per polygon, so the
+        # arg-max part is recoverable by a second vectorized pass
+        rank = idx.part_priority[part] * np.int64(1 << 32) + idx.part_polygon_id[part]
+        best_rank = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(best_rank, pt, rank)
+        winners = rank == best_rank[pt]
+        best_part[pt[winners]] = part[winners]
+        matched = best_part >= 0
+        safe = np.clip(best_part, 0, None)
+        pid = np.where(matched, idx.part_polygon_id[safe], -1)
+        cls = [
+            str(idx.part_class[p]) if m else None
+            for p, m in zip(safe, matched)
+        ]
+        return batch.select(self.carry_cols).append_column(
+            "polygon_id", pa.array(pid, pa.int64())
+        ).append_column("class", pa.array(cls, pa.string()))
+
+
+def pip_join(
+    ds: ray.data.Dataset,
+    polygons: pa.Table,
+    carry_cols: list[str],
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 8192,
+    num_cpus: float = 0.5,
+) -> ray.data.Dataset:
+    """Inner PIP join: rows x matching polygons."""
+    index_ref = ray.put(PolygonIndex(polygons))
+    return ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={"index_ref": index_ref, "carry_cols": carry_cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def pip_tag_best(
+    ds: ray.data.Dataset,
+    polygons: pa.Table,
+    carry_cols: list[str],
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 8192,
+    num_cpus: float = 0.5,
+) -> ray.data.Dataset:
+    """Left tag with the highest-(priority, polygon_id) polygon or -1/null."""
+    index_ref = ray.put(PolygonIndex(polygons))
+    return ds.map_batches(
+        PipJoiner,
+        fn_constructor_kwargs={
+            "index_ref": index_ref,
+            "carry_cols": carry_cols,
+            "mode": "best",
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

@@ -1,0 +1,161 @@
+"""Cell-keyed aggregation with explicit two-level combine + salting.
+
+Flagship operator (SURVEY.md A1): the reference's
+``compute_distribution_map`` (``local_match.py:263-392``) scatter-adds pixel
+sums/counts into a coarse block grid **per image**, takes the per-image
+mean per block, then the *unweighted mean of per-image means* across
+images. That mean-of-means is NOT associative over raw rows, so the
+per-source level is preserved explicitly here.
+
+Scale design:
+
+* **Level 0 (in-batch pre-aggregation)** — each ``map_batches`` call
+  reduces its batch to one partial row per (cell[, source]) via Arrow's
+  C++ ``Table.group_by``. This is the "combiner": the global shuffle moves
+  O(#cells x #blocks) partial rows, never O(#rows).
+* **Level 1 (salted global combine)** — partials are grouped by cell (the
+  salt is implicit: partials from different blocks are distinct rows, so
+  no single task ever sees O(#rows) for a hot cell; Ray's hash shuffle
+  sees at most #blocks rows per cell).
+* **Level 2 (mean of means)** — for A1 semantics, level 1 groups by
+  (cell, source) to finish per-source means, then a second tiny groupby
+  averages the per-source means per cell.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def partial_cell_agg(value_cols: list[str], key_cols: list[str]):
+    """``map_batches`` fn: reduce a batch to per-key partial sum/count rows."""
+
+    aggs = [(c, "sum") for c in value_cols] + [(value_cols[0], "count")]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = key_cols + value_cols
+        out = batch.select(cols).group_by(key_cols).aggregate(aggs)
+        # normalize names: <col>_sum -> sum_<col>, <col>_count -> n
+        names = []
+        for name in out.column_names:
+            if name.endswith("_sum"):
+                names.append("sum_" + name[: -len("_sum")])
+            elif name.endswith("_count"):
+                names.append("n")
+            else:
+                names.append(name)
+        return out.rename_columns(names)
+
+    return fn
+
+
+def cell_sum_count(
+    ds: ray.data.Dataset, key_cols: list[str], value_cols: list[str]
+) -> ray.data.Dataset:
+    """Exact per-key (sum_<col>..., n) via partial pre-agg + small shuffle.
+
+    Integer columns keep integer sums (exact, order-independent) — the
+    preferred output shape for oracle-checked queries.
+    """
+    partials = ds.map_batches(
+        partial_cell_agg(value_cols, key_cols), batch_format="pyarrow"
+    )
+    aggs = [Sum("sum_" + c, alias_name="sum_" + c) for c in value_cols]
+    aggs.append(Sum("n", alias_name="n"))
+    return partials.groupby(key_cols).aggregate(*aggs)
+
+
+def cell_mean(
+    ds: ray.data.Dataset, key_cols: list[str], value_cols: list[str]
+) -> ray.data.Dataset:
+    """Mean over raw rows per cell, via partial pre-agg + small shuffle.
+
+    Output columns: key_cols + ``mean_<col>`` + ``n`` (row count).
+    """
+    combined = cell_sum_count(ds, key_cols, value_cols)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        for c in value_cols:
+            batch = batch.append_column(
+                "mean_" + c,
+                pc.divide(
+                    pc.cast(batch["sum_" + c], pa.float64()),
+                    pc.cast(batch["n"], pa.float64()),
+                ),
+            )
+            batch = batch.drop_columns(["sum_" + c])
+        return batch
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
+
+
+def two_level_mean(
+    ds: ray.data.Dataset,
+    cell_col: str,
+    source_col: str,
+    value_col: str,
+) -> ray.data.Dataset:
+    """Reference A1 semantics: per-source mean per cell, then mean of means.
+
+    Output: (cell_col, mean_of_means, n_sources). Matches
+    ``local_match.py:372-387`` where each image contributes equally to a
+    block regardless of how many of its pixels land there.
+    """
+    per_source = cell_mean(ds, [cell_col, source_col], [value_col])
+    # level 2: unweighted mean of the per-source means (tiny table)
+    lvl2 = per_source.groupby(cell_col).aggregate(
+        Sum("mean_" + value_col, alias_name="_sum_means"),
+        Count(alias_name="n_sources"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        mom = pc.divide(
+            batch["_sum_means"], pc.cast(batch["n_sources"], pa.float64())
+        )
+        return batch.drop_columns(["_sum_means"]).append_column(
+            "mean_of_means", mom
+        )
+
+    return lvl2.map_batches(finalize, batch_format="pyarrow")
+
+
+def cell_stats(
+    ds: ray.data.Dataset, key_cols: list[str], value_col: str
+) -> ray.data.Dataset:
+    """count/sum/min/max/sumsq per cell via partial pre-agg (A2-A4 analog).
+
+    Output: key_cols + n, sum_v, min_v, max_v, sumsq_v — enough to finish
+    mean/std at the consumer (std via the sum-of-squares identity, exact
+    over integer domains).
+    """
+
+    rename = {
+        "v_sum": "sum_v",
+        "v_count": "n",
+        "v_min": "min_v",
+        "v_max": "max_v",
+        "v2_sum": "sumsq_v",
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.float64())
+        batch = batch.select(key_cols).append_column("v", v).append_column(
+            "v2", pc.multiply(v, v)
+        )
+        out = (
+            batch.group_by(key_cols)
+            .aggregate([("v", "sum"), ("v", "count"), ("v", "min"), ("v", "max"), ("v2", "sum")])
+        )
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_cols).aggregate(
+        Sum("sum_v", alias_name="sum_v"),
+        Sum("n", alias_name="n"),
+        Min("min_v", alias_name="min_v"),
+        Max("max_v", alias_name="max_v"),
+        Sum("sumsq_v", alias_name="sumsq_v"),
+    )

@@ -1,0 +1,239 @@
+"""Operator-stage tests: kNN exactness, dedup family, scalar DSL, text."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def geo_ds(ray_session):
+    """Deterministic point table with heavy ties (co-located points)."""
+    import ray
+
+    from gis_scripts_ray.functions import geo
+
+    rng = np.random.default_rng(3)
+    # 40 locations, each with 5 co-located points (tie storm)
+    lat0 = np.round(rng.uniform(-60, 60, 40), 2) + 0.003
+    lon0 = np.round(rng.uniform(-170, 170, 40), 2) + 0.003
+    lat = np.repeat(lat0, 5)
+    lon = np.repeat(lon0, 5)
+    ids = np.arange(200, dtype=np.int64)
+    rng.shuffle(ids)  # ids uncorrelated with location
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lat": pa.array(lat),
+            "lon": pa.array(lon),
+            "hex_cell": pa.array(geo.lonlat_to_hex_cell(lon, lat, 6), pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(8).materialize()
+
+
+class TestKnn:
+    def test_brute_matches_numpy_oracle(self, geo_ds):
+        from gis_scripts_ray.functions import geo
+        from gis_scripts_ray.stages.knn import knn_brute
+
+        df = geo_ds.to_pandas()
+        for plat, plon in [(10.0, 20.0), (-45.0, 170.0), (59.99, -100.0)]:
+            d = geo.haversine_m(plat, plon, df["lat"].to_numpy(), df["lon"].to_numpy())
+            order = np.lexsort((df["doc_id"].to_numpy(), d))[:7]
+            want = df["doc_id"].to_numpy()[order].tolist()
+            got = knn_brute(geo_ds, plat, plon, 7)["doc_id"].to_pylist()
+            assert got == want
+
+    def test_brute_partition_invariant(self, geo_ds, ray_session):
+        """Tie-handling must not depend on block structure."""
+        from gis_scripts_ray.stages.knn import knn_brute
+
+        a = knn_brute(geo_ds, 0.0, 0.0, 12)["doc_id"].to_pylist()
+        b = knn_brute(geo_ds.repartition(3).materialize(), 0.0, 0.0, 12)[
+            "doc_id"
+        ].to_pylist()
+        assert a == b
+
+    def test_ring_equals_brute(self, geo_ds):
+        from gis_scripts_ray.stages.knn import knn_brute, knn_cell_ring
+
+        for plat, plon in [(10.0, 20.0), (-45.0, 170.0)]:
+            b = knn_brute(geo_ds, plat, plon, 9)["doc_id"].to_pylist()
+            c = knn_cell_ring(geo_ds, plat, plon, 9, hex_res=6)["doc_id"].to_pylist()
+            assert b == c
+
+
+class TestDedup:
+    def test_exact_dedup_stats(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.dedup import dedup_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9, 1, 7, 2], pa.int64()),
+                "text": pa.array(["a", "b", "a", "a", "b", "c"]),
+            }
+        )
+        out = (
+            dedup_stats(ray.data.from_arrow(t).repartition(3), "text", "doc_id")
+            .to_pandas()
+            .sort_values("keep_id")
+            .reset_index(drop=True)
+        )
+        assert out["keep_id"].tolist() == [1, 2, 3]
+        assert out["n_dups"].tolist() == [3, 1, 2]
+
+    def test_dedup_rows(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.dedup import dedup_rows
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([5, 3, 9, 1], pa.int64()),
+                "text": pa.array(["x", "y", "x", "x"]),
+            }
+        )
+        out = dedup_rows(ray.data.from_arrow(t), "text", "doc_id").to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 3]
+
+    def test_minhash_similar_collide(self):
+        from gis_scripts_ray.stages.dedup import MinHasher
+
+        mh = MinHasher("doc_id", "text")
+        base = "the quick brown fox jumps over the lazy dog " * 10
+        s1 = mh.minhash(base)
+        s2 = mh.minhash(base + " extra tail words here")
+        s3 = mh.minhash("completely different content about databases and rays")
+        sim12 = (s1 == s2).mean()
+        sim13 = (s1 == s3).mean()
+        assert sim12 > 0.5
+        assert sim13 < 0.2
+
+    def test_jaccard_verify(self):
+        from gis_scripts_ray.stages.dedup import jaccard_verify
+
+        pairs = pa.table({"id_a": pa.array([0], pa.int64()), "id_b": pa.array([1], pa.int64())})
+        texts = {0: "a b c d e f", 1: "a b c d e f"}
+        out = jaccard_verify(pairs, texts)
+        assert out["jaccard"][0].as_py() == 1.0
+
+
+class TestScalarDsl:
+    def test_condition_mask_matches_numpy(self):
+        from gis_scripts_ray.stages.scalar import condition_mask
+
+        v = pa.chunked_array([pa.array([1.0, 5.0, 9.0, 12.0, None, 4.0])])
+        m = condition_mask(v, [">4", "<10"]).to_pylist()
+        assert m == [False, True, True, False, False, False]
+
+    def test_bare_number_is_equality(self):
+        from gis_scripts_ray.stages.scalar import condition_mask
+
+        v = pa.array([3.0, 4.0, 3.0])
+        assert condition_mask(v, "3").to_pylist() == [True, False, True]
+
+    def test_condition_sql_roundtrip(self):
+        import duckdb
+
+        from gis_scripts_ray.stages.scalar import condition_sql
+
+        sql = condition_sql("x", [">4", "<10"])
+        got = duckdb.sql(f"SELECT x FROM (VALUES (1.0),(5.0),(12.0)) t(x) WHERE {sql}").fetchall()
+        assert got == [(5.0,)]
+
+    def test_replace_and_add(self):
+        from gis_scripts_ray.stages.scalar import add_scalar, replace_value
+
+        v = pa.array([1.0, -9999.0, 3.0])
+        assert replace_value(v, -9999.0, 0.0).to_pylist() == [1.0, 0.0, 3.0]
+        w = pa.array([1.0, None, 3.0])
+        assert add_scalar(w, 2.0).to_pylist() == [3.0, None, 5.0]
+
+    def test_stretch_interp(self):
+        from gis_scripts_ray.stages.scalar import piecewise_stretch
+
+        out = piecewise_stretch(np.array([0.0, 5.0, 10.0, 20.0]), {0.0: 0.0, 10.0: 1.0})
+        assert np.allclose(out, [0.0, 0.5, 1.0, 1.0])  # np.interp clamps
+
+    def test_breakpoint_spec_resolution(self):
+        from gis_scripts_ray.stages.scalar import resolve_breakpoint_spec
+
+        data = np.array([-5.0, 0.0, 5.0, 10.0])
+
+        def qfn(q, excl_neg):
+            d = data[data >= 0] if excl_neg else data
+            return float(np.percentile(d, q * 100))
+
+        bp = resolve_breakpoint_spec({"0%": 0.0, "100%": 1.0}, qfn)
+        assert bp == {-5.0: 0.0, 10.0: 1.0}
+        bp2 = resolve_breakpoint_spec({"0@": 0.0}, qfn)
+        assert bp2 == {0.0: 0.0}
+
+    def test_gamma_offset_shift(self):
+        from gis_scripts_ray.stages.scalar import gamma_correct
+
+        v = np.array([2.0, 4.0, 8.0])
+        out = gamma_correct(v, m_ref=np.full(3, 4.0), m_in=np.full(3, 4.0))
+        assert np.allclose(out, v)  # gamma == 1 when maps agree
+        # negative domain path shifts, corrects, unshifts without NaN
+        v2 = np.array([-1.0, 0.0, 3.0])
+        out2 = gamma_correct(v2, np.full(3, 2.0), np.full(3, 2.0))
+        assert np.all(np.isfinite(out2))
+        assert np.allclose(out2, v2)
+
+
+class TestTextStages:
+    def test_langid_markers(self):
+        from gis_scripts_ray.stages.textstages import LangIdScorer
+
+        s = LangIdScorer()
+        assert s.classify("the cat is on the mat and that is that") == "en"
+        assert s.classify("der hund ist nicht in das haus und zu") == "de"
+        assert s.classify("") == "und"
+
+    def test_quality_features(self):
+        from gis_scripts_ray.stages.textstages import quality_features
+
+        b = pa.table({"text": pa.array(["one two three", "x"])})
+        out = quality_features(b)
+        assert out["n_tokens"].to_pylist() == [3, 1]
+        assert out["n_chars_q"].to_pylist() == [13, 1]
+
+    def test_fingerprint_deterministic_and_shift_tolerant(self):
+        from gis_scripts_ray.stages.textstages import rolling_fingerprint
+
+        b = pa.table({"text": pa.array(["hello world this is content " * 4])})
+        f1 = rolling_fingerprint(b)["fingerprint"][0].as_py()
+        f2 = rolling_fingerprint(b)["fingerprint"][0].as_py()
+        assert f1 == f2
+        # winnowing min-hash often survives a prefix shift
+        b3 = pa.table({"text": pa.array(["PREFIX hello world this is content " * 4])})
+        assert rolling_fingerprint(b3)["fingerprint"][0].as_py() is not None
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.similarity import cosine_topk
+
+        rng = np.random.default_rng(5)
+        m = rng.standard_normal((300, 16))
+        q = rng.standard_normal(16)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(300), pa.int64()),
+                "embedding": pa.array(list(m.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+        got = cosine_topk(ray.data.from_arrow(t).repartition(4), q, 5)["vec_id"].to_pylist()
+        md = m.astype(np.float64)
+        sims = (md @ q) / (np.linalg.norm(md, axis=1) * np.linalg.norm(q))
+        # engine computes from float32-rounded embeddings — replicate
+        m32 = m.astype(np.float32).astype(np.float64)
+        sims = (m32 @ q) / (np.linalg.norm(m32, axis=1) * np.linalg.norm(q))
+        want = np.lexsort((np.arange(300), -sims))[:5].tolist()
+        assert got == want
