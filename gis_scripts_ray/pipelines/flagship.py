@@ -32,7 +32,7 @@ from gis_scripts_ray.state.geocoder import GeocodeBatcher, host_geo_table
 def geocode(
     ds: ray.data.Dataset,
     concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
     """Geocoder actor-pool stage (host-geo table broadcast once)."""

@@ -533,6 +533,75 @@ def _sql_embedding_topk() -> str:
     )
 
 
+_SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def q_sessionize(sf_dir: str):
+    from gis_scripts_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return sessionize(ds, "user_id", "ts", "event_id", _SESSION_GAP_US)
+
+
+def _sql_sessionize() -> str:
+    return (
+        "WITH marked AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+        "CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL "
+        f"OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US} "
+        "THEN 1 ELSE 0 END AS is_new FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, us, SUM(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id "
+        "FROM marked) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us "
+        "FROM sess GROUP BY user_id, session_id"
+    )
+
+
+def q_sliding_value_sum(sf_dir: str):
+    """1-hour windows sliding by 15 min over event value micros."""
+    from gis_scripts_ray.stages.windows import sliding_window_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "ts": batch["ts"],
+                "value_micros": _micros(batch["value"]),
+            }
+        )
+
+    return sliding_window_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type",
+        "ts",
+        "value_micros",
+        window_us=3_600_000_000,
+        slide_us=900_000_000,
+    )
+
+
+def _sql_sliding_value_sum() -> str:
+    return (
+        "WITH hops AS (SELECT i AS h FROM range(4) t(i)), "
+        "e AS (SELECT event_type, epoch_us(ts) AS us, "
+        "CAST(ROUND(value*1000000) AS BIGINT) AS vm FROM events) "
+        "SELECT event_type, window_start_us, "
+        "CAST(SUM(vm) AS BIGINT) AS sum_value_micros, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM (SELECT event_type, vm, (us//900000000)*900000000 - h*900000000 AS window_start_us, us "
+        "FROM e, hops) WHERE us < window_start_us + 3600000000 "
+        "GROUP BY event_type, window_start_us"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -553,6 +622,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "embedding_topk": q_embedding_topk,
+    "sessionize": q_sessionize,
+    "sliding_value_sum": q_sliding_value_sum,
 }
 
 ORACLES: dict[str, str] = {
@@ -571,4 +642,6 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _sql_dedup_exact(),
     "token_counts": _sql_token_counts(),
     "embedding_topk": _sql_embedding_topk(),
+    "sessionize": _sql_sessionize(),
+    "sliding_value_sum": _sql_sliding_value_sum(),
 }

