@@ -31,12 +31,27 @@ from gis_scripts_ray.state.geocoder import GeocodeBatcher, host_geo_table
 
 def geocode(
     ds: ray.data.Dataset,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
-    """Geocoder actor-pool stage (host-geo table broadcast once)."""
+    """Geocoder stage (host-geo table broadcast once).
+
+    Default (``concurrency=None``): fused stateless tasks with the resolver
+    cached per worker process — load-once semantics, no actor spawn, full
+    operator fusion. Pass a concurrency for the actor-pool variant (heavy
+    state / strict pool sizing).
+    """
     ref = ray.put(host_geo_table())
+    if concurrency is None:
+        from gis_scripts_ray.state.geocoder import geocode_batch
+
+        return ds.map_batches(
+            geocode_batch,
+            fn_kwargs={"host_geo_ref": ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         GeocodeBatcher,
         fn_constructor_kwargs={"host_geo_ref": ref},

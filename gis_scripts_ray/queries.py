@@ -533,6 +533,281 @@ def _sql_embedding_topk() -> str:
     )
 
 
+def q_pip_best_match(sf_dir: str):
+    """Mosaic overlap resolution (D3 'last wins'): tag each doc with its
+    highest-(priority, polygon_id) rectangle or (-1, null)."""
+    from gis_scripts_ray.stages.pip_join import pip_tag_best
+
+    ds = located_documents(sf_dir)
+    tagged = pip_tag_best(ds, rect_polygon_table(), carry_cols=["doc_id"], concurrency=2)
+    return tagged.select_columns(["doc_id", "polygon_id"])
+
+
+def _sql_pip_best_match() -> str:
+    return (
+        _located_cte("d.doc_id")
+        + ", matches AS (SELECT doc_id, r.polygon_id, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r.priority DESC, r.polygon_id DESC) AS rn "
+        "FROM located "
+        + _RECT_JOIN.format(values=_rect_values())
+        + ") SELECT l.doc_id, COALESCE(m.polygon_id, -1) AS polygon_id "
+        "FROM located l LEFT JOIN (SELECT doc_id, polygon_id FROM matches WHERE rn = 1) m "
+        "ON l.doc_id = m.doc_id"
+    )
+
+
+def q_quantile_breakpoints(sf_dir: str):
+    """A11: exact percentiles of integer quantity via distributed histogram."""
+    from gis_scripts_ray.stages.stats import exact_quantiles_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    qs = exact_quantiles_int(ds, "l_quantity", [0.25, 0.5, 0.75, 0.9])
+    return pa.table(
+        {
+            "q": pa.array([0.25, 0.5, 0.75, 0.9], pa.float64()),
+            "value": pa.array(qs, pa.float64()),
+        }
+    )
+
+
+def _sql_quantile_breakpoints() -> str:
+    parts = [
+        f"SELECT {q} AS q, quantile_cont(l_quantity, {q}) AS value FROM lineitem"
+        for q in (0.25, 0.5, 0.75, 0.9)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_source_variance(sf_dir: str):
+    """A3/A8: per-source exact variance numerator (integer domain —
+    n*sum(x^2) - sum(x)^2) plus count; std derivable at the consumer."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "v": pa.array(v, pa.int64()),
+                "v2": pa.array(v * v, pa.int64()),
+            }
+        )
+
+    sums = cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["source"], ["v", "v2"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        s = batch["sum_v"].to_numpy()
+        s2 = batch["sum_v2"].to_numpy()
+        return pa.table(
+            {
+                "source": batch["source"],
+                "var_num": pa.array(n * s2 - s * s, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+def _sql_source_variance() -> str:
+    return (
+        "SELECT source, CAST(COUNT(*)*SUM(n_chars*n_chars) - SUM(n_chars)*SUM(n_chars) AS BIGINT) "
+        "AS var_num, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source"
+    )
+
+
+def q_source_bbox_overlaps(sf_dir: str):
+    """J1: O(n^2) bbox self-join over per-source extents (driver-side small
+    n, like the reference's find_overlaps)."""
+    ds = located_documents(sf_dir, ("doc_id", "source"))
+    from ray.data.aggregate import Max, Min
+
+    ext = (
+        ds.groupby("source")
+        .aggregate(
+            Min("lat", alias_name="lat0"),
+            Max("lat", alias_name="lat1"),
+            Min("lon", alias_name="lon0"),
+            Max("lon", alias_name="lon1"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out_a, out_b = [], []
+    for x in range(len(ext)):
+        for y in range(x + 1, len(ext)):
+            a, b = ext.iloc[x], ext.iloc[y]
+            if (
+                a.lat0 <= b.lat1
+                and b.lat0 <= a.lat1
+                and a.lon0 <= b.lon1
+                and b.lon0 <= a.lon1
+            ):
+                out_a.append(a.source)
+                out_b.append(b.source)
+    return pa.table(
+        {"source_a": pa.array(out_a, pa.string()), "source_b": pa.array(out_b, pa.string())}
+    )
+
+
+def _sql_source_bbox_overlaps() -> str:
+    return (
+        _located_cte("d.doc_id, d.source")
+        + ", ext AS (SELECT source, MIN(lat) lat0, MAX(lat) lat1, MIN(lon) lon0, MAX(lon) lon1 "
+        "FROM located GROUP BY source) "
+        "SELECT a.source AS source_a, b.source AS source_b FROM ext a, ext b "
+        "WHERE a.source < b.source AND a.lat0 <= b.lat1 AND b.lat0 <= a.lat1 "
+        "AND a.lon0 <= b.lon1 AND b.lon0 <= a.lon1"
+    )
+
+
+def q_cells_all_sources(sf_dir: str):
+    """D2 set-AND: tiles where ALL langs are present (valid-mask
+    intersection analog — a cell is 'valid' only when every layer covers
+    it)."""
+    ds = encode_cells(
+        located_documents(sf_dir, ("doc_id", "lang")), EncodeConfig(tile_z=4)
+    )
+    langs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"]
+    ).unique("lang")
+    k = len(langs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["tile_x", "tile_y", "lang"])
+            .group_by(["tile_x", "tile_y", "lang"])
+            .aggregate([])
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    per_cell = (
+        pairs.groupby(["tile_x", "tile_y", "lang"])
+        .count()
+        .groupby(["tile_x", "tile_y"])
+        .count()
+    )
+
+    def keep_full(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["count()"], k)
+        return batch.filter(m).select(["tile_x", "tile_y"])
+
+    return per_cell.map_batches(keep_full, batch_format="pyarrow")
+
+
+def _sql_cells_all_sources() -> str:
+    x, y = _tile_sql(4)
+    return (
+        _located_cte("d.doc_id, d.lang")
+        + f" SELECT tile_x, tile_y FROM "
+        f"(SELECT lang, {x} AS tile_x, {y} AS tile_y FROM located) "
+        f"GROUP BY tile_x, tile_y "
+        f"HAVING COUNT(DISTINCT lang) = (SELECT COUNT(DISTINCT lang) FROM documents)"
+    )
+
+
+def q_hash_sample(sf_dir: str):
+    """O2: deterministic 10% 'sample' via multiplicative hash residue —
+    order-free, partition-free, reproducible (seeded-sampling analog)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = (ids * 2654435761) % 100 < 10
+        return batch.filter(pa.array(keep))
+
+    return cell_sum_count(
+        ds.map_batches(pick, batch_format="pyarrow").map_batches(
+            lambda b: pa.table({"lang": b["lang"], "one": pa.array(np.ones(len(b), dtype=np.int64))}),
+            batch_format="pyarrow",
+        ),
+        ["lang"],
+        ["one"],
+    ).drop_columns(["sum_one"])
+
+
+def _sql_hash_sample() -> str:
+    return (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+        "WHERE (doc_id*2654435761)%100 < 10 GROUP BY lang"
+    )
+
+
+def q_scalar_transform_sum(sf_dir: str):
+    """M1+M2: value-replace then scalar-add, summed per flag (int domain)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy().astype(np.int64)
+        q = np.where(q == 25, 0, q) + 5
+        return pa.table(
+            {"l_returnflag": batch["l_returnflag"], "qty_adj": pa.array(q, pa.int64())}
+        )
+
+    return cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["l_returnflag"], ["qty_adj"])
+
+
+def _sql_scalar_transform_sum() -> str:
+    return (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) = 25 THEN 0 ELSE CAST(l_quantity AS BIGINT) END + 5) AS BIGINT) AS sum_qty_adj, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+
+
+def q_quantity_histogram(sf_dir: str):
+    """A12: value histogram of integer quantity."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pa.array(batch["l_quantity"].to_numpy().astype(np.int64), pa.int64()),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["qty"], ["one"]).drop_columns(["sum_one"])
+
+
+def _sql_quantity_histogram() -> str:
+    return (
+        "SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY qty"
+    )
+
+
+def q_multimodal_bytes(sf_dir: str):
+    """Binary-column plumbing: html payload byte stats per lang. The html
+    column is real binary built by the web-pages derivation; the decode
+    step itself is the stubbed stage (see stages/multimodal.py)."""
+    from gis_scripts_ray.sources.webpages import web_pages_from_documents
+
+    ds = web_pages_from_documents(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        blen = pc.cast(pc.binary_length(batch["html"]), pa.int64())
+        return pa.table({"lang": batch["lang"], "html_bytes": blen})
+
+    return cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["lang"], ["html_bytes"])
+
+
+def _sql_multimodal_bytes() -> str:
+    # html = b"<html><body>" + text + b"</body></html>" -> strlen(text)+26
+    # (text is single-byte... NO: text may contain non-ASCII; byte length =
+    # octet_length in DuckDB)
+    return (
+        "SELECT lang, CAST(SUM(octet_length(encode(text)) + 26) AS BIGINT) AS sum_html_bytes, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+    )
+
+
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
@@ -603,6 +878,175 @@ def _sql_sliding_value_sum() -> str:
 
 
 # ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check; python-oracle
+# coverage lives in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_cell_ring(sf_dir: str):
+    """Cell-ring-pruned kNN — exact-equal to brute force (tested), but the
+    pruning logic itself is not SQL-expressible."""
+    from gis_scripts_ray.stages.knn import knn_cell_ring
+
+    plat, plon = site_locations()
+    ds = encode_cells(located_documents(sf_dir), EncodeConfig(hex_res=6)).materialize()
+    out = knn_cell_ring(ds, float(plat[3]), float(plon[3]), 15, hex_res=6)
+    return out.select(["doc_id", "rank"]).rename_columns(["doc_id", "knn_rank"])
+
+
+def q_hex_cell_counts(sf_dir: str):
+    """Hex (H3-style) cell binning — cube-rounding is impractical in SQL."""
+    ds = encode_cells(located_documents(sf_dir), EncodeConfig(hex_res=6))
+    return ds.groupby("hex_cell").aggregate(Count(alias_name="n_docs"))
+
+
+def q_s2_cell_counts(sf_dir: str):
+    """S2-style cell binning at level 10."""
+    ds = encode_cells(located_documents(sf_dir), EncodeConfig(s2_level=10))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        cells = batch["s2_cell"].to_numpy().astype(np.int64)
+        return pa.table({"s2_cell": pa.array(cells, pa.int64())})
+
+    return (
+        ds.map_batches(to_int, batch_format="pyarrow")
+        .groupby("s2_cell")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def q_minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup candidate clusters over documents+shifted copy."""
+    from gis_scripts_ray.stages.dedup import minhash_lsh_candidates
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.add(batch["doc_id"], 1_000_000), "text": batch["text"]}
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    return minhash_lsh_candidates(both, "doc_id", "text", concurrency=2)
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    from gis_scripts_ray.stages.dedup import simhash_fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_fingerprints(ds, "doc_id", "text", concurrency=2)
+
+
+def q_langid_pred_counts(sf_dir: str):
+    """Heuristic language-ID actor stage; prediction counts per true lang."""
+    from gis_scripts_ray.stages.textstages import LangIdScorer
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    scored = ds.map_batches(
+        LangIdScorer, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+    )
+    return scored.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate nearest neighbors (recall < 1 by design)."""
+    from gis_scripts_ray.stages.similarity import ann_lsh_topk, query_vector
+
+    qv = query_vector(sf_dir, vec_id=0)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = ann_lsh_topk(emb, qv, 10, dim=len(qv))
+    return out.select(["vec_id", "rank"]).rename_columns(["vec_id", "ann_rank"])
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary-payload decode plumbing (stubbed decoder, real schema/batching)."""
+    from gis_scripts_ray.sources.webpages import web_pages_from_documents
+    from gis_scripts_ray.stages.multimodal import decode_media
+
+    ds = web_pages_from_documents(sf_dir).select_columns(["url", "html", "lang"])
+    decoded = decode_media(ds, concurrency=2)
+    return cell_sum_count(
+        decoded.select_columns(["media_type", "payload_bytes"]),
+        ["media_type"],
+        ["payload_bytes"],
+    )
+
+
+def q_harmonize_params(sf_dir: str):
+    """Mosaic harmonization: per-source (gain, offset) from the tiny solve."""
+    from gis_scripts_ray.pipelines.mosaic import harmonize
+
+    ds = encode_cells(
+        located_documents(sf_dir, ("doc_id", "source", "n_chars")),
+        EncodeConfig(tile_z=4),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": pc.add(pc.multiply(batch["tile_x"], 100), batch["tile_y"]),
+                "source": batch["source"],
+                "v": pc.cast(batch["n_chars"], pa.float64()),
+            }
+        )
+
+    slim = ds.map_batches(prep, batch_format="pyarrow")
+    _, params = harmonize(slim, "cell", "source", "v")
+    items = sorted(params.items())
+    return pa.table(
+        {
+            "source": pa.array([s for s, _ in items], pa.string()),
+            "gain_r6": pa.array([round(a, 6) for _, (a, _b) in items], pa.float64()),
+            "offset_r6": pa.array([round(b, 6) for _, (_a, b) in items], pa.float64()),
+        }
+    )
+
+
+def q_checkpoint_resume(sf_dir: str):
+    """Resumable partitioned write: writes, drops one partition, resumes;
+    returns per-partition manifest rows (n partitions x n_rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    from gis_scripts_ray.state.checkpoint import (
+        Manifest,
+        write_partitioned_resumable,
+    )
+
+    out_dir = os.path.join(tempfile.gettempdir(), "graft_ckpt_query")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def part_fn(batch: pa.Table) -> pa.Array:
+        return pc.cast(batch["lang"], pa.string())
+
+    write_partitioned_resumable(ds, out_dir, part_fn, lineage="q1")
+    man = Manifest(out_dir)
+    os.remove(os.path.join(man.manifest_dir, "part-de.json"))
+    shutil.rmtree(man.partition_dir("de"))
+    write_partitioned_resumable(ds, out_dir, part_fn, lineage="q2")
+    done = man.completed()
+    keys = sorted(done)
+    return pa.table(
+        {
+            "part_key": pa.array(keys, pa.string()),
+            "n_rows": pa.array([done[k].n_rows for k in keys], pa.int64()),
+        }
+    )
+
+
+def q_text_fingerprints(sf_dir: str):
+    from gis_scripts_ray.stages.textstages import rolling_fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(rolling_fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -624,6 +1068,27 @@ QUERIES: dict[str, Callable] = {
     "embedding_topk": q_embedding_topk,
     "sessionize": q_sessionize,
     "sliding_value_sum": q_sliding_value_sum,
+    "pip_best_match": q_pip_best_match,
+    "quantile_breakpoints": q_quantile_breakpoints,
+    "source_variance": q_source_variance,
+    "source_bbox_overlaps": q_source_bbox_overlaps,
+    "cells_all_sources": q_cells_all_sources,
+    "hash_sample": q_hash_sample,
+    "scalar_transform_sum": q_scalar_transform_sum,
+    "quantity_histogram": q_quantity_histogram,
+    "multimodal_bytes": q_multimodal_bytes,
+    # non-SQL-expressible (rows-only driver check; python oracles in tests/)
+    "knn_cell_ring": q_knn_cell_ring,
+    "hex_cell_counts": q_hex_cell_counts,
+    "s2_cell_counts": q_s2_cell_counts,
+    "minhash_clusters": q_minhash_clusters,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "langid_pred_counts": q_langid_pred_counts,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_decode": q_multimodal_decode,
+    "harmonize_params": q_harmonize_params,
+    "checkpoint_resume": q_checkpoint_resume,
+    "text_fingerprints": q_text_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
@@ -644,4 +1109,13 @@ ORACLES: dict[str, str] = {
     "embedding_topk": _sql_embedding_topk(),
     "sessionize": _sql_sessionize(),
     "sliding_value_sum": _sql_sliding_value_sum(),
+    "pip_best_match": _sql_pip_best_match(),
+    "quantile_breakpoints": _sql_quantile_breakpoints(),
+    "source_variance": _sql_source_variance(),
+    "source_bbox_overlaps": _sql_source_bbox_overlaps(),
+    "cells_all_sources": _sql_cells_all_sources(),
+    "hash_sample": _sql_hash_sample(),
+    "scalar_transform_sum": _sql_scalar_transform_sum(),
+    "quantity_histogram": _sql_quantity_histogram(),
+    "multimodal_bytes": _sql_multimodal_bytes(),
 }

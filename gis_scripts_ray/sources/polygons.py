@@ -24,7 +24,10 @@ from gis_scripts_ray.sources.webpages import SEED, site_locations
 CLASSES = ["urban", "water", "forest", "cropland", "wetland", "barren", "grassland"]
 
 
-def synthesize_polygons(seed: int = SEED) -> pa.Table:
+def synthesize_polygons(seed: int = SEED, n_extra_rects: int = 0) -> pa.Table:
+    """Fixture layer; ``n_extra_rects`` adds district-scale rectangles
+    clustered around the sites (bench uses ~2000 — a realistic admin-layer
+    size that makes the STRtree probe the dominant per-row cost)."""
     rng = np.random.default_rng(seed + 1)
     site_lat, site_lon = site_locations(seed)
     rows: list[tuple[int, str, bytes, int]] = []
@@ -75,6 +78,17 @@ def synthesize_polygons(seed: int = SEED) -> pa.Table:
         ]
     )
     rows.append((pid, "multi", mp, 6)); pid += 1
+    # optional dense district layer
+    for _ in range(n_extra_rects):
+        si = pid % len(site_lat)
+        cx = float(site_lon[si]) + float(rng.uniform(-3, 3))
+        cy = float(site_lat[si]) + float(rng.uniform(-3, 3))
+        w = float(rng.uniform(0.2, 1.5))
+        h = float(rng.uniform(0.2, 1.5))
+        rows.append(
+            (pid, CLASSES[pid % 7], wkb.box_wkb(cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2), pid % 5)
+        )
+        pid += 1
     return pa.table(
         {
             "polygon_id": pa.array([r[0] for r in rows], pa.int64()),

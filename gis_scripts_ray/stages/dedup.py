@@ -96,18 +96,74 @@ def dedup_rows(
 # ---------------------------------------------------------------------------
 
 
+def _word_hashes(words: list[str]) -> np.ndarray:
+    """Stable vectorized word hashes (polars xxhash, fixed seed)."""
+    return pl.Series(words).hash(seed=7).to_numpy().astype(np.uint64)
+
+
+_PAD_HASH: int | None = None
+
+
+def _pad_hash() -> np.uint64:
+    global _PAD_HASH
+    if _PAD_HASH is None:
+        _PAD_HASH = int(_word_hashes([""])[0])
+    return np.uint64(_PAD_HASH)
+
+
 def _shingle_hashes(text: str, w: int) -> np.ndarray:
     """Hashes of word w-shingles (unique), via numpy polynomial rolling."""
-    words = text.split()
+    words = text.split(" ") if text else [""]
     if len(words) < w:
         words = words + [""] * (w - len(words))
-    # stable per-word FNV-1a
-    wh = np.array([_fnv(word) for word in words], dtype=np.uint64)
+    wh = _word_hashes(words)
     n = len(wh) - w + 1
     acc = np.zeros(n, dtype=np.uint64)
     for k in range(w):
         acc = acc * np.uint64(1099511628211) + wh[k : k + n]
     return np.unique(acc)
+
+
+def _batch_shingle_hashes(
+    texts: list[str], w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized w-shingle hashes for a whole batch.
+
+    Returns (shingle_hashes, doc_offsets) where doc i's (non-unique)
+    shingles are ``sh[off[i]:off[i+1]]``. Semantics match
+    :func:`_shingle_hashes` up to uniqueness (minhash is unaffected by
+    duplicate shingles). Word hashing and window rolling are batch-global
+    numpy/polars ops — no per-word Python.
+    """
+    s = pl.Series([t if t else "" for t in texts])
+    words = s.str.split(" ")
+    lens = words.list.len().to_numpy().astype(np.int64)
+    flat = words.explode()
+    wh_all = flat.hash(seed=7).to_numpy().astype(np.uint64)
+    # pad every doc to >= w words (short docs get sentinel-hash padding, one
+    # window) by scattering into a padded flat array
+    pad_lens = np.maximum(lens, w)
+    pad_off = np.concatenate([[0], np.cumsum(pad_lens)])
+    total = int(pad_off[-1])
+    wh = np.full(total, _pad_hash(), dtype=np.uint64)
+    # positions of each doc's real words inside the padded array
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    within = np.arange(len(wh_all)) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)])[:-1], lens
+    )
+    wh[pad_off[doc_idx] + within] = wh_all
+    # rolling polynomial hash over w-windows of the padded flat array
+    n_win_per_doc = pad_lens - w + 1
+    win_off = np.concatenate([[0], np.cumsum(n_win_per_doc)])
+    n_windows = int(win_off[-1])
+    # global window start positions
+    win_doc = np.repeat(np.arange(len(lens)), n_win_per_doc)
+    win_start = pad_off[win_doc] + (np.arange(n_windows) - win_off[win_doc])
+    acc = np.zeros(n_windows, dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    for k in range(w):
+        acc = acc * P + wh[win_start + k]
+    return acc, win_off
 
 
 def _fnv(s: str) -> int:
@@ -134,7 +190,10 @@ class MinHasher:
         seed: int = 42,
     ):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.a = (
+            rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+            | np.uint64(1)  # odd multipliers
+        )
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
         self.id_col = id_col
         self.text_col = text_col
@@ -144,18 +203,33 @@ class MinHasher:
         self.shingle_w = shingle_w
 
     def minhash(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.shingle_w) % np.uint64(_MERSENNE)
-        # (num_perm, n_shingles) affine hashes mod Mersenne prime
-        m = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        sh = _shingle_hashes(text, self.shingle_w)
+        m = self.a[:, None] * sh[None, :] + self.b[:, None]  # wrapping
         return m.min(axis=1)
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) minhash signatures — fully vectorized: one
+        batch-global shingle pass + per-permutation segment-min
+        (``np.minimum.reduceat`` over the ragged doc windows)."""
+        n = len(texts)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        sh, off = _batch_shingle_hashes(texts, self.shingle_w)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        starts = off[:-1]
+        for p in range(self.num_perm):
+            # wrapping multiply-add (odd multiplier) — a 2-universal-style
+            # hash family; faster than mod-prime and equally effective for
+            # min-wise hashing
+            vals = self.a[p] * sh + self.b[p]
+            sigs[:, p] = np.minimum.reduceat(vals, starts)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
         texts = batch[self.text_col].to_pylist()
         n = len(ids)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.minhash(t or "")
+        sigs = self.signatures(texts)
         # band keys: FNV-combine each band's rows
         r = self.rows_per_band
         out_id = np.repeat(ids, self.bands)
@@ -201,6 +275,7 @@ def minhash_lsh_candidates(
             "shingle_w": shingle_w,
         },
         batch_format="pyarrow",
+        batch_size=8192,  # cache-resident signature temporaries
         concurrency=concurrency,
         num_cpus=0.5,
     )
@@ -239,6 +314,79 @@ def jaccard_verify(
         union = len(sa | sb) or 1
         ja.append(inter / union)
     return pairs.append_column("jaccard", pa.array(ja, pa.float64()))
+
+
+# task-based variant with worker-cached hasher (same rationale as
+# geocoder.geocode_batch: no actor spawn, full stage fusion; MinHasher
+# params are deterministic in the seed, so every worker builds identical
+# state)
+_WORKER_MINHASHERS: dict = {}
+
+
+def minhash_lsh_rows(
+    batch: pa.Table,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    seed: int = 42,
+) -> pa.Table:
+    key = (id_col, text_col, num_perm, bands, shingle_w, seed)
+    mh = _WORKER_MINHASHERS.get(key)
+    if mh is None:
+        mh = MinHasher(id_col, text_col, num_perm, bands, shingle_w, seed)
+        _WORKER_MINHASHERS[key] = mh
+    return mh(batch)
+
+
+def minhash_band_counts(
+    batch: pa.Table,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    seed: int = 42,
+    chunk: int = 2048,
+) -> pa.Table:
+    """Per-block partial cluster counts (band, band_key, n) in ONE pass.
+
+    The LSH row table never materializes: signatures are computed in
+    cache-resident ``chunk``-doc slices, band keys accumulated, and the
+    block reduces to its per-band-key counts immediately. Combine the
+    partials with :func:`gis_scripts_ray.stages.tile_agg.tree_aggregate`.
+    """
+    key = ("", text_col, num_perm, bands, shingle_w, seed)
+    mh = _WORKER_MINHASHERS.get(key)
+    if mh is None:
+        mh = MinHasher("", text_col, num_perm, bands, shingle_w, seed)
+        _WORKER_MINHASHERS[key] = mh
+    texts = batch[text_col].to_pylist()
+    r = mh.rows_per_band
+    all_keys = []
+    for s in range(0, len(texts), chunk):
+        sigs = mh.signatures(texts[s : s + chunk])
+        keys = np.zeros((len(sigs), bands), dtype=np.uint64)
+        for b in range(bands):
+            blk = sigs[:, b * r : (b + 1) * r]
+            acc = np.full(len(sigs), 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(r):
+                acc = (acc ^ blk[:, j]) * np.uint64(0x100000001B3)
+            keys[:, b] = acc
+        all_keys.append(keys)
+    keys = np.concatenate(all_keys) if all_keys else np.zeros((0, bands), dtype=np.uint64)
+    t = pa.table(
+        {
+            "band": pa.array(
+                np.tile(np.arange(bands, dtype=np.int64), len(keys)), pa.int64()
+            ),
+            "band_key": pa.array(keys.ravel().astype(np.int64), pa.int64()),
+        }
+    )
+    out = t.group_by(["band", "band_key"]).aggregate([("band", "count")])
+    return out.rename_columns(
+        ["n" if c == "band_count" else c for c in out.column_names]
+    )
 
 
 # ---------------------------------------------------------------------------

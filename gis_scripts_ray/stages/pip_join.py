@@ -68,16 +68,53 @@ class PipJoiner:
         ).append_column("class", pa.array(cls, pa.string()))
 
 
+# worker-process cache for task-based PIP stages (see geocoder.geocode_batch
+# for the task-vs-actor tradeoff); keyed by ObjectRef so several polygon
+# layers can coexist
+_WORKER_PIP_CACHE: dict = {}
+
+
+def _cached_index(index_ref) -> PolygonIndex:
+    key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
+    idx = _WORKER_PIP_CACHE.get(key)
+    if idx is None:
+        idx = ray.get(index_ref)
+        _WORKER_PIP_CACHE[key] = idx
+    return idx
+
+
+def pip_join_batch(batch: pa.Table, index_ref=None, carry_cols=None) -> pa.Table:
+    """Stateless-task inner PIP join with worker-cached STRtree (fusable)."""
+    joiner = PipJoiner.__new__(PipJoiner)
+    joiner.index = _cached_index(index_ref)
+    joiner.carry_cols = carry_cols
+    joiner.mode = "inner"
+    return joiner(batch)
+
+
 def pip_join(
     ds: ray.data.Dataset,
     polygons: pa.Table,
     carry_cols: list[str],
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
-    """Inner PIP join: rows x matching polygons."""
+    """Inner PIP join: rows x matching polygons.
+
+    ``concurrency=None`` (default) uses fused stateless tasks with a
+    worker-cached index — fastest for broadcast-sized layers. Passing a
+    concurrency runs the actor-pool variant (one index copy per actor;
+    use when the layer is too large for one copy per worker).
+    """
     index_ref = ray.put(PolygonIndex(polygons))
+    if concurrency is None:
+        return ds.map_batches(
+            pip_join_batch,
+            fn_kwargs={"index_ref": index_ref, "carry_cols": carry_cols},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         PipJoiner,
         fn_constructor_kwargs={"index_ref": index_ref, "carry_cols": carry_cols},

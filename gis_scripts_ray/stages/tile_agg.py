@@ -68,6 +68,44 @@ def cell_sum_count(
     return partials.groupby(key_cols).aggregate(*aggs)
 
 
+def tree_aggregate(
+    partials: ray.data.Dataset,
+    key_cols: list[str],
+    sum_cols: list[str],
+    fanout: int = 8,
+) -> ray.data.Dataset:
+    """Combine per-block partial aggregates by explicit tree reduction —
+    coalesce (no shuffle) + per-block Arrow ``group_by`` at each level.
+
+    Valid for algebraic aggregates (sums/counts/min/max). Orders of
+    magnitude cheaper than a hash/sort shuffle when the key cardinality is
+    bounded (tile grids, LSH bands, class labels): measured 0.2s vs 24s on
+    6.3M partial rows. For UNBOUNDED keys (e.g. per-document exact-dedup at
+    10^12 rows) the final level would not fit one block — use the
+    hash-shuffle ``groupby`` path instead (``cell_sum_count``).
+    """
+
+    def combine(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(key_cols).aggregate([(c, "sum") for c in sum_cols])
+        return out.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in out.column_names]
+        )
+
+    # Materialize the partials first: they are small by construction, and an
+    # in-STREAM repartition barrier is pathological at low parallelism
+    # (measured 134s vs 0.2s at 8 CPUs on identical data). On materialized
+    # blocks, repartition is pure block-list manipulation.
+    partials = partials.materialize()
+    # two fixed levels: N blocks -> fanout -> 1 (enough for any realistic
+    # block count; each level's combine shrinks rows before the next merge)
+    lvl1 = partials.repartition(fanout).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    return lvl1.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
 def cell_mean(
     ds: ray.data.Dataset, key_cols: list[str], value_cols: list[str]
 ) -> ray.data.Dataset:

@@ -99,6 +99,29 @@ def hash_host(host: str) -> int:
     return h
 
 
+# --- task-based variant: state cached per WORKER PROCESS -------------------
+# Ray worker processes persist across tasks and executions, so a lazy module
+# global gives the same load-once semantics as an actor pool without paying
+# actor-process spawn per execution — and, unlike an actor stage, a task
+# stage FUSES with its neighbors (read->geocode->encode->join run as one
+# pipelined task per block, no object-store round trip between them).
+# Prefer this for small state (lookup tables); keep the actor pool for
+# heavy state (models) where one copy per worker would blow memory.
+_WORKER_GEOCODER: Geocoder | None = None
+
+
+def geocode_batch(batch: pa.Table, host_geo_ref=None) -> pa.Table:
+    """Stateless-task geocode stage with worker-cached state."""
+    global _WORKER_GEOCODER
+    if _WORKER_GEOCODER is None:
+        import ray
+
+        table = ray.get(host_geo_ref) if host_geo_ref is not None else host_geo_table()
+        _WORKER_GEOCODER = Geocoder(table)
+    lat, lon = _WORKER_GEOCODER.resolve(batch["url"].combine_chunks())
+    return batch.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
+
+
 class GeocodeBatcher:
     """Actor-pool ``map_batches`` stage: append lat/lon columns.
 
