@@ -877,10 +877,121 @@ def _sql_sliding_value_sum() -> str:
     )
 
 
+_STRETCH_SPEC = {"10%": 0.0, "50%": 0.5, "90%": 1.0}
+
+
+def q_stretch_breakpoints(sf_dir: str):
+    """M4/A11 two-pass stretch: resolved percentile breakpoints + the count
+    of rows at or below each source breakpoint (exact ints)."""
+    from gis_scripts_ray.stages.stretch import stretch_column
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    _, bps = stretch_column(ds, "l_quantity", _STRETCH_SPEC)
+    srcs = sorted(bps)
+    n_le = []
+    for s in srcs:
+        n_le.append(
+            ds.map_batches(
+                lambda b, _s=s: b.filter(pc.less_equal(b["l_quantity"], _s)),
+                batch_format="pyarrow",
+            ).count()
+        )
+    return pa.table(
+        {
+            "src_value": pa.array(srcs, pa.float64()),
+            "dst_value": pa.array([bps[s] for s in srcs], pa.float64()),
+            "n_le": pa.array(n_le, pa.int64()),
+        }
+    )
+
+
+def _sql_stretch_breakpoints() -> str:
+    parts = []
+    for spec_key, dst in sorted(_STRETCH_SPEC.items(), key=lambda kv: float(kv[0][:-1])):
+        q = float(spec_key[:-1]) / 100.0
+        parts.append(
+            f"SELECT quantile_cont(l_quantity, {q}) AS src_value, "
+            f"CAST({dst} AS DOUBLE) AS dst_value, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem "
+            f"WHERE l_quantity <= (SELECT quantile_cont(l_quantity, {q}) FROM lineitem)) AS n_le "
+            f"FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only driver check; python-oracle
 # coverage lives in tests/)
 # ---------------------------------------------------------------------------
+
+
+def q_local_match(sf_dir: str):
+    """Local histogram matching (flagship composite): per-(source, tile)
+    mean of the matched value — sources pulled toward the cross-source
+    reference tile map."""
+    from gis_scripts_ray.pipelines.local_match import local_histogram_match
+
+    ds = encode_cells(
+        located_documents(sf_dir, ("doc_id", "source", "n_chars")),
+        EncodeConfig(tile_z=4),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        # fractional tile coords at z4 (continuous tile-space position)
+        n = float(1 << 4)
+        fx = (lon + 180.0) / 360.0 * n - 0.5
+        rad = np.radians(lat)
+        fy = (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / np.pi) / 2.0 * n - 0.5
+        return (
+            batch.append_column("frac_x", pa.array(fx, pa.float64()))
+            .append_column("frac_y", pa.array(fy, pa.float64()))
+            .append_column("v", pc.cast(batch["n_chars"], pa.float64()))
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    matched = local_histogram_match(prepped, "v", "source")
+    out = cell_sum_count(
+        matched.select_columns(["source", "tile_x", "tile_y", "v_matched"]),
+        ["source", "tile_x", "tile_y"],
+        ["v_matched"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(batch["sum_v_matched"], pc.cast(batch["n"], pa.float64()))
+        return batch.drop_columns(["sum_v_matched"]).append_column(
+            "mean_matched_r4", pc.round(mean, ndigits=4)
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_segment_replace(sf_dir: str):
+    """M3 analog: connected components over occupied z4 tiles; emit per-label
+    tile counts (components smaller than min_size would be 'replaced')."""
+    from gis_scripts_ray.functions.gridops import connected_components
+
+    ds = encode_cells(located_documents(sf_dir), EncodeConfig(tile_z=4))
+    tiles = (
+        ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n_docs")).to_pandas()
+    )
+    labels = connected_components(
+        tiles["tile_x"].to_numpy(), tiles["tile_y"].to_numpy(), connectivity=8
+    )
+    tiles["component"] = labels
+    comp = (
+        tiles.groupby("component")
+        .agg(n_tiles=("component", "size"), n_docs=("n_docs", "sum"))
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "component": pa.array(comp["component"].to_numpy(), pa.int64()),
+            "n_tiles": pa.array(comp["n_tiles"].to_numpy(), pa.int64()),
+            "n_docs": pa.array(comp["n_docs"].to_numpy(), pa.int64()),
+        }
+    )
 
 
 def q_knn_cell_ring(sf_dir: str):
@@ -1077,6 +1188,7 @@ QUERIES: dict[str, Callable] = {
     "scalar_transform_sum": q_scalar_transform_sum,
     "quantity_histogram": q_quantity_histogram,
     "multimodal_bytes": q_multimodal_bytes,
+    "stretch_breakpoints": q_stretch_breakpoints,
     # non-SQL-expressible (rows-only driver check; python oracles in tests/)
     "knn_cell_ring": q_knn_cell_ring,
     "hex_cell_counts": q_hex_cell_counts,
@@ -1089,6 +1201,8 @@ QUERIES: dict[str, Callable] = {
     "harmonize_params": q_harmonize_params,
     "checkpoint_resume": q_checkpoint_resume,
     "text_fingerprints": q_text_fingerprints,
+    "local_match": q_local_match,
+    "segment_replace": q_segment_replace,
 }
 
 ORACLES: dict[str, str] = {
@@ -1118,4 +1232,5 @@ ORACLES: dict[str, str] = {
     "scalar_transform_sum": _sql_scalar_transform_sum(),
     "quantity_histogram": _sql_quantity_histogram(),
     "multimodal_bytes": _sql_multimodal_bytes(),
+    "stretch_breakpoints": _sql_stretch_breakpoints(),
 }
