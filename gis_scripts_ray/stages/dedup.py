@@ -258,44 +258,118 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_w: int = 3,
     max_group: int = 64,
-    concurrency: int | tuple[int, int] = 4,
-) -> ray.data.Dataset:
-    """Candidate near-dup pairs (id_a < id_b) from banded MinHash LSH.
+    concurrency=None,
+) -> pa.Table:
+    """Candidate near-dup pairs (id_a, id_b, n_bands) from banded MinHash.
 
-    Groups larger than ``max_group`` are truncated to the smallest ids and
-    flagged via the ``capped`` column (no silent drops).
+    Scale design (two-phase, no per-group Python):
+
+    1. fused per-block LSH rows + partial band-key counts -> tree combine
+       -> the (tiny) set of band keys with >= 2 members;
+    2. filter the LSH rows to those keys (broadcast ``is_in`` — the
+       candidate subset is bounded by the number of near-duplicate docs,
+       << corpus size in real data), then one vectorized sort +
+       run-offset pair expansion.
+
+    Groups larger than ``max_group`` are truncated to their smallest ids
+    and flagged in the ``capped`` column (no silent drops). ``concurrency``
+    is accepted for backward compatibility and ignored (task-based stages).
     """
+    import pyarrow.compute as pc
+
+    from gis_scripts_ray.stages.tile_agg import tree_aggregate
+
+    fn_kwargs = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_w": shingle_w,
+    }
     lsh = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "id_col": id_col,
-            "text_col": text_col,
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_w": shingle_w,
-        },
-        batch_format="pyarrow",
-        batch_size=8192,  # cache-resident signature temporaries
-        concurrency=concurrency,
-        num_cpus=0.5,
+        minhash_lsh_rows, fn_kwargs=fn_kwargs, batch_format="pyarrow", batch_size=8192
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].to_numpy())
-        capped = len(ids) > max_group
-        ids = ids[:max_group]
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "capped": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "capped": bool}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib], "capped": capped}
+    def add_combined(batch: pa.Table) -> pa.Table:
+        # wrapping uint64 combine (numpy — Arrow int64 ops are
+        # overflow-checked and band_key spans the full int64 range)
+        band = batch["band"].to_numpy().astype(np.uint64)
+        key = batch["band_key"].to_numpy().astype(np.uint64)
+        combo = (band * np.uint64(0x9E3779B97F4A7C15) + key).astype(np.int64)
+        return batch.append_column("combo", pa.array(combo, pa.int64()))
+
+    lsh = lsh.map_batches(add_combined, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.select(["combo"]).group_by(["combo"]).aggregate([("combo", "count")])
+        return out.rename_columns(
+            ["n" if c == "combo_count" else c for c in out.column_names]
         )
 
-    cand = lsh.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
-    # a pair found in multiple bands appears once
-    return cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    counts = tree_aggregate(
+        lsh.map_batches(partial, batch_format="pyarrow"), ["combo"], ["n"]
+    )
+    multi = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    if len(multi) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.bool_()),
+            }
+        )
+    multi_set = pa.array(multi["combo"].to_numpy(), pa.int64())
+    cand = lsh.map_batches(
+        lambda b, _s=multi_set: b.filter(pc.is_in(b["combo"], value_set=_s)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # vectorized pair expansion: sort by (combo, id), expand each run
+    cand = cand.sort_values(["combo", id_col], kind="mergesort")
+    combos = cand["combo"].to_numpy()
+    ids = cand[id_col].to_numpy()
+    starts = np.nonzero(np.concatenate([[True], combos[1:] != combos[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(combos)]])
+    pair_a, pair_b, capped_any = [], [], []
+    for s, e in zip(starts, ends):
+        g = ids[s:e]
+        capped = len(g) > max_group
+        g = g[:max_group]
+        if len(g) < 2:
+            continue
+        ia, ib = np.triu_indices(len(g), k=1)
+        pair_a.append(g[ia])
+        pair_b.append(g[ib])
+        capped_any.append(np.full(len(ia), capped))
+    if not pair_a:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_bands": pa.array([], pa.int64()),
+                "capped": pa.array([], pa.bool_()),
+            }
+        )
+    a = np.concatenate(pair_a)
+    b = np.concatenate(pair_b)
+    cap = np.concatenate(capped_any)
+    # dedup pairs found in multiple bands; count bands per pair
+    import pandas as _pd
+
+    df = _pd.DataFrame({"id_a": a, "id_b": b, "capped": cap})
+    agg = df.groupby(["id_a", "id_b"], as_index=False).agg(
+        n_bands=("capped", "size"), capped=("capped", "any")
+    )
+    return pa.table(
+        {
+            "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
+            "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
+            "n_bands": pa.array(agg["n_bands"].to_numpy(), pa.int64()),
+            "capped": pa.array(agg["capped"].to_numpy(), pa.bool_()),
+        }
+    )
 
 
 def jaccard_verify(
