@@ -877,6 +877,52 @@ def _sql_sliding_value_sum() -> str:
     )
 
 
+def q_order_lineitem_revenue(sf_dir: str):
+    """Large x large hash-partitioned equi-join (lineitem x orders on
+    orderkey), revenue per order priority — exact integer micro-cents:
+    ``price_cents * (100 - discount_pct)``."""
+    from gis_scripts_ray.stages.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy()
+        disc_pct = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_microcents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+    return cell_sum_count(joined, ["o_orderpriority"], ["rev_microcents"])
+
+
+def _sql_order_lineitem_revenue() -> str:
+    return (
+        "SELECT o_orderpriority, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_rev_microcents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    )
+
+
 _STRETCH_SPEC = {"10%": 0.0, "50%": 0.5, "90%": 1.0}
 
 
@@ -1189,6 +1235,7 @@ QUERIES: dict[str, Callable] = {
     "quantity_histogram": q_quantity_histogram,
     "multimodal_bytes": q_multimodal_bytes,
     "stretch_breakpoints": q_stretch_breakpoints,
+    "order_lineitem_revenue": q_order_lineitem_revenue,
     # non-SQL-expressible (rows-only driver check; python oracles in tests/)
     "knn_cell_ring": q_knn_cell_ring,
     "hex_cell_counts": q_hex_cell_counts,
@@ -1233,4 +1280,5 @@ ORACLES: dict[str, str] = {
     "quantity_histogram": _sql_quantity_histogram(),
     "multimodal_bytes": _sql_multimodal_bytes(),
     "stretch_breakpoints": _sql_stretch_breakpoints(),
+    "order_lineitem_revenue": _sql_order_lineitem_revenue(),
 }

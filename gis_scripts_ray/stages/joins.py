@@ -1,0 +1,91 @@
+"""Large x large joins: hash-partitioned, with a portable bucketed fallback.
+
+The reference's joins are all broadcast-small-side (SURVEY.md §2.4 J6-J7)
+or driver-sized (J1); a complete query engine also needs a both-sides-large
+equi-join. Two paths:
+
+* :func:`hash_join` — Ray's native ``Dataset.join`` (hash-partitioned
+  shuffle on the key) when available in this Ray version;
+* :func:`bucketed_join` — the portable pattern from the survey: add
+  ``bucket = hash(key) % B`` to both sides, group each by bucket, and join
+  matching buckets pairwise inside ``map_groups`` — an explicit
+  partitioned hash join whose skew handling (B, salting) is visible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 16,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Hash-partitioned equi-join (native when the Ray version ships one)."""
+    if hasattr(left, "join"):
+        return left.join(
+            right,
+            join_type=join_type,
+            num_partitions=num_partitions,
+            on=(on,),
+            right_on=(right_on or on,),
+        )
+    return bucketed_join(left, right, on, right_on, num_partitions)
+
+
+def bucketed_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Explicit partitioned hash join (inner): bucket both sides by key
+    hash, union with a side tag, join within each bucket group."""
+    right_on = right_on or on
+    # union requires one schema: pad each side with typed nulls for the
+    # other side's columns
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_fields = dict(zip(l_schema.names, l_schema.types))
+    r_fields = dict(zip(r_schema.names, r_schema.types))
+
+    def tag(side: str, key: str, missing: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key].to_numpy()
+            bucket = (keys.astype(np.int64) * np.int64(2654435761)) % num_buckets
+            out = batch
+            for name, typ in sorted(missing.items()):
+                out = out.append_column(name, pa.nulls(len(batch), typ))
+            return out.append_column(
+                "__bucket", pa.array(np.abs(bucket), pa.int64())
+            ).append_column(
+                "__side", pa.array(np.full(len(batch), side), pa.string())
+            )
+
+        return fn
+
+    l_missing = {k: v for k, v in r_fields.items() if k not in l_fields}
+    r_missing = {k: v for k, v in l_fields.items() if k not in r_fields}
+    col_order = sorted(set(l_fields) | set(r_fields)) + ["__bucket", "__side"]
+    lt = left.map_batches(tag("l", on, l_missing), batch_format="pyarrow").select_columns(col_order)
+    rt = right.map_batches(tag("r", right_on, r_missing), batch_format="pyarrow").select_columns(col_order)
+    both = lt.union(rt)
+
+    l_names = list(l_fields)
+    r_names = list(r_fields)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][l_names]
+        rg = g[g["__side"] == "r"][r_names]
+        out = lg.merge(rg, left_on=on, right_on=right_on, how="inner")
+        return out
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

@@ -142,7 +142,30 @@ def write_partitioned_resumable(
         )
         man.mark_complete(rec)
         records.append(rec)
+    write_metrics_parquet(out_dir)
     return records
+
+
+def write_metrics_parquet(out_dir: str) -> str:
+    """Consolidate the manifest into ``_metrics.parquet`` — the north rule's
+    'per-partition lineage + row-count metrics to Parquet'. One row per
+    completed partition: (part_key, n_rows, lineage, wall_s)."""
+    man = Manifest(out_dir)
+    done = man.completed()
+    keys = sorted(done)
+    t = pa.table(
+        {
+            "part_key": pa.array(keys, pa.string()),
+            "n_rows": pa.array([done[k].n_rows for k in keys], pa.int64()),
+            "lineage": pa.array([done[k].lineage for k in keys], pa.string()),
+            "wall_s": pa.array([done[k].wall_s for k in keys], pa.float64()),
+        }
+    )
+    path = os.path.join(out_dir, "_metrics.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def read_resumable(out_dir: str) -> ray.data.Dataset:

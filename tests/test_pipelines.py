@@ -138,3 +138,52 @@ class TestWindows:
             for r in out.itertuples()
         }
         assert got == {("a", 0): 2, ("a", 1000): 1, ("b", 0): 1}
+
+
+class TestJoins:
+    def test_bucketed_join_matches_pandas(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.joins import bucketed_join
+
+        rng = np.random.default_rng(13)
+        left = pd.DataFrame({"k": rng.integers(0, 50, 300), "a": np.arange(300)})
+        right = pd.DataFrame({"k2": rng.integers(0, 50, 80), "b": np.arange(80) * 10})
+        got = (
+            bucketed_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(3),
+                on="k",
+                right_on="k2",
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on="k", right_on="k2", how="inner")
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert got["a"].tolist() == want["a"].tolist()
+        assert got["b"].tolist() == want["b"].tolist()
+
+    def test_metrics_parquet_written(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray
+
+        from gis_scripts_ray.state.checkpoint import write_partitioned_resumable
+
+        out_dir = str(tmp_path / "ck")
+        df = pd.DataFrame({"k": np.arange(40) % 2, "v": np.arange(40)})
+
+        def part_fn(batch: pa.Table) -> pa.Array:
+            return pa.array([f"p{k}" for k in batch["k"].to_pylist()], pa.string())
+
+        write_partitioned_resumable(ray.data.from_pandas(df), out_dir, part_fn, "L1")
+        m = pq.read_table(f"{out_dir}/_metrics.parquet").to_pandas()
+        assert sorted(m["part_key"]) == ["p0", "p1"]
+        assert m["n_rows"].sum() == 40
+        assert (m["lineage"] == "L1").all()
