@@ -187,3 +187,51 @@ class TestJoins:
         assert sorted(m["part_key"]) == ["p0", "p1"]
         assert m["n_rows"].sum() == 40
         assert (m["lineage"] == "L1").all()
+
+
+class TestSaltedAgg:
+    def test_salted_equals_unsalted(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.tile_agg import cell_sum_count, salted_sum_count
+
+        rng = np.random.default_rng(21)
+        # hot key: 80% of rows on key 0
+        keys = np.where(rng.uniform(size=5000) < 0.8, 0, rng.integers(1, 40, 5000))
+        df = pd.DataFrame(
+            {"cell": keys, "who": [f"u{i%97}" for i in range(5000)], "v": np.arange(5000)}
+        )
+        ds = ray.data.from_pandas(df).repartition(6)
+        a = (
+            cell_sum_count(ds, ["cell"], ["v"])
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        b = (
+            salted_sum_count(ds, ["cell"], ["v"], salt_col="who", salt_buckets=8)
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert a["cell"].tolist() == b["cell"].tolist()
+        assert a["sum_v"].tolist() == b["sum_v"].tolist()
+        assert a["n"].tolist() == b["n"].tolist()
+
+
+class TestQuarantine:
+    def test_row_conservation_and_reason(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.quarantine import split_valid
+
+        df = pd.DataFrame({"x": [1, -2, 3, -4, 5, 6]})
+        ds = ray.data.from_pandas(df).repartition(2)
+        valid, bad = split_valid(
+            ds, lambda b: b["x"].to_numpy() > 0, reason="nonpositive"
+        )
+        v, q = valid.to_pandas(), bad.to_pandas()
+        assert len(v) + len(q) == 6
+        assert sorted(v["x"]) == [1, 3, 5, 6]
+        assert sorted(q["x"]) == [-4, -2]
+        assert (q["quarantine_reason"] == "nonpositive").all()
