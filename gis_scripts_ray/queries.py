@@ -1013,6 +1013,37 @@ def q_local_match(sf_dir: str):
     return out.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_idw_grid(sf_dir: str):
+    """M15 vector->raster: IDW-interpolated n_chars surface at the 16
+    z4-tile centers covering the densest region (PDAL writers.gdal
+    semantics: k-nearest inverse-distance-weighted aggregate per cell)."""
+    from gis_scripts_ray.functions import geo
+    from gis_scripts_ray.stages.knn import idw_interpolate
+
+    ds = located_documents(sf_dir, ("doc_id", "n_chars"))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return batch.append_column("v", pc.cast(batch["n_chars"], pa.float64()))
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    # probes: centers of a 4x4 z4-tile window around the first site
+    plat0, plon0 = site_locations()
+    x0, y0 = geo.lonlat_to_tile(np.array([float(plon0[0])]), np.array([float(plat0[0])]), 4)
+    xs, ys = np.meshgrid(np.arange(4) + x0[0] - 1, np.arange(4) + y0[0] - 1)
+    lon_min, lat_min, lon_max, lat_max = geo.tile_bounds(4, xs.ravel(), ys.ravel())
+    plats = (lat_min + lat_max) / 2.0
+    plons = (lon_min + lon_max) / 2.0
+    out = idw_interpolate(prepped, plats, plons, k=8, value_col="v").to_pandas()
+    out["idw_r4"] = np.round(out["idw_value"], 4)
+    return pa.table(
+        {
+            "probe": pa.array(out["probe"].to_numpy(), pa.int64()),
+            "idw_r4": pa.array(out["idw_r4"].to_numpy(), pa.float64()),
+            "n_neighbors": pa.array(out["n_neighbors"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 def q_segment_replace(sf_dir: str):
     """M3 analog: connected components over occupied z4 tiles; emit per-label
     tile counts (components smaller than min_size would be 'replaced')."""
@@ -1250,6 +1281,7 @@ QUERIES: dict[str, Callable] = {
     "text_fingerprints": q_text_fingerprints,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
+    "idw_grid": q_idw_grid,
 }
 
 ORACLES: dict[str, str] = {

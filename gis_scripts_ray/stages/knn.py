@@ -103,6 +103,104 @@ def _ring_covers_m(probe_lat: float, hex_res: int, r: int, lat_bound: float) -> 
     return plane_deg / inv
 
 
+def knn_multi_brute(
+    ds: ray.data.Dataset,
+    probe_lat: np.ndarray,
+    probe_lon: np.ndarray,
+    k: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str | None = None,
+) -> pa.Table:
+    """Exact kNN for MANY probes in one pass over the data.
+
+    Per batch: a (rows x probes) haversine matrix, tie-complete partial
+    top-k per probe; the partials (k x #blocks x #probes rows, small) are
+    merged per probe at the driver. Output: (probe, rank, id, dist_m[,
+    value]). This is the vector->raster half of tiling: probes are grid
+    cell centers (the reference's PDAL ``writers.gdal`` IDW window,
+    ``create_dem_tiles_from_array.py:234-241``).
+    """
+    probe_lat = np.asarray(probe_lat, dtype=np.float64)
+    probe_lon = np.asarray(probe_lon, dtype=np.float64)
+    n_probes = len(probe_lat)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy()
+        lon = batch[lon_col].to_numpy()
+        ids = batch[id_col].to_numpy()
+        vals = batch[value_col].to_numpy() if value_col else None
+        out_probe, out_id, out_d, out_v = [], [], [], []
+        # probe-major loop, row-vectorized haversine per probe
+        for p in range(n_probes):
+            d = geo.haversine_m(probe_lat[p], probe_lon[p], lat, lon)
+            sel = _select_topk_ties(d, ids, k)
+            out_probe.append(np.full(len(sel), p, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_d.append(d[sel])
+            if vals is not None:
+                out_v.append(vals[sel])
+        cols = {
+            "probe": pa.array(np.concatenate(out_probe), pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "dist_m": pa.array(np.concatenate(out_d), pa.float64()),
+        }
+        if vals is not None:
+            cols["value"] = pa.array(np.concatenate(out_v), pa.float64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # final per-probe refine (partials are tiny)
+    out_rows = []
+    for p, g in partials.groupby("probe"):
+        order = np.lexsort((g[id_col].to_numpy(), g["dist_m"].to_numpy()))[:k]
+        g = g.iloc[order]
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        out_rows.append(g)
+    import pandas as pd
+
+    final = pd.concat(out_rows, ignore_index=True)
+    return pa.Table.from_pandas(final, preserve_index=False)
+
+
+def idw_interpolate(
+    ds: ray.data.Dataset,
+    probe_lat: np.ndarray,
+    probe_lon: np.ndarray,
+    k: int,
+    value_col: str,
+    power: float = 2.0,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Inverse-distance-weighted value per probe from its k nearest rows —
+    the reference's IDW rasterization semantics (``writers.gdal
+    output_type=idw``). Exact-distance-0 rows take the value directly."""
+    top = knn_multi_brute(
+        ds, probe_lat, probe_lon, k, id_col=id_col, value_col=value_col
+    ).to_pandas()
+    out_p, out_v, out_n = [], [], []
+    for p, g in top.groupby("probe"):
+        d = g["dist_m"].to_numpy()
+        v = g["value"].to_numpy()
+        zero = d <= 0.0
+        if zero.any():
+            est = float(v[zero].mean())
+        else:
+            w = 1.0 / np.power(d, power)
+            est = float((w * v).sum() / w.sum())
+        out_p.append(int(p))
+        out_v.append(est)
+        out_n.append(len(g))
+    return pa.table(
+        {
+            "probe": pa.array(out_p, pa.int64()),
+            "idw_value": pa.array(out_v, pa.float64()),
+            "n_neighbors": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def knn_cell_ring(
     ds: ray.data.Dataset,
     probe_lat: float,

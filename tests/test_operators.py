@@ -237,3 +237,46 @@ class TestSimilarity:
         sims = (m32 @ q) / (np.linalg.norm(m32, axis=1) * np.linalg.norm(q))
         want = np.lexsort((np.arange(300), -sims))[:5].tolist()
         assert got == want
+
+
+class TestMultiProbeKnn:
+    def test_multi_matches_single(self, geo_ds, ray_session):
+        from gis_scripts_ray.stages.knn import knn_brute, knn_multi_brute
+
+        plats = np.array([10.0, -45.0, 59.99])
+        plons = np.array([20.0, 170.0, -100.0])
+        multi = knn_multi_brute(geo_ds, plats, plons, 6).to_pandas()
+        for p in range(3):
+            single = knn_brute(geo_ds, float(plats[p]), float(plons[p]), 6)
+            got = multi[multi["probe"] == p].sort_values("rank")["doc_id"].tolist()
+            assert got == single["doc_id"].to_pylist()
+
+    def test_idw_matches_numpy_oracle(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.functions import geo as g
+        from gis_scripts_ray.stages.knn import idw_interpolate
+
+        rng = np.random.default_rng(31)
+        lat = np.round(rng.uniform(-10, 10, 200), 2) + 0.003
+        lon = np.round(rng.uniform(-10, 10, 200), 2) + 0.003
+        val = rng.uniform(0, 100, 200)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(200), pa.int64()),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+                "v": pa.array(val),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        plats = np.array([0.003, 5.003])
+        plons = np.array([0.003, -5.003])
+        out = idw_interpolate(ds, plats, plons, k=5, value_col="v").to_pandas()
+        for p in range(2):
+            d = g.haversine_m(plats[p], plons[p], lat, lon)
+            order = np.lexsort((np.arange(200), d))[:5]
+            w = 1.0 / d[order] ** 2
+            want = (w * val[order]).sum() / w.sum()
+            got = float(out[out["probe"] == p]["idw_value"].iloc[0])
+            assert got == pytest.approx(want, rel=1e-12)
