@@ -154,7 +154,7 @@ def dedup_stage(input_dir: str) -> float:
     import ray.data
 
     from gis_scripts_ray.stages.dedup import minhash_band_counts
-    from gis_scripts_ray.stages.tile_agg import tree_aggregate
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
 
     t0 = time.time()
     ds = ray.data.read_parquet(
@@ -165,7 +165,9 @@ def dedup_stage(input_dir: str) -> float:
     partials = ds.map_batches(
         minhash_band_counts, fn_kwargs={"text_col": "text"}, batch_format="pyarrow"
     )
-    clusters = tree_aggregate(partials, ["band", "band_key"], ["n"])
+    # band-key space is UNBOUNDED (~docs x bands): bounded coalesce + hash
+    # shuffle, never a tree ending in repartition(1)
+    clusters = coalesce_shuffle_sum(partials, ["band", "band_key"], ["n"])
     n_multi = clusters.map_batches(
         lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
     ).count()
@@ -265,7 +267,7 @@ def run_scaling_child() -> dict:
     input_dir, n_docs = prepare_input()
     warm_files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))[:4]
     full_pipeline(warm_files)  # untimed: spawn workers, import libs, page cache
-    # two timed reps, report the steady-state (min) — first-rep scheduler
+    # three timed reps, report the steady-state (min) — first-rep scheduler
     # warmup noise is large on this box (see BASELINE.md variance notes)
     sec = min(full_pipeline(input_dir) for _ in range(3))
     ray.shutdown()
@@ -279,8 +281,9 @@ def run_scaling_child() -> dict:
 
 def run_scaling() -> dict:
     """N vs 4N protocol (BASELINE.md): same deterministic input + full
-    pipeline (spatial join + tiling + near-dup candidates) at 8 and 32
-    CPUs in fresh processes."""
+    pipeline (spatial join + tiling + near-dup candidates) in fresh
+    processes at GRAFT_SCALING_LO/HI CPUs (default 4 and 16 — below
+    single-socket DRAM saturation; see BASELINE.md)."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

@@ -24,7 +24,6 @@ capped groups are reported, not silently dropped.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import polars as pl
 import pyarrow as pa
 import ray.data
@@ -73,22 +72,61 @@ def dedup_stats(
 
 
 def dedup_rows(
-    ds: ray.data.Dataset, content_col: str, id_col: str
+    ds: ray.data.Dataset,
+    content_col: str,
+    id_col: str,
+    broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
-    """The deduplicated dataset itself: keep the min-id row per content."""
+    """The deduplicated dataset itself: keep the min-id row per content.
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        return content_hash_cols(batch, content_col)
+    The content column NEVER enters a shuffle: phase 1 computes
+    :func:`dedup_stats` (the all-to-all moves only (h1, h2, id) partials),
+    phase 2 selects the surviving rows by ``keep_id``:
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+    * keep-set <= ``broadcast_limit``: broadcast the sorted keep-id array
+      and filter each batch in place — zero shuffle of the data.
+    * larger: hash-join on the id column (ids shuffle; each row's content
+      moves at most once, and never through a pandas ``map_groups``).
+    """
+    import pyarrow.compute as pc
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["h1", "h2"])
-    )
+    from gis_scripts_ray.stages.joins import hash_join
+
+    stats = dedup_stats(ds, content_col, id_col).select_columns(["keep_id"]).materialize()
+    n_keep = stats.count()
+    if n_keep <= broadcast_limit:
+        import ray as _ray
+
+        keep = np.sort(
+            np.concatenate(
+                [b["keep_id"].to_numpy() for b in stats.iter_batches(batch_format="pyarrow")]
+                or [np.array([], dtype=np.int64)]
+            )
+        )
+        keep_ref = _ray.put(keep)
+
+        class KeepFilter:
+            def __init__(self, ref):
+                self.keep = pa.array(_ray.get(ref), pa.int64())
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch[id_col], value_set=self.keep))
+
+        return ds.map_batches(
+            KeepFilter,
+            fn_constructor_kwargs={"ref": keep_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    cols = ds.schema().names
+    # compact the keep-id side: Ray's native join (2.49) rejects the raw
+    # aggregate output's block layout (empty shuffle-partition blocks raise
+    # "no match or multiple matches for key field" inside the Acero join);
+    # even repartitioning into ~4M-row blocks is pure block bookkeeping on
+    # the materialized 8-byte rows
+    stats = stats.repartition(max(1, -(-n_keep // 4_000_000)))
+    joined = hash_join(ds, stats, on=id_col, right_on="keep_id")
+    return joined.select_columns(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -259,25 +297,52 @@ def minhash_lsh_candidates(
     shingle_w: int = 3,
     max_group: int = 64,
     concurrency=None,
+    persist_lsh_rows: bool = True,
 ) -> pa.Table:
     """Candidate near-dup pairs (id_a, id_b, n_bands) from banded MinHash.
 
-    Scale design (two-phase, no per-group Python):
+    Scale design (two-phase, no unbounded single-block materialization):
 
-    1. fused per-block LSH rows + partial band-key counts -> tree combine
-       -> the (tiny) set of band keys with >= 2 members;
-    2. filter the LSH rows to those keys (broadcast ``is_in`` — the
-       candidate subset is bounded by the number of near-duplicate docs,
-       << corpus size in real data), then one vectorized sort +
-       run-offset pair expansion.
+    1. fused per-block LSH rows + partial band-key counts ->
+       :func:`~gis_scripts_ray.stages.tile_agg.coalesce_shuffle_sum`
+       (bounded coalesce + hash-shuffle groupby — the band-key space is
+       ~docs x bands, UNBOUNDED, so the final combine must be a shuffle,
+       never a ``repartition(1)``) -> the set of band keys with >= 2
+       members. Only that set (bounded by the number of near-duplicate
+       docs, << corpus size) is collected and broadcast.
+    2. filter the LSH rows to those keys (broadcast ``is_in``), then a
+       DISTRIBUTED pair expansion: ``groupby(combo).map_groups`` over the
+       (small) candidate subset — groups are >= 2 and <= ``max_group``
+       rows — followed by a per-pair band-count groupby. No driver-side
+       pass ever touches the unfiltered LSH rows.
+
+    Hot-key guard: before the pair-expansion shuffle, each block keeps at
+    most ``max_group`` smallest ids per combo plus a count row — a
+    boilerplate key with 10^6+ members ships O(max_group x blocks) rows to
+    its group task, never the full membership (min-k + count are both
+    associative, so truncation before the shuffle is exact).
 
     Groups larger than ``max_group`` are truncated to their smallest ids
     and flagged in the ``capped`` column (no silent drops). ``concurrency``
     is accepted for backward compatibility and ignored (task-based stages).
+    ``persist_lsh_rows=True`` (default) materializes the (id, band_key)
+    rows between the two passes — 16 bytes/row x bands; at extreme corpus
+    scale pass ``False`` to recompute signatures for pass 2 instead of
+    holding the rows in the object store.
     """
     import pyarrow.compute as pc
+    from ray.data.aggregate import Max
 
-    from gis_scripts_ray.stages.tile_agg import tree_aggregate
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_bands": pa.array([], pa.int64()),
+            "capped": pa.array([], pa.bool_()),
+        }
+    )
 
     fn_kwargs = {
         "id_col": id_col,
@@ -299,75 +364,109 @@ def minhash_lsh_candidates(
         return batch.append_column("combo", pa.array(combo, pa.int64()))
 
     lsh = lsh.map_batches(add_combined, batch_format="pyarrow")
+    if persist_lsh_rows:
+        lsh = lsh.materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
-        out = batch.select(["combo"]).group_by(["combo"]).aggregate([("combo", "count")])
+        out = batch.select(["combo"]).group_by(["combo"]).aggregate([([], "count_all")])
         return out.rename_columns(
-            ["n" if c == "combo_count" else c for c in out.column_names]
+            ["n" if c == "count_all" else c for c in out.column_names]
         )
 
-    counts = tree_aggregate(
+    counts = coalesce_shuffle_sum(
         lsh.map_batches(partial, batch_format="pyarrow"), ["combo"], ["n"]
     )
     multi = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
-    ).to_pandas()
-    if len(multi) == 0:
-        return pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "n_bands": pa.array([], pa.int64()),
-                "capped": pa.array([], pa.bool_()),
-            }
-        )
-    multi_set = pa.array(multi["combo"].to_numpy(), pa.int64())
-    cand = lsh.map_batches(
-        lambda b, _s=multi_set: b.filter(pc.is_in(b["combo"], value_set=_s)),
+        lambda b: b.filter(pc.greater(b["n"], 1)).select(["combo"]),
         batch_format="pyarrow",
     ).to_pandas()
-    # vectorized pair expansion: sort by (combo, id), expand each run
-    cand = cand.sort_values(["combo", id_col], kind="mergesort")
-    combos = cand["combo"].to_numpy()
-    ids = cand[id_col].to_numpy()
-    starts = np.nonzero(np.concatenate([[True], combos[1:] != combos[:-1]]))[0]
-    ends = np.concatenate([starts[1:], [len(combos)]])
-    pair_a, pair_b, capped_any = [], [], []
-    for s, e in zip(starts, ends):
-        g = ids[s:e]
-        capped = len(g) > max_group
-        g = g[:max_group]
-        if len(g) < 2:
-            continue
-        ia, ib = np.triu_indices(len(g), k=1)
-        pair_a.append(g[ia])
-        pair_b.append(g[ib])
-        capped_any.append(np.full(len(ia), capped))
-    if not pair_a:
+    if len(multi) == 0:
+        return empty
+    multi_set = pa.array(multi["combo"].to_numpy(), pa.int64())
+
+    def truncate_local(batch: pa.Table, _s=multi_set) -> pa.Table:
+        """Per-block hot-key guard: per combo, keep the ``max_group``
+        smallest ids as real rows (w=0) plus ONE count row (id=-1,
+        w=local run length). min-k and count are associative, so the
+        global merge in ``expand_pairs`` is exact."""
+        b = batch.select([id_col, "combo"]).filter(
+            pc.is_in(batch["combo"], value_set=_s)
+        )
+        combos = b["combo"].to_numpy()
+        ids = b[id_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "combo": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, combos))
+        c = combos[order]
+        i = ids[order]
+        new = np.concatenate([[True], c[1:] != c[:-1]])
+        starts = np.nonzero(new)[0]
+        run_idx = np.cumsum(new) - 1
+        rank = np.arange(len(c)) - starts[run_idx]
+        keep = rank < max_group
+        lens = np.diff(np.concatenate([starts, [len(c)]]))
         return pa.table(
             {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "n_bands": pa.array([], pa.int64()),
-                "capped": pa.array([], pa.bool_()),
+                "combo": pa.array(np.concatenate([c[keep], c[starts]]), pa.int64()),
+                id_col: pa.array(
+                    np.concatenate([i[keep], np.full(len(starts), -1, dtype=np.int64)]),
+                    pa.int64(),
+                ),
+                "w": pa.array(
+                    np.concatenate([np.zeros(int(keep.sum()), dtype=np.int64), lens]),
+                    pa.int64(),
+                ),
             }
         )
-    a = np.concatenate(pair_a)
-    b = np.concatenate(pair_b)
-    cap = np.concatenate(capped_any)
-    # dedup pairs found in multiple bands; count bands per pair
-    import pandas as _pd
 
-    df = _pd.DataFrame({"id_a": a, "id_b": b, "capped": cap})
-    agg = df.groupby(["id_a", "id_b"], as_index=False).agg(
-        n_bands=("capped", "size"), capped=("capped", "any")
+    cand = lsh.map_batches(truncate_local, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]
     )
+
+    def expand_pairs(group) -> pa.Table:
+        if isinstance(group, dict):
+            group = pa.table(group)
+        elif not isinstance(group, pa.Table):
+            group = pa.Table.from_pandas(group, preserve_index=False)
+        w = group["w"].to_numpy()
+        total = int(w.sum())
+        g = np.sort(group[id_col].to_numpy()[w == 0])[:max_group]
+        capped = total > max_group
+        if len(g) < 2:
+            return pair_schema.empty_table()
+        ia, ib = np.triu_indices(len(g), k=1)
+        return pa.table(
+            {
+                "id_a": pa.array(g[ia], pa.int64()),
+                "id_b": pa.array(g[ib], pa.int64()),
+                "capped_i": pa.array(
+                    np.full(len(ia), int(capped), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs = cand.groupby("combo").map_groups(expand_pairs, batch_format="pyarrow")
+    agg = (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_bands"), Max("capped_i", alias_name="capped_i"))
+        .to_pandas()
+    )
+    if len(agg) == 0:
+        return empty
     return pa.table(
         {
             "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
             "id_b": pa.array(agg["id_b"].to_numpy(), pa.int64()),
-            "n_bands": pa.array(agg["n_bands"].to_numpy(), pa.int64()),
-            "capped": pa.array(agg["capped"].to_numpy(), pa.bool_()),
+            "n_bands": pa.array(agg["n_bands"].to_numpy().astype(np.int64), pa.int64()),
+            "capped": pa.array(agg["capped_i"].to_numpy() > 0, pa.bool_()),
         }
     )
 

@@ -33,17 +33,19 @@ from ray.data.aggregate import Count, Max, Min, Sum
 def partial_cell_agg(value_cols: list[str], key_cols: list[str]):
     """``map_batches`` fn: reduce a batch to per-key partial sum/count rows."""
 
-    aggs = [(c, "sum") for c in value_cols] + [(value_cols[0], "count")]
+    # count_all counts ROWS (not non-null values of value_cols[0]) so ``n``
+    # equals the SQL COUNT(*) twin even when a value column is nullable
+    aggs = [(c, "sum") for c in value_cols] + [([], "count_all")]
 
     def fn(batch: pa.Table) -> pa.Table:
         cols = key_cols + value_cols
         out = batch.select(cols).group_by(key_cols).aggregate(aggs)
-        # normalize names: <col>_sum -> sum_<col>, <col>_count -> n
+        # normalize names: <col>_sum -> sum_<col>, count_all -> n
         names = []
         for name in out.column_names:
             if name.endswith("_sum"):
                 names.append("sum_" + name[: -len("_sum")])
-            elif name.endswith("_count"):
+            elif name == "count_all":
                 names.append("n")
             else:
                 names.append(name)
@@ -104,6 +106,44 @@ def tree_aggregate(
     return lvl1.repartition(1).map_batches(
         combine, batch_format="pyarrow", batch_size=None
     )
+
+
+def coalesce_shuffle_sum(
+    partials: ray.data.Dataset,
+    key_cols: list[str],
+    sum_cols: list[str],
+    group_factor: int = 8,
+) -> ray.data.Dataset:
+    """Combine per-block partial sums over an UNBOUNDED key space.
+
+    The scale-safe sibling of :func:`tree_aggregate`: one bounded coalesce
+    level (merge ~``group_factor`` partial blocks each, re-combining
+    duplicate keys — block growth is capped at ``group_factor`` x one
+    partial block, so nothing ever approaches a whole-dataset block), then
+    a hash-shuffle ``groupby`` for the exact global combine. The shuffle is
+    the correct primitive for unbounded keys (``tree_aggregate``'s final
+    ``repartition(1)`` would materialize every distinct key in ONE block —
+    the MinHash band-key space at 10^12 docs is ~docs x bands keys).
+
+    When keys repeat across blocks (replicated corpora, bounded grids) the
+    coalesce level collapses them first and the shuffle moves only the
+    reduced partials.
+    """
+
+    def combine(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(key_cols).aggregate([(c, "sum") for c in sum_cols])
+        return out.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in out.column_names]
+        )
+
+    # materialized first for the same reason as tree_aggregate: in-stream
+    # repartition is a pathological barrier at low parallelism
+    partials = partials.materialize()
+    n_blocks = max(partials.num_blocks(), 1)
+    lvl1 = partials.repartition(max(1, (n_blocks + group_factor - 1) // group_factor))
+    lvl1 = lvl1.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    return lvl1.groupby(key_cols).aggregate(*aggs)
 
 
 def cell_mean(

@@ -99,6 +99,73 @@ class TestDedup:
         out = dedup_rows(ray.data.from_arrow(t), "text", "doc_id").to_pandas()
         assert sorted(out["doc_id"].tolist()) == [1, 3]
 
+    def test_dedup_rows_join_path_matches_broadcast(self, ray_session):
+        """The >broadcast_limit hash-join path produces the same rows
+        (broadcast_limit=0 forces it); text never enters a map_groups."""
+        import ray
+
+        from gis_scripts_ray.stages.dedup import dedup_rows
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(12)), pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"] * 3),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        bc = dedup_rows(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+        jn = (
+            dedup_rows(ds, "text", "doc_id", broadcast_limit=0)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert bc["doc_id"].tolist() == jn["doc_id"].tolist() == [0, 1, 2, 3]
+        assert sorted(bc.columns) == sorted(jn.columns) == ["doc_id", "text"]
+
+    def test_minhash_candidates_planted_and_hot_group(self, ray_session):
+        """Distributed LSH candidate path: planted near-dup pair found;
+        hot key truncated to max_group smallest ids and flagged capped."""
+        import ray
+
+        from gis_scripts_ray.stages.dedup import minhash_lsh_candidates
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again with words"
+        )
+        texts = [
+            base,
+            base + " tail",
+            "totally different content about ray data engines and arrow tables",
+        ] + ["identical boilerplate text repeated verbatim many times across docs"] * 7
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        df = (
+            minhash_lsh_candidates(ds, "doc_id", "text", max_group=4)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+        )
+        assert ((df.id_a == 0) & (df.id_b == 1)).any()
+        hot = df[df.id_a >= 3]
+        assert hot.id_b.max() <= 6 and len(hot) == 6  # C(4,2) smallest ids
+        assert hot.capped.all() and (hot.n_bands == 16).all()
+
+    def test_minhash_candidates_empty(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.dedup import minhash_lsh_candidates
+
+        e = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        )
+        out = minhash_lsh_candidates(e, "doc_id", "text")
+        assert len(out) == 0
+        assert out.column_names == ["id_a", "id_b", "n_bands", "capped"]
+
     def test_minhash_similar_collide(self):
         from gis_scripts_ray.stages.dedup import MinHasher
 
