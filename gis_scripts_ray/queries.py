@@ -1126,13 +1126,11 @@ def q_simhash_fingerprints(sf_dir: str):
 
 
 def q_langid_pred_counts(sf_dir: str):
-    """Heuristic language-ID actor stage; prediction counts per true lang."""
-    from gis_scripts_ray.stages.textstages import LangIdScorer
+    """Heuristic language-ID stage; prediction counts per true lang."""
+    from gis_scripts_ray.stages.textstages import langid_rows
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
-    scored = ds.map_batches(
-        LangIdScorer, batch_format="pyarrow", concurrency=2, num_cpus=0.5
-    )
+    scored = ds.map_batches(langid_rows, batch_format="pyarrow")
     return scored.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
 
 

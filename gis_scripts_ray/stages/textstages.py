@@ -35,7 +35,10 @@ _STOPWORDS = {
 class LangIdScorer:
     """Actor-pool stage: append lang_pred + quality columns.
 
-    State built once per actor: marker dicts, compiled tokenizer.
+    State built once per actor: marker dicts, compiled tokenizer. The hot
+    path is :meth:`classify_batch` — polars tokenize/explode + one marker
+    ``is_in`` per language over the whole batch; the per-row
+    :meth:`classify` is kept as the parity oracle for tests.
     """
 
     def __init__(self, text_col: str = "text"):
@@ -46,6 +49,8 @@ class LangIdScorer:
         self.markers = {
             lang: frozenset(ws) for lang, ws in _LANG_MARKERS.items()
         }
+        self.marker_lists = {lang: sorted(ws) for lang, ws in _LANG_MARKERS.items()}
+        self._marker_union = sorted({w for ws in _LANG_MARKERS.values() for w in ws})
 
     def classify(self, text: str) -> str:
         words = self.word_re.findall(text.lower())
@@ -63,10 +68,77 @@ class LangIdScorer:
                 best, best_hits = lang, hits
         return best
 
+    def classify_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized :meth:`classify` over a batch (identical outputs)."""
+        import polars as pl
+
+        n = len(texts)
+        preds = np.full(n, "und", dtype=object)
+        if n == 0:
+            return preds
+        clean = [t if t else "" for t in texts]
+        s = pl.Series("t", clean)
+        words = s.str.to_lowercase().str.extract_all(r"[\w']+")
+        n_words = words.list.len().to_numpy().astype(np.int64)
+        nonempty = n_words > 0
+        # CJK heuristic (raw text): > 10% of characters in the block.
+        # Gate the regex scan on a free ASCII check — pure-ASCII docs
+        # cannot contain CJK (len_bytes == len_chars <=> ASCII).
+        n_chars = s.str.len_chars().to_numpy().astype(np.int64)
+        non_ascii = s.str.len_bytes().to_numpy().astype(np.int64) != n_chars
+        zh = np.zeros(n, dtype=bool)
+        if non_ascii.any():
+            cjk = (
+                pl.Series([clean[i] for i in np.nonzero(non_ascii)[0]])
+                .str.count_matches(r"[一-鿿]")
+                .to_numpy()
+                .astype(np.int64)
+            )
+            zh[non_ascii] = cjk > n_chars[non_ascii] * 0.1
+        zh &= nonempty
+        preds[zh] = "zh"
+        # marker hits over the first 200 words: one union is_in prunes the
+        # exploded tokens to marker hits first, then the 5 per-language
+        # is_in run over that small subset only
+        df = pl.DataFrame(
+            {"i": np.arange(n, dtype=np.int64), "w": words.list.head(200)}
+        ).explode("w")
+        df = df.filter(pl.col("w").is_in(self._marker_union))
+        agg = df.group_by("i").agg(
+            [
+                pl.col("w").is_in(ws).sum().alias(lang)
+                for lang, ws in self.marker_lists.items()
+            ]
+        )
+        langs = list(self.marker_lists)
+        hits = np.zeros((n, len(langs)), dtype=np.int64)
+        idx = agg["i"].to_numpy()
+        for j, lang in enumerate(langs):
+            hits[idx, j] = agg[lang].to_numpy()
+        best = np.argmax(hits, axis=1)  # first max == dict-order tie-break
+        best_hits = hits[np.arange(n), best]
+        lang_arr = np.array(langs, dtype=object)
+        use = nonempty & ~zh & (best_hits > 0)
+        preds[use] = lang_arr[best[use]]
+        return preds
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        preds = [self.classify(t or "") for t in texts]
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        preds = self.classify_batch(texts)
+        return batch.append_column("lang_pred", pa.array(preds.tolist(), pa.string()))
+
+
+# task-based variant with worker-cached scorer (no actor spawn, stage
+# fusion — same rationale as dedup.minhash_lsh_rows)
+_WORKER_SCORERS: dict = {}
+
+
+def langid_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sc = _WORKER_SCORERS.get(text_col)
+    if sc is None:
+        sc = LangIdScorer(text_col)
+        _WORKER_SCORERS[text_col] = sc
+    return sc(batch)
 
 
 def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -95,33 +167,89 @@ def quality_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def stopword_ratio(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Stopword ratio (pandas str ops — used by the quality filter)."""
-    toks = batch[text_col].str.lower().str.split()
-    batch["stop_ratio"] = toks.map(
-        lambda ws: sum(w in _STOPWORDS for w in ws) / max(1, len(ws)) if ws else 0.0
+    """Stopword ratio — vectorized (polars tokenize + is_in; no per-row
+    lambda). The token class matches Python ``str.split()`` exactly
+    (Unicode ``\\s`` plus the ``\\x1c-\\x1f`` separators)."""
+    import polars as pl
+
+    s = pl.from_pandas(batch[text_col]).fill_null("")
+    ws = s.str.to_lowercase().str.extract_all(r"[^\s\x1c-\x1f]+")
+    n = ws.list.len().to_numpy().astype(np.int64)
+    hits = (
+        ws.list.eval(pl.element().is_in(sorted(_STOPWORDS)))
+        .list.sum()
+        .to_numpy()
+        .astype(np.float64)
     )
+    batch["stop_ratio"] = hits / np.maximum(1, n)
     return batch
+
+
+def rolling_fingerprint_row(text: str, window: int = 16) -> int:
+    """Per-row reference implementation (parity oracle for tests)."""
+    base = np.uint64(1099511628211)
+    b = np.frombuffer((text or "").encode(), dtype=np.uint8).astype(np.uint64)
+    if len(b) < window:
+        acc = np.uint64(0xCBF29CE484222325)
+        for x in b:
+            acc = (acc ^ x) * base
+        return int(acc)
+    n = len(b) - window + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for k in range(window):
+        acc = acc * base + b[k : k + n]
+    return int(acc.min())
 
 
 def rolling_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 16) -> pa.Table:
     """Document fingerprint: min rolling polynomial hash over byte windows
-    (winnowing-style). Vectorized per row over the byte array."""
+    (winnowing-style). BATCH-GLOBAL: one concatenated byte buffer, one
+    ``window``-pass rolling hash over all docs' windows at once,
+    ``np.minimum.reduceat`` over the ragged doc segments. Short docs
+    (< window bytes) fold FNV-style via a masked position loop."""
     texts = batch[text_col].to_pylist()
-    fps = np.empty(len(texts), dtype=np.uint64)
+    n_docs = len(texts)
+    fps = np.empty(n_docs, dtype=np.uint64)
     base = np.uint64(1099511628211)
-    for i, t in enumerate(texts):
-        b = np.frombuffer((t or "").encode(), dtype=np.uint8).astype(np.uint64)
-        if len(b) < window:
-            acc = np.uint64(0xCBF29CE484222325)
-            for x in b:
-                acc = (acc ^ x) * base
-            fps[i] = acc
-            continue
-        n = len(b) - window + 1
-        acc = np.zeros(n, dtype=np.uint64)
+    bufs = [(t or "").encode() for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n_docs)
+    long = lens >= window
+    if long.any():
+        li = np.nonzero(long)[0]
+        cat = np.frombuffer(b"".join(bufs[i] for i in li), dtype=np.uint8).astype(
+            np.uint64
+        )
+        llens = lens[li]
+        off = np.concatenate([[0], np.cumsum(llens)])
+        # roll over the WHOLE concatenated buffer with contiguous slices
+        # (a per-window gather is ~5x slower); windows spanning a doc
+        # boundary exist in `acc` but are excluded by the per-doc index
+        # ranges below
+        n_glob = len(cat) - window + 1
+        acc = np.zeros(n_glob, dtype=np.uint64)
         for k in range(window):
-            acc = acc * base + b[k : k + n]
-        fps[i] = acc.min()
+            acc = acc * base + cat[k : k + n_glob]
+        # per-doc min over [off[d], off[d] + nwin[d]) via alternating
+        # reduceat segments (valid, gap, valid, gap, ...)
+        nwin = llens - window + 1
+        idx = np.empty(2 * len(li), dtype=np.int64)
+        idx[0::2] = off[:-1]
+        idx[1::2] = off[:-1] + nwin
+        acc = np.append(acc, np.uint64(0))  # idx may equal n_glob (last doc)
+        fps[li] = np.minimum.reduceat(acc, idx)[0::2]
+    short = ~long
+    if short.any():
+        si = np.nonzero(short)[0]
+        slens = lens[si]
+        maxl = int(slens.max())
+        mat = np.zeros((len(si), max(maxl, 1)), dtype=np.uint8)
+        for j, i in enumerate(si):
+            mat[j, : lens[i]] = np.frombuffer(bufs[i], dtype=np.uint8)
+        acc = np.full(len(si), 0xCBF29CE484222325, dtype=np.uint64)
+        for k in range(maxl):
+            act = slens > k
+            acc[act] = (acc[act] ^ mat[act, k].astype(np.uint64)) * base
+        fps[si] = acc
     return batch.append_column(
         "fingerprint", pa.array(fps.astype(np.int64), pa.int64())
     )
