@@ -1045,26 +1045,40 @@ def q_idw_grid(sf_dir: str):
 
 
 def q_segment_replace(sf_dir: str):
-    """M3 analog: connected components over occupied z4 tiles; emit per-label
-    tile counts (components smaller than min_size would be 'replaced')."""
-    from gis_scripts_ray.functions.gridops import connected_components
+    """M3 analog: DISTRIBUTED connected components over occupied z4 tiles
+    (per-stripe union-find + boundary merge — stages/components.py); emit
+    per-label tile counts (components smaller than min_size would be
+    'replaced'). part_width=4 forces multiple stripes at z4 so the
+    boundary-merge round is genuinely exercised."""
+    from gis_scripts_ray.stages.components import distributed_components
 
     ds = encode_cells(located_documents(sf_dir), EncodeConfig(tile_z=4))
-    tiles = (
-        ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n_docs")).to_pandas()
-    )
-    labels = connected_components(
-        tiles["tile_x"].to_numpy(), tiles["tile_y"].to_numpy(), connectivity=8
-    )
-    tiles["component"] = labels
+    tiles = cell_sum_count(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "tile_x": b["tile_x"],
+                    "tile_y": b["tile_y"],
+                    "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["tile_x", "tile_y"],
+        ["one"],
+    ).drop_columns(["sum_one"])
+    labeled = distributed_components(tiles, connectivity=8, part_width=4).to_pandas()
     comp = (
-        tiles.groupby("component")
-        .agg(n_tiles=("component", "size"), n_docs=("n_docs", "sum"))
+        labeled.groupby("component")
+        .agg(n_tiles=("component", "size"), n_docs=("n", "sum"))
         .reset_index()
+        .sort_values("component")
+        .reset_index(drop=True)
     )
+    # dense-rank the canonical packed labels for a stable readable output
     return pa.table(
         {
-            "component": pa.array(comp["component"].to_numpy(), pa.int64()),
+            "component": pa.array(np.arange(len(comp), dtype=np.int64), pa.int64()),
             "n_tiles": pa.array(comp["n_tiles"].to_numpy(), pa.int64()),
             "n_docs": pa.array(comp["n_docs"].to_numpy(), pa.int64()),
         }
