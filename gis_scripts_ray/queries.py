@@ -166,8 +166,10 @@ def _micros(col) -> pa.Array:
 
 
 def q_geo_tile_counts(sf_dir: str):
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
     ds = encode_cells(located_documents(sf_dir), EncodeConfig(tile_z=TILE_Z))
-    return ds.groupby(["tile_x", "tile_y"]).aggregate(Count(alias_name="n_docs"))
+    return cell_count(ds, ["tile_x", "tile_y"], alias="n_docs")
 
 
 def _sql_geo_tile_counts() -> str:
@@ -598,13 +600,18 @@ def q_source_variance(sf_dir: str):
     sums = cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["source"], ["v", "v2"])
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch["n"].to_numpy()
-        s = batch["sum_v"].to_numpy()
-        s2 = batch["sum_v2"].to_numpy()
+        # exact arbitrary-precision arithmetic on the (tiny) aggregate rows:
+        # n*sum(v^2) wraps int64 silently in numpy past ~2^63 while the
+        # DuckDB twin computes in HUGEINT and errors on the BIGINT cast —
+        # Python ints + pa.array(..., int64) make overflow LOUD here too
+        n = batch["n"].to_pylist()
+        s = batch["sum_v"].to_pylist()
+        s2 = batch["sum_v2"].to_pylist()
+        var_num = [a * c - b * b for a, b, c in zip(n, s, s2)]
         return pa.table(
             {
                 "source": batch["source"],
-                "var_num": pa.array(n * s2 - s * s, pa.int64()),
+                "var_num": pa.array(var_num, pa.int64()),  # raises if > int64
                 "n": pa.array(n, pa.int64()),
             }
         )
@@ -1097,23 +1104,25 @@ def q_knn_cell_ring(sf_dir: str):
 
 
 def q_hex_cell_counts(sf_dir: str):
-    """Hex (H3-style) cell binning — cube-rounding is impractical in SQL."""
+    """Hex (H3-style) cell binning via axial cube-rounding."""
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
     ds = encode_cells(located_documents(sf_dir), EncodeConfig(hex_res=6))
-    return ds.groupby("hex_cell").aggregate(Count(alias_name="n_docs"))
+    return cell_count(ds.select_columns(["hex_cell"]), ["hex_cell"], alias="n_docs")
 
 
 def q_s2_cell_counts(sf_dir: str):
     """S2-style cell binning at level 10."""
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
     ds = encode_cells(located_documents(sf_dir), EncodeConfig(s2_level=10))
 
     def to_int(batch: pa.Table) -> pa.Table:
         cells = batch["s2_cell"].to_numpy().astype(np.int64)
         return pa.table({"s2_cell": pa.array(cells, pa.int64())})
 
-    return (
-        ds.map_batches(to_int, batch_format="pyarrow")
-        .groupby("s2_cell")
-        .aggregate(Count(alias_name="n_docs"))
+    return cell_count(
+        ds.map_batches(to_int, batch_format="pyarrow"), ["s2_cell"], alias="n_docs"
     )
 
 

@@ -52,15 +52,43 @@ def bucketed_join(
     right_on = right_on or on
     # union requires one schema: pad each side with typed nulls for the
     # other side's columns
+    def _pa_type(t):
+        """Normalize Ray schema types (pyarrow for arrow blocks, numpy
+        dtypes / object for pandas blocks) to a pyarrow DataType."""
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.lib.ArrowNotImplementedError, TypeError, ValueError):
+            return pa.string()  # pandas object columns are strings here
+
     l_schema = left.schema()
     r_schema = right.schema()
-    l_fields = dict(zip(l_schema.names, l_schema.types))
-    r_fields = dict(zip(r_schema.names, r_schema.types))
+    l_fields = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    r_fields = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    overlap = (set(l_fields) & set(r_fields)) - ({on} if on == right_on else set())
+    if overlap:
+        # the native join path suffixes these; the fallback would silently
+        # emit pandas _x/_y columns and diverge — reject up front
+        raise ValueError(
+            f"bucketed_join: overlapping non-key columns {sorted(overlap)}; "
+            "rename them before joining (matches Dataset.join's accepted inputs)"
+        )
 
     def tag(side: str, key: str, missing: dict):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch[key].to_numpy()
-            bucket = (keys.astype(np.int64) * np.int64(2654435761)) % num_buckets
+            col = batch[key]
+            if pa.types.is_integer(col.type):
+                keys = col.to_numpy().astype(np.int64, copy=False)
+                bucket = (keys * np.int64(2654435761)) % num_buckets
+            else:
+                # string/binary/etc. keys: stable 64-bit content hash
+                import polars as pl
+
+                s = pl.from_arrow(col)
+                if isinstance(s, pl.DataFrame):
+                    s = s.to_series()
+                bucket = (s.hash(seed=3).to_numpy() % num_buckets).astype(np.int64)
             out = batch
             for name, typ in sorted(missing.items()):
                 out = out.append_column(name, pa.nulls(len(batch), typ))

@@ -151,16 +151,17 @@ def knn_multi_brute(
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    # final per-probe refine (partials are tiny)
-    out_rows = []
-    for p, g in partials.groupby("probe"):
-        order = np.lexsort((g[id_col].to_numpy(), g["dist_m"].to_numpy()))[:k]
-        g = g.iloc[order]
-        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        out_rows.append(g)
-    import pandas as pd
-
-    final = pd.concat(out_rows, ignore_index=True)
+    # final refine: ONE lexsort over all probes' partials + run-offset
+    # ranks (no per-probe Python loop — probes may be a dense raster grid)
+    pr = partials["probe"].to_numpy()
+    order = np.lexsort((partials[id_col].to_numpy(), partials["dist_m"].to_numpy(), pr))
+    partials = partials.iloc[order].reset_index(drop=True)
+    pr = pr[order]
+    new_run = np.concatenate([[True], pr[1:] != pr[:-1]])
+    run_start = np.maximum.accumulate(np.where(new_run, np.arange(len(pr)), 0))
+    rank = np.arange(len(pr)) - run_start + 1
+    final = partials[rank <= k].reset_index(drop=True)
+    final["rank"] = rank[rank <= k]
     return pa.Table.from_pandas(final, preserve_index=False)
 
 
@@ -179,24 +180,29 @@ def idw_interpolate(
     top = knn_multi_brute(
         ds, probe_lat, probe_lon, k, id_col=id_col, value_col=value_col
     ).to_pandas()
-    out_p, out_v, out_n = [], [], []
-    for p, g in top.groupby("probe"):
-        d = g["dist_m"].to_numpy()
-        v = g["value"].to_numpy()
-        zero = d <= 0.0
-        if zero.any():
-            est = float(v[zero].mean())
-        else:
-            w = 1.0 / np.power(d, power)
-            est = float((w * v).sum() / w.sum())
-        out_p.append(int(p))
-        out_v.append(est)
-        out_n.append(len(g))
+    # vectorized per-probe finalize (reduceat over probe runs — the
+    # knn_multi_brute output is already probe-sorted)
+    pr = top["probe"].to_numpy()
+    d = top["dist_m"].to_numpy()
+    v = top["value"].to_numpy()
+    starts = np.nonzero(np.concatenate([[True], pr[1:] != pr[:-1]]))[0]
+    probes = pr[starts]
+    n_nb = np.diff(np.concatenate([starts, [len(pr)]]))
+    zero = d <= 0.0
+    n_zero = np.add.reduceat(zero.astype(np.int64), starts)
+    sum_zero_v = np.add.reduceat(np.where(zero, v, 0.0), starts)
+    with np.errstate(divide="ignore"):
+        w = 1.0 / np.power(d, power)
+    w = np.where(zero, 0.0, w)
+    sum_wv = np.add.reduceat(w * v, starts)
+    sum_w = np.add.reduceat(w, starts)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        est = np.where(n_zero > 0, sum_zero_v / n_zero, sum_wv / sum_w)
     return pa.table(
         {
-            "probe": pa.array(out_p, pa.int64()),
-            "idw_value": pa.array(out_v, pa.float64()),
-            "n_neighbors": pa.array(out_n, pa.int64()),
+            "probe": pa.array(probes.astype(np.int64), pa.int64()),
+            "idw_value": pa.array(est, pa.float64()),
+            "n_neighbors": pa.array(n_nb.astype(np.int64), pa.int64()),
         }
     )
 

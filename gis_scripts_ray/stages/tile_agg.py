@@ -108,6 +108,23 @@ def tree_aggregate(
     )
 
 
+def cell_count(
+    ds: ray.data.Dataset, key_cols: list[str], alias: str = "n"
+) -> ray.data.Dataset:
+    """Exact per-key row count via in-batch partial + small shuffle — the
+    pre-agg replacement for a raw ``groupby().aggregate(Count())`` (which
+    shuffles every row; measured ~24 s on 6M rows vs sub-second here)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.select(key_cols).group_by(key_cols).aggregate([([], "count_all")])
+        return out.rename_columns(
+            [alias if c == "count_all" else c for c in out.column_names]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(key_cols).aggregate(Sum(alias, alias_name=alias))
+
+
 def coalesce_shuffle_sum(
     partials: ray.data.Dataset,
     key_cols: list[str],

@@ -40,6 +40,21 @@ class PartitionRecord:
     wall_s: float
 
 
+def _safe_key(part_key: str) -> str:
+    """Filesystem-safe encoding of a partition key: path-hostile characters
+    ('/', '..', NUL, '%', leading '.') percent-encode so a key can never
+    escape ``out_dir`` or make the data dir and manifest filename disagree.
+    Alphanumerics and common safe chars pass through unchanged (so
+    existing layouts like ``part=de/`` are unaffected); round-trip is
+    ``urllib.parse.unquote``."""
+    from urllib.parse import quote
+
+    enc = quote(part_key, safe="-_.,:=+@ ")
+    if enc.startswith("."):
+        enc = "%2E" + enc[1:]
+    return enc
+
+
 class Manifest:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -57,14 +72,14 @@ class Manifest:
         return out
 
     def mark_complete(self, rec: PartitionRecord) -> None:
-        path = os.path.join(self.manifest_dir, f"part-{rec.part_key}.json")
+        path = os.path.join(self.manifest_dir, f"part-{_safe_key(rec.part_key)}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(rec.__dict__, fh)
         os.replace(tmp, path)  # atomic
 
     def partition_dir(self, part_key: str) -> str:
-        return os.path.join(self.out_dir, f"part={part_key}")
+        return os.path.join(self.out_dir, f"part={_safe_key(part_key)}")
 
 
 def write_partitioned_resumable(

@@ -170,6 +170,80 @@ class TestJoins:
         assert got["a"].tolist() == want["a"].tolist()
         assert got["b"].tolist() == want["b"].tolist()
 
+    def test_bucketed_join_string_keys(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.joins import bucketed_join
+
+        left = pd.DataFrame({"k": ["x", "y", "z", "x"], "a": [1, 2, 3, 4]})
+        right = pd.DataFrame({"k2": ["x", "z"], "b": [10, 30]})
+        got = (
+            bucketed_join(
+                ray.data.from_pandas(left).repartition(2),
+                ray.data.from_pandas(right),
+                on="k",
+                right_on="k2",
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["a"])
+        )
+        assert got["a"].tolist() == [1, 3, 4]
+        assert got["b"].tolist() == [10, 30, 10]
+
+    def test_bucketed_join_rejects_overlapping_columns(self, ray_session):
+        import pytest
+        import ray
+
+        from gis_scripts_ray.stages.joins import bucketed_join
+
+        left = pd.DataFrame({"k": [1], "dup": [1]})
+        right = pd.DataFrame({"k": [1], "dup": [2]})
+        with pytest.raises(ValueError, match="overlapping"):
+            bucketed_join(
+                ray.data.from_pandas(left), ray.data.from_pandas(right), on="k"
+            )
+
+    def test_checkpoint_hostile_part_keys(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray
+
+        from gis_scripts_ray.state.checkpoint import (
+            Manifest,
+            write_partitioned_resumable,
+        )
+
+        out_dir = str(tmp_path / "hostile")
+        t = pa.table(
+            {
+                "k": pa.array(["a/b", "../up", "ok", "%41"], pa.string()),
+                "v": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+
+        def part_fn(batch):
+            return batch["k"]
+
+        recs = write_partitioned_resumable(
+            ray.data.from_arrow(t), out_dir, part_fn, lineage="h1"
+        )
+        man = Manifest(out_dir)
+        done = man.completed()
+        # raw keys round-trip through the manifest; every partition dir
+        # stays INSIDE out_dir
+        assert sorted(done) == ["%41", "../up", "a/b", "ok"]
+        import os
+
+        for k in done:
+            d = os.path.realpath(man.partition_dir(k))
+            assert d.startswith(os.path.realpath(out_dir))
+            assert os.path.isdir(d)
+        # resume: nothing recomputed
+        recs2 = write_partitioned_resumable(
+            ray.data.from_arrow(t), out_dir, part_fn, lineage="h2"
+        )
+        assert recs2 == []
+
     def test_metrics_parquet_written(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
         import ray
