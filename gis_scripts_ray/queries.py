@@ -973,6 +973,191 @@ def _sql_stretch_breakpoints() -> str:
 
 
 # ---------------------------------------------------------------------------
+# SQL twins for the geo cell packings (round-2: moved from rows-only to
+# full oracle rows — the hex axial transform and the S2 Morton packing are
+# spelled out in exact-arithmetic SQL)
+# ---------------------------------------------------------------------------
+
+
+def _sql_round_half_even(x: str) -> str:
+    """DuckDB expression for numpy's banker's rounding of ``x``.
+
+    DuckDB ROUND is half-away-from-zero; exact halves are overridden:
+    floor even -> floor, floor odd -> floor + 1 (correct for negatives
+    too: -2.5 -> floor -3 odd -> -2 == np.round(-2.5))."""
+    return (
+        f"CASE WHEN ({x}) - FLOOR({x}) = 0.5 THEN "
+        f"CASE WHEN CAST(FLOOR({x}) AS BIGINT) % 2 = 0 THEN FLOOR({x}) "
+        f"ELSE FLOOR({x}) + 1.0 END ELSE ROUND({x}) END"
+    )
+
+
+def _sql_hex_cell_counts(res: int = 6) -> str:
+    """Axial hex binning with exact cube rounding, matching
+    functions/geo.py lonlat_to_hex_cell op for op (constants embedded via
+    repr for bit-identity)."""
+    from gis_scripts_ray.functions import geo
+
+    s = repr(float(geo.hex_edge_deg(res)))
+    c1 = repr(float(np.sqrt(3.0) / 3.0))
+    c2 = repr(float(2.0 / 3.0))
+    off = 1 << 26  # _HEX_COORD_OFFSET
+    res_term = res << 54
+    return (
+        _located_cte("d.doc_id")
+        + f", hex1 AS (SELECT ({c1}*lon - lat/3.0)/{s} AS qf, "
+        f"({c2}*lat)/{s} AS rf FROM located), "
+        "hex2 AS (SELECT qf, rf, -qf-rf AS sf FROM hex1), "
+        f"hex3 AS (SELECT qf, rf, sf, {_sql_round_half_even('qf')} AS q0, "
+        f"{_sql_round_half_even('rf')} AS r0, {_sql_round_half_even('sf')} AS s0 FROM hex2), "
+        "hex4 AS (SELECT "
+        "CASE WHEN ABS(q0-qf) > ABS(r0-rf) AND ABS(q0-qf) > ABS(s0-sf) "
+        "THEN -r0-s0 ELSE q0 END AS q, "
+        "CASE WHEN NOT (ABS(q0-qf) > ABS(r0-rf) AND ABS(q0-qf) > ABS(s0-sf)) "
+        "AND ABS(r0-rf) > ABS(s0-sf) THEN -q0-s0 ELSE r0 END AS r FROM hex3) "
+        f"SELECT CAST({res_term} + (CAST(q AS BIGINT)+{off})*134217728 "
+        f"+ (CAST(r AS BIGINT)+{off}) AS BIGINT) AS hex_cell, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM hex4 GROUP BY hex_cell"
+    )
+
+
+def _sql_s2_cell_counts(level: int = 10) -> str:
+    """S2-style cell id (face + quadratic ST + Morton position) in exact
+    SQL, matching functions/geo.py lonlat_to_s2_cell + the engine's
+    uint64 -> int64 wrap-cast."""
+    rad = "(PI()/180.0)"
+    # quadratic ST projection, same op order as geo._uv_to_st
+    def st(u: str) -> str:
+        return (
+            f"CASE WHEN {u} >= 0.0 THEN 0.5*SQRT(1.0 + 3.0*ABS({u})) "
+            f"ELSE 1.0 - 0.5*SQRT(1.0 + 3.0*ABS({u})) END"
+        )
+
+    n30 = 1 << 30
+    shift = 1 << (30 - level)  # i30 -> i_level truncation divisor
+    # morton interleave of the level-bit i/j
+    terms = []
+    for k in range(level):
+        terms.append(f"((i10//{1 << k})%2)*{1 << (2 * k)}")
+        terms.append(f"((j10//{1 << k})%2)*{1 << (2 * k + 1)}")
+    morton = " + ".join(terms)
+    pos_shift = 2 * (30 - level) + 1  # morton bits sit above the trailing 1
+    lsb = 1 << (2 * (30 - level))
+    return (
+        _located_cte("d.doc_id")
+        + f", xyz AS (SELECT COS(lat*{rad})*COS(lon*{rad}) AS x, "
+        f"COS(lat*{rad})*SIN(lon*{rad}) AS y, SIN(lat*{rad}) AS z FROM located), "
+        "fuv AS (SELECT CASE "
+        "WHEN ABS(x) >= ABS(y) AND ABS(x) >= ABS(z) THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END "
+        "WHEN ABS(y) >= ABS(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END "
+        "ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face, x, y, z FROM xyz), "
+        "uv AS (SELECT face, "
+        "CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z "
+        "WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u, "
+        "CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z "
+        "WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v FROM fuv), "
+        f"ij AS (SELECT face, "
+        f"LEAST(GREATEST(CAST(FLOOR(({st('u')})*{n30}.0) AS BIGINT), 0), {n30 - 1}) AS i, "
+        f"LEAST(GREATEST(CAST(FLOOR(({st('v')})*{n30}.0) AS BIGINT), 0), {n30 - 1}) AS j "
+        "FROM uv), "
+        f"lvl AS (SELECT face, i//{shift} AS i10, j//{shift} AS j10 FROM ij), "
+        f"cid AS (SELECT CAST(face AS HUGEINT)*2305843009213693952 "
+        f"+ CAST({morton} AS HUGEINT)*{1 << pos_shift} + {lsb} AS c FROM lvl) "
+        "SELECT CAST(CASE WHEN c >= 9223372036854775808 "
+        "THEN c - 18446744073709551616 ELSE c END AS BIGINT) AS s2_cell, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM cid GROUP BY s2_cell"
+    )
+
+
+def _sql_knn_cell_ring() -> str:
+    """knn_cell_ring is exact-equal to brute-force kNN (proven by the
+    coverage bound + tests) — the SQL twin checks the RESULT via the same
+    haversine ROW_NUMBER as geo_knn, at the ring query's probe site."""
+    plat, plon = site_locations()
+    hav = _HAVERSINE_SQL.format(plat=repr(float(plat[3])), plon=repr(float(plon[3])))
+    return (
+        _located_cte("d.doc_id")
+        + f" SELECT doc_id, knn_rank FROM (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        f"(ORDER BY {hav} ASC, doc_id ASC) AS BIGINT) AS knn_rank FROM located) "
+        f"WHERE knn_rank <= 15"
+    )
+
+
+def _idw_probes() -> tuple[np.ndarray, np.ndarray]:
+    """The 16 z4-tile-center probes of q_idw_grid (shared with the SQL twin)."""
+    from gis_scripts_ray.functions import geo
+
+    plat0, plon0 = site_locations()
+    x0, y0 = geo.lonlat_to_tile(
+        np.array([float(plon0[0])]), np.array([float(plat0[0])]), 4
+    )
+    xs, ys = np.meshgrid(np.arange(4) + x0[0] - 1, np.arange(4) + y0[0] - 1)
+    lon_min, lat_min, lon_max, lat_max = geo.tile_bounds(4, xs.ravel(), ys.ravel())
+    return (lat_min + lat_max) / 2.0, (lon_min + lon_max) / 2.0
+
+
+def _sql_idw_grid(k: int = 8) -> str:
+    """IDW interpolation twin: per probe, the k nearest rows by
+    (haversine, doc_id) — identical tie semantics to knn_multi_brute —
+    then sum(v/d^2)/sum(1/d^2) (zero-distance rows take the plain mean).
+    Float caveat: the 8-term sums may differ from numpy in the last ulp
+    under a different addition order; the r4 rounding absorbs it."""
+    plats, plons = _idw_probes()
+    values = ", ".join(
+        f"({i}, {repr(float(la))}, {repr(float(lo))})"
+        for i, (la, lo) in enumerate(zip(plats, plons))
+    )
+    hav = _HAVERSINE_SQL.format(plat="plat", plon="plon")
+    return (
+        _located_cte("d.doc_id, d.n_chars")
+        + f", probes(p, plat, plon) AS (VALUES {values}), "
+        f"ranked AS (SELECT p, n_chars, {hav} AS dm, "
+        f"ROW_NUMBER() OVER (PARTITION BY p ORDER BY {hav} ASC, doc_id ASC) AS rn "
+        "FROM located, probes), "
+        f"sel AS (SELECT p, CAST(n_chars AS DOUBLE) AS v, dm FROM ranked WHERE rn <= {k}) "
+        "SELECT CAST(p AS BIGINT) AS probe, "
+        "ROUND(CASE WHEN SUM(CASE WHEN dm <= 0 THEN 1 ELSE 0 END) > 0 "
+        "THEN SUM(CASE WHEN dm <= 0 THEN v END)/SUM(CASE WHEN dm <= 0 THEN 1.0 END) "
+        "ELSE SUM(v/(dm*dm))/SUM(1.0/(dm*dm)) END, 4) AS idw_r4, "
+        "CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM sel GROUP BY p"
+    )
+
+
+def _sql_segment_replace() -> str:
+    """Connected components as SQL: recursive label propagation (a cell
+    reaches every label in its 8-connected component; MIN over reached
+    labels == the engine's min-packed-cell canonical label), then dense
+    rank — exactly q_segment_replace's output."""
+    x, y = _tile_sql(4)
+    return (
+        "WITH RECURSIVE "
+        + _located_cte("d.doc_id")[len("WITH ") :]
+        + f", cells AS (SELECT tile_x AS x, tile_y AS y, COUNT(*) AS n FROM "
+        f"(SELECT {x} AS tile_x, {y} AS tile_y FROM located) GROUP BY x, y), "
+        "reach(x, y, l) AS ("
+        "SELECT x, y, x*4294967296 + y FROM cells "
+        "UNION "
+        "SELECT c.x, c.y, r.l FROM reach r JOIN cells c "
+        "ON ABS(c.x - r.x) <= 1 AND ABS(c.y - r.y) <= 1), "
+        "comp AS (SELECT x, y, MIN(l) AS root FROM reach GROUP BY x, y), "
+        "agg AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS n_tiles, "
+        "CAST(SUM(c.n) AS BIGINT) AS n_docs FROM comp JOIN cells c USING (x, y) "
+        "GROUP BY root) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY root) - 1 AS BIGINT) AS component, "
+        "n_tiles, n_docs FROM agg"
+    )
+
+
+def _sql_checkpoint_resume() -> str:
+    """After crash + resume, every partition's manifest row count must
+    equal the true per-lang count — the resume contract is the oracle."""
+    return (
+        "SELECT lang AS part_key, CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM documents GROUP BY lang"
+    )
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only driver check; python-oracle
 # coverage lives in tests/)
 # ---------------------------------------------------------------------------
@@ -1024,7 +1209,6 @@ def q_idw_grid(sf_dir: str):
     """M15 vector->raster: IDW-interpolated n_chars surface at the 16
     z4-tile centers covering the densest region (PDAL writers.gdal
     semantics: k-nearest inverse-distance-weighted aggregate per cell)."""
-    from gis_scripts_ray.functions import geo
     from gis_scripts_ray.stages.knn import idw_interpolate
 
     ds = located_documents(sf_dir, ("doc_id", "n_chars"))
@@ -1034,12 +1218,7 @@ def q_idw_grid(sf_dir: str):
 
     prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
     # probes: centers of a 4x4 z4-tile window around the first site
-    plat0, plon0 = site_locations()
-    x0, y0 = geo.lonlat_to_tile(np.array([float(plon0[0])]), np.array([float(plat0[0])]), 4)
-    xs, ys = np.meshgrid(np.arange(4) + x0[0] - 1, np.arange(4) + y0[0] - 1)
-    lon_min, lat_min, lon_max, lat_max = geo.tile_bounds(4, xs.ravel(), ys.ravel())
-    plats = (lat_min + lat_max) / 2.0
-    plons = (lon_min + lon_max) / 2.0
+    plats, plons = _idw_probes()
     out = idw_interpolate(prepped, plats, plons, k=8, value_col="v").to_pandas()
     out["idw_r4"] = np.round(out["idw_value"], 4)
     return pa.table(
@@ -1334,4 +1513,11 @@ ORACLES: dict[str, str] = {
     "multimodal_bytes": _sql_multimodal_bytes(),
     "stretch_breakpoints": _sql_stretch_breakpoints(),
     "order_lineitem_revenue": _sql_order_lineitem_revenue(),
+    # round-2 promotions from rows-only to full oracle checks
+    "knn_cell_ring": _sql_knn_cell_ring(),
+    "checkpoint_resume": _sql_checkpoint_resume(),
+    "hex_cell_counts": _sql_hex_cell_counts(),
+    "s2_cell_counts": _sql_s2_cell_counts(),
+    "idw_grid": _sql_idw_grid(),
+    "segment_replace": _sql_segment_replace(),
 }
