@@ -1362,6 +1362,55 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_multimodal_thumbnails(sf_dir: str):
+    """REAL image decode end-to-end: deterministic 8x8 RGB BMPs (pixel
+    byte p of doc d = (d*7 + p) % 256) are encoded, shipped through the
+    binary column, decoded by the pure-numpy BMP reader in the decode
+    stage, and checksummed — the SQL twin recomputes the per-doc pixel
+    sum in closed form, so any encode/decode bug breaks the hash."""
+    from gis_scripts_ray.stages.multimodal import decode_media, encode_bmp
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def make_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        p = np.arange(192, dtype=np.int64)
+        blobs = [
+            encode_bmp((((int(d) * 7 + p) % 256).astype(np.uint8)).reshape(8, 8, 3))
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "html": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_payload, batch_format="pyarrow")
+    decoded = decode_media(payloads, payload_col="html", concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table({"lang": batch["lang"], "pixel_sum": batch["pixel_sum"]})
+
+    return cell_sum_count(
+        decoded.map_batches(slim, batch_format="pyarrow"), ["lang"], ["pixel_sum"]
+    )
+
+
+def _sql_multimodal_thumbnails() -> str:
+    # sum_{p=0}^{191} (d7+p) % 256 with d7 = (doc_id*7) % 256:
+    #   d7 <= 64 : no wrap  -> 192*d7 + 191*192/2
+    #   d7 >  64 : wraps    -> sum(d7..255) + sum(0..d7-65)
+    return (
+        "WITH px AS (SELECT lang, (doc_id*7) % 256 AS d7 FROM documents) "
+        "SELECT lang, CAST(SUM(CASE WHEN d7 <= 64 THEN 192*d7 + 18336 "
+        "ELSE (255+d7)*(256-d7)//2 + (d7-65)*(d7-64)//2 END) AS BIGINT) AS sum_pixel_sum, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM px GROUP BY lang"
+    )
+
+
 def q_harmonize_params(sf_dir: str):
     """Mosaic harmonization: per-source (gain, offset) from the tiny solve."""
     from gis_scripts_ray.pipelines.mosaic import harmonize
@@ -1476,6 +1525,7 @@ QUERIES: dict[str, Callable] = {
     "langid_pred_counts": q_langid_pred_counts,
     "ann_lsh": q_ann_lsh,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_thumbnails": q_multimodal_thumbnails,
     "harmonize_params": q_harmonize_params,
     "checkpoint_resume": q_checkpoint_resume,
     "text_fingerprints": q_text_fingerprints,
@@ -1520,4 +1570,5 @@ ORACLES: dict[str, str] = {
     "s2_cell_counts": _sql_s2_cell_counts(),
     "idw_grid": _sql_idw_grid(),
     "segment_replace": _sql_segment_replace(),
+    "multimodal_thumbnails": _sql_multimodal_thumbnails(),
 }
