@@ -744,6 +744,41 @@ def _sql_hash_sample() -> str:
     )
 
 
+def q_train_val_split(sf_dir: str):
+    """O3: deterministic hash-residue train/val split (order-free,
+    resume-stable); per-(split, lang) counts prove both partition sizes
+    and disjointness (n sums to the table size in the oracle compare)."""
+    from gis_scripts_ray.stages.sampling import split_train_val
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    train, val = split_train_val(ds, "doc_id", val_pct=20)
+
+    def counted(part: ray.data.Dataset, name: str) -> ray.data.Dataset:
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "split": pa.array([name] * len(batch), pa.string()),
+                    "lang": batch["lang"],
+                    "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+                }
+            )
+
+        return part.map_batches(prep, batch_format="pyarrow")
+
+    both = counted(train, "train").union(counted(val, "val"))
+    return cell_sum_count(both, ["split", "lang"], ["one"]).drop_columns(["sum_one"])
+
+
+def _sql_train_val_split() -> str:
+    from gis_scripts_ray.stages.sampling import split_sql_predicate
+
+    val = split_sql_predicate("doc_id", 20, val_side=True)
+    return (
+        f"SELECT CASE WHEN {val} THEN 'val' ELSE 'train' END AS split, lang, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY split, lang"
+    )
+
+
 def q_scalar_transform_sum(sf_dir: str):
     """M1+M2: value-replace then scalar-add, summed per flag (int domain)."""
     ds = ray.data.read_parquet(
@@ -1511,6 +1546,7 @@ QUERIES: dict[str, Callable] = {
     "source_bbox_overlaps": q_source_bbox_overlaps,
     "cells_all_sources": q_cells_all_sources,
     "hash_sample": q_hash_sample,
+    "train_val_split": q_train_val_split,
     "scalar_transform_sum": q_scalar_transform_sum,
     "quantity_histogram": q_quantity_histogram,
     "multimodal_bytes": q_multimodal_bytes,
@@ -1558,6 +1594,7 @@ ORACLES: dict[str, str] = {
     "source_bbox_overlaps": _sql_source_bbox_overlaps(),
     "cells_all_sources": _sql_cells_all_sources(),
     "hash_sample": _sql_hash_sample(),
+    "train_val_split": _sql_train_val_split(),
     "scalar_transform_sum": _sql_scalar_transform_sum(),
     "quantity_histogram": _sql_quantity_histogram(),
     "multimodal_bytes": _sql_multimodal_bytes(),

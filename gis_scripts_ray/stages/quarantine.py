@@ -20,12 +20,15 @@ def split_valid(
     ds: ray.data.Dataset,
     validator: Callable[[pa.Table], np.ndarray],
     reason: str,
+    single_pass: bool = True,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(valid, quarantined) datasets; ``validator(batch) -> bool mask``.
 
-    Both outputs re-scan the tagged input lazily; quarantined rows carry a
-    ``quarantine_reason`` column. Row conservation: len(valid) +
-    len(quarantined) == len(ds).
+    ``single_pass=True`` (default) materializes the tagged rows once: the
+    input pipeline and the validator run a single time, and both outputs
+    read the cached blocks (round 1 re-ran the whole upstream per sink).
+    Quarantined rows carry a ``quarantine_reason`` column. Row
+    conservation: len(valid) + len(quarantined) == len(ds).
     """
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -33,6 +36,8 @@ def split_valid(
         return batch.append_column("_valid", pa.array(ok, pa.bool_()))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if single_pass:
+        tagged = tagged.materialize()
 
     def keep_valid(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -1,0 +1,60 @@
+"""Deterministic sampling / dataset splitting (O2/O3).
+
+The reference's train/val split is sklearn ``train_test_split`` inside the
+DCNN trainer (``external/.../seagrass_lib.py:671``); a distributed engine
+needs the split to be order-free, partition-free and reproducible, so it
+uses the same multiplicative-hash residue as the O2 balanced resample
+(``q_hash_sample``): row r is in val iff ``(id * 2654435761) % 100`` lands
+in the top ``val_pct`` residues. No shuffle, no RNG state, stable under
+repartitioning and resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_SPLIT_SALT = 2654435761
+
+
+def split_train_val(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    val_pct: int = 20,
+    single_pass: bool = True,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(train, val) datasets via deterministic hash residue on ``id_col``.
+
+    ``single_pass=True`` materializes the tagged rows once so both outputs
+    read cached blocks instead of recomputing the upstream pipeline twice.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        is_val = (ids * _SPLIT_SALT) % 100 >= (100 - val_pct)
+        return batch.append_column("_is_val", pa.array(is_val, pa.bool_()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if single_pass:
+        tagged = tagged.materialize()
+
+    def keep(val_side: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = batch["_is_val"] if val_side else pc.invert(batch["_is_val"])
+            return batch.filter(m).drop_columns(["_is_val"])
+
+        return fn
+
+    return (
+        tagged.map_batches(keep(False), batch_format="pyarrow"),
+        tagged.map_batches(keep(True), batch_format="pyarrow"),
+    )
+
+
+def split_sql_predicate(id_col: str, val_pct: int = 20, val_side: bool = True) -> str:
+    """The DuckDB twin of the split predicate (oracle support)."""
+    cmp = ">=" if val_side else "<"
+    return f"({id_col}*{_SPLIT_SALT})%100 {cmp} {100 - val_pct}"

@@ -89,24 +89,45 @@ class LshBucketer:
         return batch.append_column("bucket", pa.array(self.bucket_of(emb), pa.int64()))
 
 
-def ann_lsh_topk(
+# task-based bucketer with worker-cached planes (deterministic in the
+# seed — every worker builds identical state; no actor spawn, fuses)
+_WORKER_BUCKETERS: dict = {}
+
+
+def add_lsh_bucket(
+    batch: pa.Table, dim: int, n_planes: int = 12, seed: int = 42, emb_col: str = "embedding"
+) -> pa.Table:
+    key = (dim, n_planes, seed, emb_col)
+    b = _WORKER_BUCKETERS.get(key)
+    if b is None:
+        b = LshBucketer(dim, n_planes, seed, emb_col)
+        _WORKER_BUCKETERS[key] = b
+    return b(batch)
+
+
+def build_lsh_index(
     ds: ray.data.Dataset,
-    query: np.ndarray,
-    k: int,
     dim: int,
     n_planes: int = 12,
-    max_hamming: int = 2,
-    id_col: str = "vec_id",
+    seed: int = 42,
     emb_col: str = "embedding",
-    concurrency: int | tuple[int, int] = 2,
-) -> pa.Table:
-    """Approximate top-k: scan only buckets within ``max_hamming`` bit flips
-    of the query's bucket, then exact cosine refine. Recall < 1 by design;
-    the candidate fraction is ~sum(C(n_planes, i))/2^n_planes.
+) -> ray.data.Dataset:
+    """Bucketize ONCE and materialize — the persisted ANN index.
+
+    Build cost is paid once; every :func:`ann_query` after that filters on
+    the existing ``bucket`` column (a column-pruned scan of ~candidate
+    fraction of the data). At 100 TB, write this out partitioned by
+    bucket (``state.checkpoint.write_partitioned_resumable`` with the
+    bucket as the key) so a probe reads ONLY matching partitions.
     """
-    bucketer = LshBucketer(dim, n_planes)
-    qbucket = int(bucketer.bucket_of(np.asarray(query, dtype=np.float64).reshape(1, -1))[0])
-    # all buckets within max_hamming flips
+    return ds.map_batches(
+        add_lsh_bucket,
+        fn_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed, "emb_col": emb_col},
+        batch_format="pyarrow",
+    ).materialize()
+
+
+def _probe_buckets(qbucket: int, n_planes: int, max_hamming: int) -> list[int]:
     cand = [qbucket]
     if max_hamming >= 1:
         cand += [qbucket ^ (1 << i) for i in range(n_planes)]
@@ -116,20 +137,56 @@ def ann_lsh_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    cand_arr = pa.array(cand, pa.int64())
+    return cand
 
-    bucketed = ds.map_batches(
-        LshBucketer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "emb_col": emb_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=0.5,
+
+def ann_query(
+    index: ray.data.Dataset,
+    query: np.ndarray,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Probe a :func:`build_lsh_index` dataset: scan only buckets within
+    ``max_hamming`` bit flips of the query's bucket, then exact cosine
+    refine. Recall < 1 by design; the candidate fraction is
+    ~sum(C(n_planes, i))/2^n_planes."""
+    bucketer = LshBucketer(dim, n_planes, seed, emb_col)
+    qbucket = int(
+        bucketer.bucket_of(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
     )
+    cand_arr = pa.array(_probe_buckets(qbucket, n_planes, max_hamming), pa.int64())
 
     def in_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return batch.filter(pc.is_in(batch["bucket"], value_set=cand_arr))
 
-    filtered = bucketed.map_batches(in_buckets, batch_format="pyarrow")
+    filtered = index.map_batches(in_buckets, batch_format="pyarrow")
     return cosine_topk(filtered, query, k, id_col, emb_col)
+
+
+def ann_lsh_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency=None,
+) -> pa.Table:
+    """One-shot convenience: build the index, run one query. For repeated
+    queries build the index once (:func:`build_lsh_index`) and call
+    :func:`ann_query` per probe — re-bucketing the corpus per query was
+    round 1's anti-pattern. ``concurrency`` kept for compatibility."""
+    index = build_lsh_index(ds, dim, n_planes, emb_col=emb_col)
+    return ann_query(
+        index, query, k, dim, n_planes, max_hamming=max_hamming,
+        id_col=id_col, emb_col=emb_col,
+    )

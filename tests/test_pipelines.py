@@ -170,6 +170,51 @@ class TestJoins:
         assert got["a"].tolist() == want["a"].tolist()
         assert got["b"].tolist() == want["b"].tolist()
 
+    def test_split_train_val_disjoint_and_stable(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.sampling import split_train_val
+
+        t = pa.table({"doc_id": pa.array(np.arange(1000), pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(4)
+        train, val = split_train_val(ds, "doc_id", val_pct=20)
+        tr = set(train.to_pandas()["doc_id"])
+        va = set(val.to_pandas()["doc_id"])
+        assert tr.isdisjoint(va) and len(tr) + len(va) == 1000
+        assert 0.15 < len(va) / 1000 < 0.25
+        # partition-count invariance (order-free determinism)
+        train2, val2 = split_train_val(ds.repartition(7), "doc_id", val_pct=20)
+        assert set(val2.to_pandas()["doc_id"]) == va
+
+    def test_ann_index_reuse_matches_oneshot(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.similarity import (
+            ann_lsh_topk,
+            ann_query,
+            build_lsh_index,
+        )
+
+        rng = np.random.default_rng(11)
+        m = rng.standard_normal((400, 16))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(400), pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        q = rng.standard_normal(16)
+        one_shot = ann_lsh_topk(ds, q, 5, dim=16)["vec_id"].to_pylist()
+        index = build_lsh_index(ds, dim=16)
+        reused = ann_query(index, q, 5, dim=16)["vec_id"].to_pylist()
+        assert one_shot == reused
+        # second probe on the same index (the amortized path)
+        q2 = rng.standard_normal(16)
+        assert ann_query(index, q2, 5, dim=16)["vec_id"].to_pylist() == ann_lsh_topk(
+            ds, q2, 5, dim=16
+        )["vec_id"].to_pylist()
+
     def test_bucketed_join_string_keys(self, ray_session):
         import ray
 
