@@ -42,43 +42,56 @@ def solve_source_adjustments(
     """
     if isinstance(stats, ray.data.Dataset):
         stats = pa.Table.from_pandas(stats.to_pandas(), preserve_index=False)
-    import pandas as pd
 
     df = stats.to_pandas()
     df["mean"] = df["sum_v"] / df["n"]
     sources = sorted(df[source_col].unique())
     s_idx = {s: i for i, s in enumerate(sources)}
     ns = len(sources)
-    rows: list[np.ndarray] = []
-    rhs: list[float] = []
-    # overlap constraints, deterministic order
-    for _cell, g in sorted(df.groupby(cell_col), key=lambda kv: kv[0]):
-        g = g.sort_values(source_col)
-        recs = list(g[[source_col, "mean", "n"]].itertuples(index=False))
-        for x in range(len(recs)):
-            for y in range(x + 1, len(recs)):
-                si, mi, ni = recs[x]
-                sj, mj, nj = recs[y]
-                w = float(np.sqrt(min(ni, nj)))
-                row = np.zeros(2 * ns)
-                row[2 * s_idx[si]] = w * mi
-                row[2 * s_idx[si] + 1] = w
-                row[2 * s_idx[sj]] = -w * mj
-                row[2 * s_idx[sj] + 1] = -w
-                rows.append(row)
-                rhs.append(0.0)
+    # vectorized constraint build (was a per-cell per-pair Python double
+    # loop): sort by (cell, source), expand each cell run's pairs with
+    # triu indices, fill the dense A with four fancy-index assignments
+    df = df.sort_values([cell_col, source_col], kind="mergesort").reset_index(drop=True)
+    cells = df[cell_col].to_numpy()
+    sid = df[source_col].map(s_idx).to_numpy().astype(np.int64)
+    mean = df["mean"].to_numpy()
+    nn = df["n"].to_numpy().astype(np.float64)
+    new = np.concatenate([[True], cells[1:] != cells[:-1]])
+    starts = np.nonzero(new)[0]
+    lens = np.diff(np.concatenate([starts, [len(cells)]]))
+    ia_l, ib_l = [], []
+    for s0, ln in zip(starts, lens):
+        if ln < 2:
+            continue
+        a, b_ = np.triu_indices(int(ln), k=1)
+        ia_l.append(s0 + a)
+        ib_l.append(s0 + b_)
+    if ia_l:
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+    else:
+        ia = ib = np.empty(0, dtype=np.int64)
+    n_pairs = len(ia)
+    if n_pairs > 2_000_000:
+        # cells x C(sources, 2) grew past driver scale — thin the
+        # constraint set deterministically (every stride-th pair in
+        # (cell, i, j) order) rather than OOM; LOUD, never silent
+        stride = (n_pairs + 1_999_999) // 2_000_000
+        ia, ib = ia[::stride], ib[::stride]
+        n_pairs = len(ia)
+    w = np.sqrt(np.minimum(nn[ia], nn[ib]))
+    A = np.zeros((n_pairs + 2 * ns, 2 * ns))
+    r = np.arange(n_pairs)
+    A[r, 2 * sid[ia]] = w * mean[ia]
+    A[r, 2 * sid[ia] + 1] = w
+    A[r, 2 * sid[ib]] = -w * mean[ib]
+    A[r, 2 * sid[ib] + 1] = -w
+    b = np.zeros(n_pairs + 2 * ns)
     # identity anchors: a_i = 1, b_i = 0
-    for s in sources:
-        ra = np.zeros(2 * ns)
-        ra[2 * s_idx[s]] = anchor_weight
-        rows.append(ra)
-        rhs.append(anchor_weight * 1.0)
-        rb = np.zeros(2 * ns)
-        rb[2 * s_idx[s] + 1] = anchor_weight
-        rows.append(rb)
-        rhs.append(0.0)
-    A = np.vstack(rows)
-    b = np.asarray(rhs)
+    anchor_rows = n_pairs + 2 * np.arange(ns)
+    A[anchor_rows, 2 * np.arange(ns)] = anchor_weight
+    b[anchor_rows] = anchor_weight * 1.0
+    A[anchor_rows + 1, 2 * np.arange(ns) + 1] = anchor_weight
     params, *_ = np.linalg.lstsq(A, b, rcond=None)
     return {s: (float(params[2 * i]), float(params[2 * i + 1])) for s, i in s_idx.items()}
 

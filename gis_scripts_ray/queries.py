@@ -744,6 +744,80 @@ def _sql_hash_sample() -> str:
     )
 
 
+def _rpc_model():
+    """Deterministic synthetic RPC model sized to the fixture's lat/lon
+    range, with nonzero terms at every polynomial order."""
+    from gis_scripts_ray.functions.rpc import RpcModel
+
+    def coeffs(lead: float, lin: float, quad: float, cubic: float) -> tuple:
+        c = [0.0] * 20
+        c[0] = lead
+        c[1], c[2], c[3] = lin, -lin / 2.0, lin / 8.0
+        c[4], c[7], c[8] = quad, quad / 2.0, -quad / 4.0
+        c[10], c[11], c[15], c[19] = cubic, cubic / 2.0, -cubic / 4.0, cubic / 8.0
+        return tuple(c)
+
+    return RpcModel(
+        long_off=0.0, long_scale=180.0,
+        lat_off=0.0, lat_scale=90.0,
+        height_off=0.0, height_scale=500.0,
+        samp_off=2048.0, samp_scale=2048.0,
+        line_off=2048.0, line_scale=2048.0,
+        samp_num=coeffs(0.004, 0.95, 0.03, 0.008),
+        samp_den=coeffs(1.0, 0.002, 0.0005, 0.0001),
+        line_num=coeffs(-0.006, 1.05, -0.04, 0.006),
+        line_den=coeffs(1.0, 0.0015, 0.0004, 0.00012),
+    )
+
+
+def q_rpc_tile_counts(sf_dir: str):
+    """§2.7 RPC rational-polynomial eval (seagrass_lib.py:57-76): project
+    located docs through a 20-coefficient cubic-ratio camera model to
+    integer (col, row) pixels, count docs per 256-px pixel block."""
+    from gis_scripts_ray.functions.rpc import rpc_project
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    m = _rpc_model()
+    ds = located_documents(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        col, row = rpc_project(lon, lat, np.zeros(len(lat)), m)
+        return pa.table(
+            {
+                "block_x": pa.array(col // 256, pa.int64()),
+                "block_y": pa.array(row // 256, pa.int64()),
+            }
+        )
+
+    return cell_count(
+        ds.map_batches(project, batch_format="pyarrow"), ["block_x", "block_y"],
+        alias="n_docs",
+    )
+
+
+def _sql_rpc_tile_counts() -> str:
+    from gis_scripts_ray.functions.rpc import rpc_poly_sql
+
+    m = _rpc_model()
+    L = f"((lon - {m.long_off!r})/{m.long_scale!r})"
+    P = f"((lat - {m.lat_off!r})/{m.lat_scale!r})"
+    H = f"((0.0 - {m.height_off!r})/{m.height_scale!r})"
+    cn = f"({rpc_poly_sql(m.samp_num, 'L', 'P', 'H')} / {rpc_poly_sql(m.samp_den, 'L', 'P', 'H')})"
+    rn = f"({rpc_poly_sql(m.line_num, 'L', 'P', 'H')} / {rpc_poly_sql(m.line_den, 'L', 'P', 'H')})"
+    return (
+        _located_cte("d.doc_id")
+        + f", norm AS (SELECT {L} AS L, {P} AS P, {H} AS H FROM located), "
+        f"px AS (SELECT CAST(TRUNC({cn}*{m.samp_scale!r} + {m.samp_off!r}) AS BIGINT) AS col_, "
+        f"CAST(TRUNC({rn}*{m.line_scale!r} + {m.line_off!r}) AS BIGINT) AS row_ FROM norm) "
+        # numpy // floors while DuckDB // truncates — spell the floor
+        "SELECT CAST(FLOOR(CAST(col_ AS DOUBLE)/256.0) AS BIGINT) AS block_x, "
+        "CAST(FLOOR(CAST(row_ AS DOUBLE)/256.0) AS BIGINT) AS block_y, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM px GROUP BY block_x, block_y"
+    )
+
+
 def q_train_val_split(sf_dir: str):
     """O3: deterministic hash-residue train/val split (order-free,
     resume-stable); per-(split, lang) counts prove both partition sizes
@@ -1183,6 +1257,48 @@ def _sql_segment_replace() -> str:
     )
 
 
+def _sql_multimodal_decode() -> str:
+    """Routing oracle for the decode stage's metadata columns: every
+    payload derived from documents is html (sniffed by magic bytes), and
+    payload bytes = octet_length(text) + 26 wrapper bytes. The decode
+    KERNEL itself is oracle-checked by multimodal_thumbnails."""
+    return (
+        "SELECT 'html' AS media_type, "
+        "CAST(SUM(octet_length(encode(text)) + 26) AS BIGINT) AS sum_payload_bytes, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM documents"
+    )
+
+
+def _sql_langid_pred_counts() -> str:
+    """The heuristic classifier spelled in SQL: RE2 ``[\\p{L}\\p{N}_']+``
+    tokens (== Python ``[\\w']+`` for word characters), first-200 marker
+    hits per language via list_filter, CJK ratio via regexp_replace, and
+    the first-max CASE reproducing the dict-order tie-break. Validated
+    row-exact against LangIdScorer.classify on both SFs + edge fixtures."""
+    from gis_scripts_ray.stages.textstages import _LANG_MARKERS
+
+    def marker_col(lang: str) -> str:
+        ws = ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+        return f"len(list_filter(wl[1:200], w -> w IN ({ws}))) AS h_{lang}"
+
+    langs = list(_LANG_MARKERS)
+    cols = ", ".join(marker_col(lang) for lang in langs)
+    g = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN h_{lang} = {g} THEN '{lang}'" for lang in langs)
+    return (
+        "WITH w AS (SELECT lang, "
+        "regexp_extract_all(lower(text), '[\\p{L}\\p{N}_'']+') AS wl, "
+        "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk, "
+        "length(text) AS nch FROM documents), "
+        f"h AS (SELECT lang, len(wl) AS nw, cjk, nch, {cols} FROM w), "
+        "p AS (SELECT lang, CASE WHEN nw = 0 THEN 'und' "
+        "WHEN cjk > nch*0.1 THEN 'zh' "
+        f"WHEN {g} = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred FROM h) "
+        "SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n FROM p "
+        "GROUP BY lang, lang_pred"
+    )
+
+
 def _sql_checkpoint_resume() -> str:
     """After crash + resume, every partition's manifest row count must
     equal the true per-lang count — the resume contract is the oracle."""
@@ -1547,6 +1663,7 @@ QUERIES: dict[str, Callable] = {
     "cells_all_sources": q_cells_all_sources,
     "hash_sample": q_hash_sample,
     "train_val_split": q_train_val_split,
+    "rpc_tile_counts": q_rpc_tile_counts,
     "scalar_transform_sum": q_scalar_transform_sum,
     "quantity_histogram": q_quantity_histogram,
     "multimodal_bytes": q_multimodal_bytes,
@@ -1595,6 +1712,7 @@ ORACLES: dict[str, str] = {
     "cells_all_sources": _sql_cells_all_sources(),
     "hash_sample": _sql_hash_sample(),
     "train_val_split": _sql_train_val_split(),
+    "rpc_tile_counts": _sql_rpc_tile_counts(),
     "scalar_transform_sum": _sql_scalar_transform_sum(),
     "quantity_histogram": _sql_quantity_histogram(),
     "multimodal_bytes": _sql_multimodal_bytes(),
@@ -1608,4 +1726,6 @@ ORACLES: dict[str, str] = {
     "idw_grid": _sql_idw_grid(),
     "segment_replace": _sql_segment_replace(),
     "multimodal_thumbnails": _sql_multimodal_thumbnails(),
+    "langid_pred_counts": _sql_langid_pred_counts(),
+    "multimodal_decode": _sql_multimodal_decode(),
 }

@@ -647,7 +647,7 @@ def minhash_band_counts(
     bands: int = 16,
     shingle_w: int = 3,
     seed: int = 42,
-    chunk: int = 2048,
+    chunk: int = 1024,
 ) -> pa.Table:
     """Per-block partial cluster counts (band, band_key, n) in ONE pass.
 

@@ -130,21 +130,28 @@ def coalesce_shuffle_sum(
     key_cols: list[str],
     sum_cols: list[str],
     group_factor: int = 8,
+    small_limit: int = 8_000_000,
 ) -> ray.data.Dataset:
-    """Combine per-block partial sums over an UNBOUNDED key space.
+    """Combine per-block partial sums over an UNBOUNDED key space,
+    memory-bounded at every step.
 
     The scale-safe sibling of :func:`tree_aggregate`: one bounded coalesce
     level (merge ~``group_factor`` partial blocks each, re-combining
     duplicate keys — block growth is capped at ``group_factor`` x one
     partial block, so nothing ever approaches a whole-dataset block), then
-    a hash-shuffle ``groupby`` for the exact global combine. The shuffle is
-    the correct primitive for unbounded keys (``tree_aggregate``'s final
-    ``repartition(1)`` would materialize every distinct key in ONE block —
-    the MinHash band-key space at 10^12 docs is ~docs x bands keys).
+    an ADAPTIVE finish:
 
-    When keys repeat across blocks (replicated corpora, bounded grids) the
-    coalesce level collapses them first and the shuffle moves only the
-    reduced partials.
+    * if the MEASURED reduced size fits one comfortable block
+      (``small_limit`` rows — a row-count fact, not a guess), one final
+      coalesce+combine finishes without any shuffle. Ray's hash-shuffle
+      groupby costs multiple seconds of fixed actor spawn/coordination per
+      execution, which dominates jobs whose reduced partials are small
+      (replicated corpora, bounded grids);
+    * otherwise the key space really is huge and the hash-shuffle
+      ``groupby`` is the correct primitive (``tree_aggregate``'s blind
+      ``repartition(1)`` — one block holding EVERY distinct key, ~docs x
+      bands for MinHash bands at 10^12 docs — is exactly what this
+      function exists to avoid).
     """
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -158,7 +165,13 @@ def coalesce_shuffle_sum(
     partials = partials.materialize()
     n_blocks = max(partials.num_blocks(), 1)
     lvl1 = partials.repartition(max(1, (n_blocks + group_factor - 1) // group_factor))
-    lvl1 = lvl1.map_batches(combine, batch_format="pyarrow", batch_size=None)
+    lvl1 = lvl1.map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if lvl1.count() <= small_limit:  # row-count upper bound on distinct keys
+        return lvl1.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
     return lvl1.groupby(key_cols).aggregate(*aggs)
 

@@ -54,6 +54,14 @@ def sessionize(
     event (per key, ordered by (ts, id)) exceeds ``gap_us``.
 
     Output: (key, session_id 1-based, n_events, start_us, end_us).
+
+    Skew note: sessionization is inherently per-key-sequential, so a hot
+    key's ENTIRE event history lands on one ``map_groups`` task. That is
+    acceptable for user/host keys (bounded per-entity history); for a key
+    whose history exceeds one worker's memory, pre-split the key by
+    coarse time range, sessionize per (key, range), and stitch the
+    at-most-one boundary session per range pair at the driver (the same
+    boundary-merge shape as ``stages/components.py``).
     """
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:

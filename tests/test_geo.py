@@ -162,3 +162,60 @@ class TestS2Cells:
         a = geo.lonlat_to_s2_cell(LONS, LATS, 20)
         b = geo.lonlat_to_s2_cell(LONS.copy(), LATS.copy(), 20)
         assert np.array_equal(a, b)
+
+
+class TestRpc:
+    def test_poly_matches_literal_transcription(self):
+        """Oracle: the reference polynomial written out literally with **
+        (seagrass_lib.py:68-71 term set)."""
+        import numpy as np
+
+        from gis_scripts_ray.functions.rpc import rpc_poly
+
+        rng = np.random.default_rng(2)
+        c = rng.standard_normal(20)
+        L, P, H = rng.standard_normal((3, 100))
+        want = (
+            c[0] + c[1]*L + c[2]*P + c[3]*H + c[4]*L*P + c[5]*L*H + c[6]*P*H
+            + c[7]*L**2 + c[8]*P**2 + c[9]*H**2 + c[10]*L*P*H + c[11]*L**3
+            + c[12]*L*P**2 + c[13]*L*H**2 + c[14]*L**2*P + c[15]*P**3
+            + c[16]*P*H**2 + c[17]*L**2*H + c[18]*P**2*H + c[19]*H**3
+        )
+        got = rpc_poly(c, L, P, H)
+        assert np.allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_project_truncates_toward_zero(self):
+        import numpy as np
+
+        from gis_scripts_ray.functions.rpc import RpcModel, rpc_project
+
+        ident = [0.0] * 20
+        ident_n = list(ident); ident_n[1] = 1.0       # num = L
+        ident_d = list(ident); ident_d[0] = 1.0       # den = 1
+        m = RpcModel(0, 1, 0, 1, 0, 1, 0.0, 1.0, 0.0, 1.0,
+                     tuple(ident_n), tuple(ident_d), tuple(ident_n), tuple(ident_d))
+        col, row = rpc_project(np.array([2.7, -2.7]), np.array([0.0, 0.0]),
+                               np.zeros(2), m)
+        assert col.tolist() == [2, -2]  # int() semantics, not floor
+
+    def test_sql_twin_matches_within_fma_ulp(self):
+        """DuckDB contracts mul-add chains to FMA, so the SQL twin can
+        differ from numpy by ~1 ulp — the query-level trunc/bucket margins
+        absorb that (verified by the rpc_tile_counts oracle)."""
+        import duckdb
+        import numpy as np
+
+        from gis_scripts_ray.functions.rpc import rpc_poly, rpc_poly_sql
+
+        rng = np.random.default_rng(3)
+        c = rng.standard_normal(20)
+        L, P, H = rng.uniform(-1, 1, (3, 50))
+        got = duckdb.sql(
+            f"SELECT L, {rpc_poly_sql(c, 'L', 'P', 'H')} AS v FROM "
+            "(SELECT UNNEST(?) AS L, UNNEST(?) AS P, UNNEST(?) AS H)",
+            params=[list(L), list(P), list(H)],
+        ).fetchnumpy()
+        order = {l: i for i, l in enumerate(L)}
+        idx = [order[l] for l in got["L"]]
+        want = rpc_poly(c, L, P, H)[idx]
+        assert np.allclose(got["v"], want, rtol=1e-13, atol=1e-13)
