@@ -372,23 +372,32 @@ class MinHasher:
         m = self.a[:, None] * sh[None, :] + self.b[:, None]  # wrapping
         return m.min(axis=1)
 
-    def signatures(self, texts: list[str]) -> np.ndarray:
+    def signatures(self, texts: list[str], tile: int = 16384) -> np.ndarray:
         """(n_docs, num_perm) minhash signatures — fully vectorized: one
-        batch-global shingle pass + per-permutation segment-min
-        (``np.minimum.reduceat`` over the ragged doc windows)."""
+        batch-global shingle pass, then per-permutation segment-min
+        (``np.minimum.reduceat``) over cache-resident SHINGLE TILES.
+
+        Tiling keeps the ~128 KB shingle slice resident across all
+        ``num_perm`` passes instead of streaming the whole shingle array
+        from DRAM 64 times — the wrapping multiply-add is a
+        2-universal-style hash family (odd multiplier), and tile-fragment
+        minima fold exactly (min is associative)."""
         n = len(texts)
         if n == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
         sh, off = _batch_shingle_hashes(texts, self.shingle_w)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        starts = off[:-1]
-        for p in range(self.num_perm):
-            # wrapping multiply-add (odd multiplier) — a 2-universal-style
-            # hash family; faster than mod-prime and equally effective for
-            # min-wise hashing
-            vals = self.a[p] * sh + self.b[p]
-            sigs[:, p] = np.minimum.reduceat(vals, starts)
-        return sigs
+        sigsT = np.full((self.num_perm, n), np.iinfo(np.uint64).max, dtype=np.uint64)
+        for t0 in range(0, len(sh), tile):
+            t1 = min(t0 + tile, len(sh))
+            sh_t = sh[t0:t1]
+            d_lo = int(np.searchsorted(off, t0, "right")) - 1
+            d_hi = int(np.searchsorted(off, t1, "left"))
+            frag_starts = np.maximum(off[d_lo:d_hi], t0) - t0
+            for p in range(self.num_perm):
+                vals = self.a[p] * sh_t + self.b[p]
+                mins = np.minimum.reduceat(vals, frag_starts)
+                np.minimum(sigsT[p, d_lo:d_hi], mins, out=sigsT[p, d_lo:d_hi])
+        return np.ascontiguousarray(sigsT.T)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
@@ -647,14 +656,16 @@ def minhash_band_counts(
     bands: int = 16,
     shingle_w: int = 3,
     seed: int = 42,
-    chunk: int = 1024,
+    chunk: int = 8192,
 ) -> pa.Table:
     """Per-block partial cluster counts (band, band_key, n) in ONE pass.
 
     The LSH row table never materializes: signatures are computed in
-    cache-resident ``chunk``-doc slices, band keys accumulated, and the
-    block reduces to its per-band-key counts immediately. Combine the
-    partials with :func:`gis_scripts_ray.stages.tile_agg.tree_aggregate`.
+    ``chunk``-doc slices (bounding the shingle buffer; the signature
+    kernel additionally tiles shingles for cache residency), band keys
+    accumulated, and the block reduces to its per-band-key counts
+    immediately. Combine the partials with
+    :func:`gis_scripts_ray.stages.tile_agg.coalesce_shuffle_sum`.
     """
     key = ("", text_col, num_perm, bands, shingle_w, seed)
     mh = _WORKER_MINHASHERS.get(key)
