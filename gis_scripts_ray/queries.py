@@ -389,6 +389,63 @@ def _sql_events_hourly() -> str:
     )
 
 
+_TOA_IRRADIANCE = 1580.0
+_TOA_ZENITH_DEG = 35.0
+
+
+def q_toa_reflectance(sf_dir: str):
+    """§2.7 solar math (seagrass_lib.py:125-141, 301): per-event earth-sun
+    distance from the timestamp's Julian day, then the reference's TOA
+    remote-sensing-reflectance conversion of the value column; exact-int
+    rollup per event_type."""
+    from gis_scripts_ray.functions.solar import earth_sun_distance_au, toa_reflectance
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy()
+        dau = earth_sun_distance_au(us)
+        rrs = toa_reflectance(
+            batch["value"].to_numpy(), dau, _TOA_IRRADIANCE, _TOA_ZENITH_DEG
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "rrs_milli": pa.array(np.round(rrs * 1000.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cell_sum_count(ds.map_batches(prep, batch_format="pyarrow"), ["event_type"], ["rrs_milli"])
+
+
+def _sql_toa_reflectance() -> str:
+    return (
+        "WITH p AS (SELECT event_type, value, "
+        "CAST(EXTRACT(year FROM ts) AS DOUBLE) AS yr0, "
+        "CAST(EXTRACT(month FROM ts) AS DOUBLE) AS mon0, "
+        "CAST(EXTRACT(day FROM ts) AS DOUBLE) AS d, "
+        "CAST(EXTRACT(hour FROM ts) AS DOUBLE) "
+        "+ CAST(EXTRACT(minute FROM ts) AS DOUBLE)/60.0 "
+        "+ CAST(FLOOR(EXTRACT(second FROM ts)) AS DOUBLE)/3600.0 AS ut FROM events), "
+        "q AS (SELECT event_type, value, "
+        "CASE WHEN mon0 <= 2 THEN yr0 - 1 ELSE yr0 END AS yr, "
+        "CASE WHEN mon0 <= 2 THEN mon0 + 12 ELSE mon0 END AS mon, d, ut FROM p), "
+        "r AS (SELECT event_type, value, "
+        "TRUNC(365.25*(yr+4716.0)) + TRUNC(30.6001*(mon+1.0)) + d + ut/24.0 "
+        "+ (2.0 - TRUNC(yr/100.0) + TRUNC(TRUNC(yr/100.0)/4.0)) - 1524.5 "
+        "- 2451545.0 AS dj FROM q), "
+        "s AS (SELECT event_type, value, 357.529 + 0.98560028*dj AS g FROM r), "
+        "t AS (SELECT event_type, value, 1.00014 - 0.01671*COS(g*(PI()/180.0)) "
+        "- 0.00014*COS(2.0*g*(PI()/180.0)) AS dau FROM s) "
+        "SELECT event_type, CAST(SUM(CAST(ROUND(((value*(dau*dau)*PI())"
+        f"/({_TOA_IRRADIANCE!r}*COS({_TOA_ZENITH_DEG!r}*(PI()/180.0)))/PI())"
+        "*10000.0*1000.0) AS BIGINT)) AS BIGINT) AS sum_rrs_milli, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY event_type"
+    )
+
+
 def q_dos_value(sf_dir: str):
     """A6: median of the lowest 5% of prices (as cents), halved.
 
@@ -492,6 +549,147 @@ def _sql_dedup_exact() -> str:
         "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
         "FROM (SELECT doc_id, text FROM documents "
         "UNION ALL SELECT doc_id + 1000000, text FROM documents) GROUP BY text"
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram (word-trigram) Jaccard as a DISTRIBUTED operator: each
+    doc is paired with a deterministic perturbed copy ('PAD ' prefix,
+    doc_id + 1M); shingle SETS travel as list columns and each pair's
+    intersection/union sizes are exact integers — the oracle recomputes
+    them from string trigram sets in SQL (hash == string-tuple equality
+    modulo 64-bit collisions)."""
+    from gis_scripts_ray.stages.dedup import shingle_sets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        all_ids = np.concatenate([ids, ids + 1_000_000])
+        all_texts = texts + ["PAD " + (t or "") for t in texts]
+        h, off = shingle_sets(all_texts, 3)
+        sh_col = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(h.astype(np.int64), pa.int64())
+        )
+        return pa.table(
+            {
+                "pair": pa.array(all_ids % 1_000_000, pa.int64()),
+                "doc_id": pa.array(all_ids, pa.int64()),
+                "sh": sh_col,
+            }
+        )
+
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_inter", pa.int64()), ("n_union", pa.int64())]
+    )
+
+    def pair_jaccard(group) -> pa.Table:
+        if isinstance(group, dict):
+            group = pa.table(group)
+        elif not isinstance(group, pa.Table):
+            group = pa.Table.from_pandas(group, preserve_index=False)
+        if len(group) != 2:
+            return out_schema.empty_table()
+        ids = group["doc_id"].to_numpy()
+        o = np.argsort(ids)
+        sets = group["sh"].to_pylist()
+        sa = np.asarray(sets[o[0]], dtype=np.uint64)
+        sb = np.asarray(sets[o[1]], dtype=np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        return pa.table(
+            {
+                "doc_a": pa.array([int(ids[o[0]])], pa.int64()),
+                "doc_b": pa.array([int(ids[o[1]])], pa.int64()),
+                "n_inter": pa.array([inter], pa.int64()),
+                "n_union": pa.array([len(sa) + len(sb) - inter], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(pair_jaccard, batch_format="pyarrow")
+    )
+
+
+def _sql_ngram_jaccard() -> str:
+    return (
+        "WITH both_docs AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, 'PAD ' || text FROM documents), "
+        "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM both_docs), "
+        "pad AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
+        "THEN list_concat(ws, list_transform(generate_series(1, 3 - len(ws)), x -> '')) "
+        "ELSE ws END AS ws FROM w), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2), "
+        "i -> ws[i] || chr(1) || ws[i+1] || chr(1) || ws[i+2])) AS s FROM pad) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter, "
+        "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union "
+        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000 "
+        "WHERE a.doc_id < 1000000"
+    )
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs: the corpus unioned with
+    exact copies (vec_id + 1M), pairs with cosine >= 0.99 found by a
+    per-batch matmul against the BROADCAST normalized matrix (the small
+    side; at corpus scale swap in the persisted-LSH-bucket index and
+    probe per bucket). Every vector pairs with exactly its copy."""
+    import ray as _ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": pc.add(batch["vec_id"], 1_000_000), "embedding": batch["embedding"]}
+        )
+
+    both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
+    # broadcast side: the full normalized matrix + ids
+    full = both.to_pandas()
+    ids_all = full["vec_id"].to_numpy().astype(np.int64)
+    m = np.array(full["embedding"].to_list(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    ref = _ray.put((ids_all, m))
+
+    class PairFinder:
+        def __init__(self, ref):
+            self.ids_all, self.m = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            v = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            sims = v @ self.m.T
+            ai, bi = np.nonzero(sims >= 0.99)
+            a = ids[ai]
+            b = self.ids_all[bi]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], pa.int64()),
+                    "vec_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+    return both.map_batches(
+        PairFinder, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    return (
+        "WITH both_v AS (SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM both_v a, both_v b "
+        "WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99"
     )
 
 
@@ -1648,10 +1846,13 @@ QUERIES: dict[str, Callable] = {
     "count_conditions": q_count_conditions,
     "orders_nation_rollup": q_orders_nation_rollup,
     "events_hourly": q_events_hourly,
+    "toa_reflectance": q_toa_reflectance,
     "dos_value": q_dos_value,
     "distinct_langs": q_distinct_langs,
     "top_hosts": q_top_hosts,
     "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
     "embedding_topk": q_embedding_topk,
     "sessionize": q_sessionize,
@@ -1697,10 +1898,13 @@ ORACLES: dict[str, str] = {
     "count_conditions": _sql_count_conditions(),
     "orders_nation_rollup": _sql_orders_nation_rollup(),
     "events_hourly": _sql_events_hourly(),
+    "toa_reflectance": _sql_toa_reflectance(),
     "dos_value": _sql_dos_value(),
     "distinct_langs": _sql_distinct_langs(),
     "top_hosts": _sql_top_hosts(),
     "dedup_exact": _sql_dedup_exact(),
+    "ngram_jaccard": _sql_ngram_jaccard(),
+    "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),
     "embedding_topk": _sql_embedding_topk(),
     "sessionize": _sql_sessionize(),

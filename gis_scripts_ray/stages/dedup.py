@@ -163,7 +163,7 @@ def _shingle_hashes(text: str, w: int) -> np.ndarray:
 
 
 def _batch_shingle_hashes(
-    texts: list[str], w: int
+    texts: "list[str] | pa.Array | pa.ChunkedArray", w: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized w-shingle hashes for a whole batch.
 
@@ -171,9 +171,15 @@ def _batch_shingle_hashes(
     shingles are ``sh[off[i]:off[i+1]]``. Semantics match
     :func:`_shingle_hashes` up to uniqueness (minhash is unaffected by
     duplicate shingles). Word hashing and window rolling are batch-global
-    numpy/polars ops — no per-word Python.
+    numpy/polars ops — no per-word Python; Arrow input converts zero-copy.
     """
-    s = pl.Series([t if t else "" for t in texts])
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        s = pl.from_arrow(texts)
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        s = s.fill_null("")
+    else:
+        s = pl.Series([t if t else "" for t in texts])
     words = s.str.split(" ")
     lens = words.list.len().to_numpy().astype(np.int64)
     flat = words.explode()
@@ -372,7 +378,7 @@ class MinHasher:
         m = self.a[:, None] * sh[None, :] + self.b[:, None]  # wrapping
         return m.min(axis=1)
 
-    def signatures(self, texts: list[str], tile: int = 16384) -> np.ndarray:
+    def signatures(self, texts, tile: int = 16384) -> np.ndarray:
         """(n_docs, num_perm) minhash signatures — fully vectorized: one
         batch-global shingle pass, then per-permutation segment-min
         (``np.minimum.reduceat``) over cache-resident SHINGLE TILES.
@@ -401,7 +407,7 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
-        texts = batch[self.text_col].to_pylist()
+        texts = batch[self.text_col]
         n = len(ids)
         sigs = self.signatures(texts)
         # band keys: FNV-combine each band's rows
@@ -607,6 +613,26 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_sets(texts: list[str], w: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """UNIQUE shingle hashes per doc, batch-vectorized.
+
+    Returns (hashes, offsets): doc i's sorted unique shingles are
+    ``hashes[offsets[i]:offsets[i+1]]``. One global shingle pass
+    (:func:`_batch_shingle_hashes`) + one lexsort + one dedup mask — no
+    per-doc Python."""
+    sh, off = _batch_shingle_hashes(texts, w)
+    n = len(texts)
+    doc = np.repeat(np.arange(n), np.diff(off))
+    order = np.lexsort((sh, doc))
+    d = doc[order]
+    h = sh[order]
+    keep = np.concatenate([[True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+    d = d[keep]
+    h = h[keep]
+    counts = np.bincount(d, minlength=n)
+    return h, np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+
 def jaccard_verify(
     pairs: pa.Table, texts_by_id: dict[int, str], shingle_w: int = 3
 ) -> pa.Table:
@@ -672,11 +698,11 @@ def minhash_band_counts(
     if mh is None:
         mh = MinHasher("", text_col, num_perm, bands, shingle_w, seed)
         _WORKER_MINHASHERS[key] = mh
-    texts = batch[text_col].to_pylist()
+    texts = batch[text_col]
     r = mh.rows_per_band
     all_keys = []
     for s in range(0, len(texts), chunk):
-        sigs = mh.signatures(texts[s : s + chunk])
+        sigs = mh.signatures(texts.slice(s, chunk))
         keys = np.zeros((len(sigs), bands), dtype=np.uint64)
         for b in range(bands):
             blk = sigs[:, b * r : (b + 1) * r]

@@ -219,3 +219,40 @@ class TestRpc:
         idx = [order[l] for l in got["L"]]
         want = rpc_poly(c, L, P, H)[idx]
         assert np.allclose(got["v"], want, rtol=1e-13, atol=1e-13)
+
+
+class TestSolar:
+    def test_earth_sun_distance_matches_reference_transcription(self):
+        import datetime
+
+        import numpy as np
+
+        from gis_scripts_ray.functions.solar import earth_sun_distance_au
+
+        def ref(dt):
+            p = dt.timetuple()
+            yr, mon, d = p.tm_year, p.tm_mon, p.tm_mday
+            if mon in [1, 2]:
+                yr -= 1
+                mon += 12
+            ut = p.tm_hour + p.tm_min / 60.0 + p.tm_sec / 3600.0
+            a = int(yr / 100)
+            b = 2 - a + int(a / 4)
+            jd = int(365.25 * (yr + 4716)) + int(30.6001 * (mon + 1)) + d + ut / 24.0 + b - 1524.5
+            dd = jd - 2451545.0
+            g = 357.529 + 0.98560028 * dd
+            return 1.00014 - 0.01671 * np.cos(g * (np.pi / 180)) - 0.00014 * np.cos(
+                2 * g * (np.pi / 180)
+            )
+
+        rng = np.random.default_rng(0)
+        ts = rng.integers(0, 2_000_000_000, 300) * 1_000_000 + rng.integers(0, 10**6, 300)
+        got = earth_sun_distance_au(ts)
+        want = np.array(
+            [
+                ref(datetime.datetime.fromtimestamp(int(t) // 10**6, tz=datetime.timezone.utc))
+                for t in ts
+            ]
+        )
+        assert (got == want).all()
+        assert got.min() > 0.982 and got.max() < 1.018

@@ -166,6 +166,15 @@ class TestDedup:
         assert len(out) == 0
         assert out.column_names == ["id_a", "id_b", "n_bands", "capped"]
 
+    def test_shingle_sets_matches_per_doc(self):
+        from gis_scripts_ray.stages.dedup import _shingle_hashes, shingle_sets
+
+        texts = ["a b c d e", "", "one", "a a a a", "x y z " * 30, "PAD a b c"]
+        h, off = shingle_sets(texts, 3)
+        for i, t in enumerate(texts):
+            got = h[off[i] : off[i + 1]]
+            assert (got == np.sort(_shingle_hashes(t, 3))).all(), t
+
     def test_minhash_similar_collide(self):
         from gis_scripts_ray.stages.dedup import MinHasher
 
