@@ -65,9 +65,12 @@ def geocode(
 def flagship_joined(
     sf_dir: str,
     cfg: EncodeConfig | None = None,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
-    """web_pages -> geocode -> encode -> PIP join rows (pre-aggregate)."""
+    """web_pages -> geocode -> encode -> PIP join rows (pre-aggregate).
+
+    ``concurrency=None`` = fused task stages (default, fastest); pass a
+    concurrency for the actor-pool variants."""
     cfg = cfg or EncodeConfig()
     pages = web_pages_from_documents(sf_dir)
     # prune: drop the wide binary column before any shuffle/stateful stage
@@ -103,7 +106,7 @@ def flagship_joined(
 def flagship(
     sf_dir: str,
     cfg: EncodeConfig | None = None,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Full flagship: PIP join rows -> per-(tile, class) document aggregates.
 

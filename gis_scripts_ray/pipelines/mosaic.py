@@ -29,6 +29,9 @@ import ray.data
 
 from gis_scripts_ray.stages.tile_agg import cell_sum_count
 
+# worker-process cache for broadcast objects used by task stages
+_WORKER_CACHE: dict = {}
+
 
 def solve_source_adjustments(
     stats: "pa.Table | ray.data.Dataset",
@@ -119,22 +122,18 @@ def harmonize(
     params = solve_source_adjustments(stats_t)
     params_ref = ray.put(params)
 
-    class Apply:
-        def __init__(self, ref):
-            self.params = ray.get(ref)
+    def apply_params(batch: pa.Table, ref=None) -> pa.Table:
+        # worker-cached broadcast params (fused task stage)
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        p = _WORKER_CACHE.get(key)
+        if p is None:
+            p = ray.get(ref)
+            _WORKER_CACHE[key] = p
+        src = batch[source_col].to_pylist()
+        ab = np.asarray([p[s] for s in src])
+        v = batch[value_col].to_numpy().astype(np.float64)
+        adj = ab[:, 0] * v + ab[:, 1]
+        return batch.append_column(f"{value_col}_adj", pa.array(adj, pa.float64()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            src = batch[source_col].to_pylist()
-            ab = np.asarray([self.params[s] for s in src])
-            v = batch[value_col].to_numpy().astype(np.float64)
-            adj = ab[:, 0] * v + ab[:, 1]
-            return batch.append_column(f"{value_col}_adj", pa.array(adj, pa.float64()))
-
-    out = ds.map_batches(
-        Apply,
-        fn_constructor_kwargs={"ref": params_ref},
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
-    )
+    out = ds.map_batches(apply_params, fn_kwargs={"ref": params_ref}, batch_format="pyarrow")
     return out, params

@@ -147,7 +147,23 @@ def located_documents(sf_dir: str, cols: tuple[str, ...] = ("doc_id",)) -> ray.d
     def add_url(batch: pa.Table) -> pa.Table:
         return batch.append_column("url", urls_for_doc_ids(batch["doc_id"].to_numpy()))
 
-    return geocode(ds.map_batches(add_url, batch_format="pyarrow"), concurrency=2)
+    return geocode(ds.map_batches(add_url, batch_format="pyarrow"))
+
+
+# worker-process cache for broadcast objects used by task stages (same
+# rationale as pip_join._cached_index: load once per worker, keep fusion)
+_WORKER_BROADCAST: dict = {}
+
+
+def _worker_broadcast(ref):
+    import ray as _ray
+
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _WORKER_BROADCAST.get(key)
+    if obj is None:
+        obj = _ray.get(ref)
+        _WORKER_BROADCAST[key] = obj
+    return obj
 
 
 def _cents(col) -> pa.Array:
@@ -183,7 +199,7 @@ def _sql_geo_tile_counts() -> str:
 
 def q_geo_pip_class_stats(sf_dir: str):
     ds = located_documents(sf_dir, ("doc_id", "n_chars"))
-    joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id", "n_chars"], concurrency=2)
+    joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id", "n_chars"])
     return cell_sum_count(joined, ["class"], ["n_chars"])
 
 
@@ -199,7 +215,7 @@ def _sql_geo_pip_class_stats() -> str:
 
 def q_geo_pip_join_rows(sf_dir: str):
     ds = located_documents(sf_dir)
-    joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id"], concurrency=2)
+    joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id"])
     return joined.select_columns(["doc_id", "polygon_id"])
 
 
@@ -328,28 +344,20 @@ def q_orders_nation_rollup(sf_dir: str):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    class NationTagger:
-        def __init__(self, ref):
-            import ray as _ray
-
-            self.lookup = _ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            custs = batch["o_custkey"].to_pylist()
-            names = [self.lookup.get(c) for c in custs]
-            return pa.table(
-                {
-                    "n_name": pa.array(names, pa.string()),
-                    "total_cents": _cents(batch["o_totalprice"]),
-                }
-            )
+    def tag_nation(batch: pa.Table, ref=None) -> pa.Table:
+        # worker-cached broadcast lookup (task stage — fuses, no actor spawn)
+        lookup = _worker_broadcast(ref)
+        custs = batch["o_custkey"].to_pylist()
+        names = [lookup.get(c) for c in custs]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "total_cents": _cents(batch["o_totalprice"]),
+            }
+        )
 
     tagged = ds.map_batches(
-        NationTagger,
-        fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow",
-        concurrency=2,
-        num_cpus=0.5,
+        tag_nation, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow"
     )
     return cell_sum_count(tagged, ["n_name"], ["total_cents"])
 
@@ -657,30 +665,24 @@ def q_embedding_neardup(sf_dir: str):
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
     ref = _ray.put((ids_all, m))
 
-    class PairFinder:
-        def __init__(self, ref):
-            self.ids_all, self.m = _ray.get(ref)
+    def find_pairs(batch: pa.Table, ref=None) -> pa.Table:
+        ids_all, mm = _worker_broadcast(ref)
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        v = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        sims = v @ mm.T
+        ai, bi = np.nonzero(sims >= 0.99)
+        a = ids[ai]
+        b = ids_all[bi]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch["vec_id"].to_numpy().astype(np.int64)
-            v = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
-            sims = v @ self.m.T
-            ai, bi = np.nonzero(sims >= 0.99)
-            a = ids[ai]
-            b = self.ids_all[bi]
-            keep = a < b
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep], pa.int64()),
-                    "vec_b": pa.array(b[keep], pa.int64()),
-                }
-            )
-
-    return both.map_batches(
-        PairFinder, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    return both.map_batches(find_pairs, fn_kwargs={"ref": ref}, batch_format="pyarrow")
 
 
 def _sql_embedding_neardup() -> str:
@@ -739,7 +741,7 @@ def q_pip_best_match(sf_dir: str):
     from gis_scripts_ray.stages.pip_join import pip_tag_best
 
     ds = located_documents(sf_dir)
-    tagged = pip_tag_best(ds, rect_polygon_table(), carry_cols=["doc_id"], concurrency=2)
+    tagged = pip_tag_best(ds, rect_polygon_table(), carry_cols=["doc_id"])
     return tagged.select_columns(["doc_id", "polygon_id"])
 
 

@@ -35,6 +35,9 @@ from gis_scripts_ray.functions.gridops import connected_components
 _NEIGH4 = ((1, 0), (0, 1))
 _NEIGH8 = ((1, 0), (0, 1), (1, 1), (1, -1))
 
+# worker-process cache for broadcast objects used by task stages
+_WORKER_CACHE: dict = {}
+
 
 def _pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return (np.asarray(x, dtype=np.int64) << np.int64(32)) | np.asarray(
@@ -109,29 +112,28 @@ def distributed_components(
     )
     if not remap:
         return labeled
-    remap_ref = _ray.put(remap)
+    keys = np.array(sorted(remap), dtype=np.int64)
+    vals = np.array([remap[k] for k in keys], dtype=np.int64)
+    remap_ref = _ray.put((keys, vals))
 
-    class Relabel:
-        def __init__(self, ref):
-            remap = _ray.get(ref)
-            self.keys = np.array(sorted(remap), dtype=np.int64)
-            self.vals = np.array([remap[k] for k in self.keys], dtype=np.int64)
+    def relabel(batch: pa.Table, ref=None) -> pa.Table:
+        # worker-cached broadcast remap (fused task stage, no actor spawn)
+        key = ref.hex() if hasattr(ref, "hex") else id(ref)
+        kv = _WORKER_CACHE.get(key)
+        if kv is None:
+            kv = _ray.get(ref)
+            _WORKER_CACHE[key] = kv
+        keys_, vals_ = kv
+        lab = batch["component"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys_, lab)
+        pos = np.clip(pos, 0, len(keys_) - 1)
+        hit = keys_[pos] == lab
+        new = np.where(hit, vals_[pos], lab)
+        return batch.drop_columns(["component"]).append_column(
+            "component", pa.array(new, pa.int64())
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            lab = batch["component"].to_numpy().astype(np.int64)
-            keys, vals = self.keys, self.vals
-            pos = np.searchsorted(keys, lab)
-            pos = np.clip(pos, 0, len(keys) - 1)
-            hit = keys[pos] == lab
-            new = np.where(hit, vals[pos], lab)
-            return batch.drop_columns(["component"]).append_column(
-                "component", pa.array(new, pa.int64())
-            )
-
-    return labeled.map_batches(
-        Relabel, fn_constructor_kwargs={"ref": remap_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
+    return labeled.map_batches(relabel, fn_kwargs={"ref": remap_ref}, batch_format="pyarrow")
 
 
 def _label_local_values(

@@ -27,9 +27,12 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count
 
 _MERSENNE = (1 << 61) - 1
+
+# worker-process cache for broadcast objects used by task stages
+_WORKER_CACHE: dict = {}
 
 
 def content_hash_cols(batch: pa.Table, col: str) -> pa.Table:
@@ -49,9 +52,14 @@ def dedup_stats(
 ) -> ray.data.Dataset:
     """One row per distinct content: (h1, h2, keep_id=min(id), n_dups).
 
-    Two-level combine: in-batch partial (Arrow group_by) then a groupby of
-    the partials — the all-to-all never carries the content column.
+    Two-level combine: in-batch partial (Arrow group_by) then the adaptive
+    :func:`~gis_scripts_ray.stages.tile_agg.coalesce_shuffle_agg` — the
+    hash key space is unbounded (one per distinct content), so the finish
+    is a hash shuffle at corpus scale and shuffle-free when the measured
+    reduced size fits one block; either way the all-to-all never carries
+    the content column.
     """
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         b = content_hash_cols(batch, content_col)
@@ -66,8 +74,14 @@ def dedup_stats(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["h1", "h2"]).aggregate(
-        Min("keep_id", alias_name="keep_id"), Sum("n", alias_name="n_dups")
+    combined = coalesce_shuffle_agg(
+        partials, ["h1", "h2"], {"keep_id": "min", "n": "sum"}
+    )
+    return combined.map_batches(
+        lambda b: b.rename_columns(
+            ["n_dups" if c == "n" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -103,21 +117,18 @@ def dedup_rows(
                 or [np.array([], dtype=np.int64)]
             )
         )
-        keep_ref = _ray.put(keep)
+        keep_ref = _ray.put(pa.array(keep, pa.int64()))
 
-        class KeepFilter:
-            def __init__(self, ref):
-                self.keep = pa.array(_ray.get(ref), pa.int64())
+        def keep_filter(batch: pa.Table, ref=None) -> pa.Table:
+            # worker-cached broadcast keep set (fused task stage)
+            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            ks = _WORKER_CACHE.get(key)
+            if ks is None:
+                ks = _ray.get(ref)
+                _WORKER_CACHE[key] = ks
+            return batch.filter(pc.is_in(batch[id_col], value_set=ks))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                return batch.filter(pc.is_in(batch[id_col], value_set=self.keep))
-
-        return ds.map_batches(
-            KeepFilter,
-            fn_constructor_kwargs={"ref": keep_ref},
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
+        return ds.map_batches(keep_filter, fn_kwargs={"ref": keep_ref}, batch_format="pyarrow")
     cols = ds.schema().names
     # compact the keep-id side: Ray's native join (2.49) rejects the raw
     # aggregate output's block layout (empty shuffle-partition blocks raise

@@ -125,16 +125,35 @@ def pip_join(
     )
 
 
+def pip_tag_best_batch(batch: pa.Table, index_ref=None, carry_cols=None) -> pa.Table:
+    """Stateless-task best-match tag with worker-cached STRtree (fusable)."""
+    joiner = PipJoiner.__new__(PipJoiner)
+    joiner.index = _cached_index(index_ref)
+    joiner.carry_cols = carry_cols
+    joiner.mode = "best"
+    return joiner(batch)
+
+
 def pip_tag_best(
     ds: ray.data.Dataset,
     polygons: pa.Table,
     carry_cols: list[str],
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     num_cpus: float = 0.5,
 ) -> ray.data.Dataset:
-    """Left tag with the highest-(priority, polygon_id) polygon or -1/null."""
+    """Left tag with the highest-(priority, polygon_id) polygon or -1/null.
+
+    Same task-vs-actor choice as :func:`pip_join` (``concurrency=None``
+    default = fused tasks, no per-execution actor spawn)."""
     index_ref = ray.put(PolygonIndex(polygons))
+    if concurrency is None:
+        return ds.map_batches(
+            pip_tag_best_batch,
+            fn_kwargs={"index_ref": index_ref, "carry_cols": carry_cols},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         PipJoiner,
         fn_constructor_kwargs={

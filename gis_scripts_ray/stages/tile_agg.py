@@ -57,7 +57,9 @@ def partial_cell_agg(value_cols: list[str], key_cols: list[str]):
 def cell_sum_count(
     ds: ray.data.Dataset, key_cols: list[str], value_cols: list[str]
 ) -> ray.data.Dataset:
-    """Exact per-key (sum_<col>..., n) via partial pre-agg + small shuffle.
+    """Exact per-key (sum_<col>..., n) via partial pre-agg + adaptive
+    combine (:func:`coalesce_shuffle_agg` — no-shuffle finish when the
+    measured reduced size fits one block, hash shuffle otherwise).
 
     Integer columns keep integer sums (exact, order-independent) — the
     preferred output shape for oracle-checked queries.
@@ -65,9 +67,9 @@ def cell_sum_count(
     partials = ds.map_batches(
         partial_cell_agg(value_cols, key_cols), batch_format="pyarrow"
     )
-    aggs = [Sum("sum_" + c, alias_name="sum_" + c) for c in value_cols]
-    aggs.append(Sum("n", alias_name="n"))
-    return partials.groupby(key_cols).aggregate(*aggs)
+    ops = {("sum_" + c): "sum" for c in value_cols}
+    ops["n"] = "sum"
+    return coalesce_shuffle_agg(partials, key_cols, ops)
 
 
 def tree_aggregate(
@@ -122,18 +124,18 @@ def cell_count(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(key_cols).aggregate(Sum(alias, alias_name=alias))
+    return coalesce_shuffle_agg(partials, key_cols, {alias: "sum"})
 
 
-def coalesce_shuffle_sum(
+def coalesce_shuffle_agg(
     partials: ray.data.Dataset,
     key_cols: list[str],
-    sum_cols: list[str],
+    ops: dict[str, str],
     group_factor: int = 8,
     small_limit: int = 8_000_000,
 ) -> ray.data.Dataset:
-    """Combine per-block partial sums over an UNBOUNDED key space,
-    memory-bounded at every step.
+    """Combine per-block partial aggregates (``ops``: col -> sum|min|max)
+    over an arbitrarily large key space, memory-bounded at every step.
 
     The scale-safe sibling of :func:`tree_aggregate`: one bounded coalesce
     level (merge ~``group_factor`` partial blocks each, re-combining
@@ -152,13 +154,21 @@ def coalesce_shuffle_sum(
       ``repartition(1)`` — one block holding EVERY distinct key, ~docs x
       bands for MinHash bands at 10^12 docs — is exactly what this
       function exists to avoid).
+
+    All ops are algebraic, so the result is identical either way.
     """
+    items = list(ops.items())
 
     def combine(batch: pa.Table) -> pa.Table:
-        out = batch.group_by(key_cols).aggregate([(c, "sum") for c in sum_cols])
-        return out.rename_columns(
-            [c[: -len("_sum")] if c.endswith("_sum") else c for c in out.column_names]
-        )
+        out = batch.group_by(key_cols).aggregate([(c, op) for c, op in items])
+        names = []
+        for name in out.column_names:
+            for c, op in items:
+                if name == f"{c}_{op}":
+                    name = c
+                    break
+            names.append(name)
+        return out.rename_columns(names)
 
     # materialized first for the same reason as tree_aggregate: in-stream
     # repartition is a pathological barrier at low parallelism
@@ -172,8 +182,22 @@ def coalesce_shuffle_sum(
         return lvl1.repartition(1).map_batches(
             combine, batch_format="pyarrow", batch_size=None
         )
-    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    ray_aggs = {"sum": Sum, "min": Min, "max": Max}
+    aggs = [ray_aggs[op](c, alias_name=c) for c, op in items]
     return lvl1.groupby(key_cols).aggregate(*aggs)
+
+
+def coalesce_shuffle_sum(
+    partials: ray.data.Dataset,
+    key_cols: list[str],
+    sum_cols: list[str],
+    group_factor: int = 8,
+    small_limit: int = 8_000_000,
+) -> ray.data.Dataset:
+    """All-sum convenience wrapper over :func:`coalesce_shuffle_agg`."""
+    return coalesce_shuffle_agg(
+        partials, key_cols, {c: "sum" for c in sum_cols}, group_factor, small_limit
+    )
 
 
 def cell_mean(
@@ -297,10 +321,8 @@ def cell_stats(
         return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(key_cols).aggregate(
-        Sum("sum_v", alias_name="sum_v"),
-        Sum("n", alias_name="n"),
-        Min("min_v", alias_name="min_v"),
-        Max("max_v", alias_name="max_v"),
-        Sum("sumsq_v", alias_name="sumsq_v"),
+    return coalesce_shuffle_agg(
+        partials,
+        key_cols,
+        {"sum_v": "sum", "n": "sum", "min_v": "min", "max_v": "max", "sumsq_v": "sum"},
     )
