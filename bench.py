@@ -10,10 +10,12 @@ documents.parquet, replicated GRAFT_BENCH_REPLICATE times (default 100 ->
 timed; the timed pipeline starts at read_parquet like production would).
 
 --scaling: runs the FULL pipeline (spatial join + tiling + MinHash-LSH
-dedup) in two fresh processes at N and 4N CPUs (default 4 and 16 —
-below single-socket DRAM saturation, the regime that models multi-node
-scaling; see BASELINE.md) on the SAME input and reports
-efficiency = rate_4N / (4 * rate_N). Override with GRAFT_SCALING_LO/HI.
+dedup) in FOUR fresh ABBA-interleaved processes (lo, hi, hi, lo) at N
+and 4N CPUs (default 4 and 16 — below single-socket DRAM saturation,
+the regime that models multi-node scaling; see BASELINE.md) on the SAME
+input; each level takes its per-stage best across reps and children, and
+the report is efficiency = rate_4N / (4 * rate_N) with every raw rep
+included. Override with GRAFT_SCALING_LO/HI/REPS.
 """
 
 from __future__ import annotations

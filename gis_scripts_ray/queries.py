@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+
 
 from gis_scripts_ray.functions import wkb
 from gis_scripts_ray.sources.polygons import rectangles_table
@@ -514,10 +514,10 @@ def q_top_hosts(sf_dir: str):
 
         return pa.table({"host": extract_host(batch["url"].combine_chunks())})
 
-    counts = (
-        ds.map_batches(add_host, batch_format="pyarrow")
-        .groupby("host")
-        .aggregate(Count(alias_name="n_docs"))
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    counts = cell_count(
+        ds.map_batches(add_host, batch_format="pyarrow"), ["host"], alias="n_docs"
     )
     top = counts.sort(["n_docs", "host"], descending=[True, False]).limit(10)
     return top
@@ -830,15 +830,22 @@ def q_source_bbox_overlaps(sf_dir: str):
     """J1: O(n^2) bbox self-join over per-source extents (driver-side small
     n, like the reference's find_overlaps)."""
     ds = located_documents(sf_dir, ("doc_id", "source"))
-    from ray.data.aggregate import Max, Min
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    def partial_ext(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select(["source", "lat", "lon"])
+            .group_by(["source"])
+            .aggregate([("lat", "min"), ("lat", "max"), ("lon", "min"), ("lon", "max")])
+        )
+        rename = {"lat_min": "lat0", "lat_max": "lat1", "lon_min": "lon0", "lon_max": "lon1"}
+        return out.rename_columns([rename.get(c, c) for c in out.column_names])
 
     ext = (
-        ds.groupby("source")
-        .aggregate(
-            Min("lat", alias_name="lat0"),
-            Max("lat", alias_name="lat1"),
-            Min("lon", alias_name="lon0"),
-            Max("lon", alias_name="lon1"),
+        coalesce_shuffle_agg(
+            ds.map_batches(partial_ext, batch_format="pyarrow"),
+            ["source"],
+            {"lat0": "min", "lat1": "max", "lon0": "min", "lon1": "max"},
         )
         .to_pandas()
         .sort_values("source")
@@ -884,6 +891,8 @@ def q_cells_all_sources(sf_dir: str):
     ).unique("lang")
     k = len(langs)
 
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
     def partial(batch: pa.Table) -> pa.Table:
         return (
             batch.select(["tile_x", "tile_y", "lang"])
@@ -892,15 +901,16 @@ def q_cells_all_sources(sf_dir: str):
         )
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
-    per_cell = (
-        pairs.groupby(["tile_x", "tile_y", "lang"])
-        .count()
-        .groupby(["tile_x", "tile_y"])
-        .count()
+    # distinct (tile, lang) triples, then langs per tile — both adaptive
+    distinct = cell_count(pairs, ["tile_x", "tile_y", "lang"], alias="_m")
+    per_cell = cell_count(
+        distinct.select_columns(["tile_x", "tile_y", "lang"]),
+        ["tile_x", "tile_y"],
+        alias="n_langs",
     )
 
     def keep_full(batch: pa.Table) -> pa.Table:
-        m = pc.equal(batch["count()"], k)
+        m = pc.equal(batch["n_langs"], k)
         return batch.filter(m).select(["tile_x", "tile_y"])
 
     return per_cell.map_batches(keep_full, batch_format="pyarrow")
@@ -1682,9 +1692,13 @@ def q_langid_pred_counts(sf_dir: str):
     """Heuristic language-ID stage; prediction counts per true lang."""
     from gis_scripts_ray.stages.textstages import langid_rows
 
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     scored = ds.map_batches(langid_rows, batch_format="pyarrow")
-    return scored.groupby(["lang", "lang_pred"]).aggregate(Count(alias_name="n"))
+    return cell_count(
+        scored.select_columns(["lang", "lang_pred"]), ["lang", "lang_pred"], alias="n"
+    )
 
 
 def q_ann_lsh(sf_dir: str):

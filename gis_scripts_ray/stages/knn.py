@@ -233,9 +233,13 @@ def knn_cell_ring(
 
     In a multi-probe pipeline the census is computed once and shared.
     """
-    cell_tbl = ds.groupby(cell_col).count().to_pandas()
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    cell_tbl = cell_count(
+        ds.select_columns([cell_col]), [cell_col], alias="n"
+    ).to_pandas()
     cells = cell_tbl[cell_col].to_numpy()
-    counts = cell_tbl["count()"].to_numpy()
+    counts = cell_tbl["n"].to_numpy()
     if len(cells) == 0:
         return knn_brute(ds, probe_lat, probe_lon, k, id_col, lat_col, lon_col)
 

@@ -28,12 +28,12 @@ def value_histogram(ds: ray.data.Dataset, col: str) -> tuple[np.ndarray, np.ndar
         out = batch.select([col]).group_by([col]).aggregate([(col, "count")])
         return out.rename_columns([col, "n"])
 
-    from ray.data.aggregate import Sum
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
 
     hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(col)
-        .aggregate(Sum("n", alias_name="n"))
+        coalesce_shuffle_agg(
+            ds.map_batches(partial, batch_format="pyarrow"), [col], {"n": "sum"}
+        )
         .to_pandas()
         .sort_values(col)
     )
