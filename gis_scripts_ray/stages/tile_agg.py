@@ -173,6 +173,14 @@ def coalesce_shuffle_agg(
     # materialized first for the same reason as tree_aggregate: in-stream
     # repartition is a pathological barrier at low parallelism
     partials = partials.materialize()
+    if partials.count() <= 512_000:
+        # tiny jobs: single coalesce+combine, no intermediate level (each
+        # execution round costs fixed driver/scheduler time that dominates
+        # small aggregations; 512k rows group_by in one task is ~100 ms,
+        # far below one round's overhead)
+        return partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
     n_blocks = max(partials.num_blocks(), 1)
     lvl1 = partials.repartition(max(1, (n_blocks + group_factor - 1) // group_factor))
     lvl1 = lvl1.map_batches(
