@@ -27,7 +27,6 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count
 
 _MERSENNE = (1 << 61) - 1
 
@@ -484,7 +483,6 @@ def minhash_lsh_candidates(
     holding the rows in the object store.
     """
     import pyarrow.compute as pc
-    from ray.data.aggregate import Max
 
     from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
 
@@ -607,13 +605,16 @@ def minhash_lsh_candidates(
         )
 
     pairs = cand.groupby("combo").map_groups(expand_pairs, batch_format="pyarrow")
-    agg = (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="n_bands"), Max("capped_i", alias_name="capped_i"))
-        .to_pandas()
-    )
-    if len(agg) == 0:
+    # per-band pair rows are the same size class as the RESULT (<= bands x
+    # candidate pairs), which is driver-bound by contract — finish the
+    # (id_a, id_b) band count in pandas rather than paying another Ray
+    # shuffle execution
+    df = pairs.to_pandas()
+    if len(df) == 0:
         return empty
+    agg = df.groupby(["id_a", "id_b"], as_index=False).agg(
+        n_bands=("capped_i", "size"), capped_i=("capped_i", "max")
+    )
     return pa.table(
         {
             "id_a": pa.array(agg["id_a"].to_numpy(), pa.int64()),
