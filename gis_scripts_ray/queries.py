@@ -1806,6 +1806,17 @@ def q_harmonize_params(sf_dir: str):
     )
 
 
+def q_train_eval(sf_dir: str):
+    """T1 analog: deterministic split -> distributed full-batch softmax
+    regression on the embeddings table (per-epoch gradient partials x
+    blocks, model broadcast back) -> per-class val confusion counts.
+    Training is iterative state, not SQL-expressible — rows-only check;
+    the accuracy floor is asserted in tests/test_train.py."""
+    from gis_scripts_ray.pipelines.train import train_eval
+
+    return train_eval(sf_dir, epochs=20)
+
+
 def q_checkpoint_resume(sf_dir: str):
     """Resumable partitioned write: writes, drops one partition, resumes;
     returns per-partition manifest rows (n partitions x n_rows)."""
@@ -1898,6 +1909,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "harmonize_params": q_harmonize_params,
     "checkpoint_resume": q_checkpoint_resume,
+    "train_eval": q_train_eval,
     "text_fingerprints": q_text_fingerprints,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
