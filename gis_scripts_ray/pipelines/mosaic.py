@@ -27,10 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from gis_scripts_ray.state.broadcast import worker_broadcast
 from gis_scripts_ray.stages.tile_agg import cell_sum_count
-
-# worker-process cache for broadcast objects used by task stages
-_WORKER_CACHE: dict = {}
 
 
 def solve_source_adjustments(
@@ -76,10 +74,17 @@ def solve_source_adjustments(
         ia = ib = np.empty(0, dtype=np.int64)
     n_pairs = len(ia)
     if n_pairs > 2_000_000:
+        import warnings
+
         # cells x C(sources, 2) grew past driver scale — thin the
         # constraint set deterministically (every stride-th pair in
-        # (cell, i, j) order) rather than OOM; LOUD, never silent
+        # (cell, i, j) order) rather than OOM, and WARN so the caller
+        # knows the solve is no longer using every overlap constraint
         stride = (n_pairs + 1_999_999) // 2_000_000
+        warnings.warn(
+            f"harmonize: thinning {n_pairs} overlap constraints by stride "
+            f"{stride} (driver-memory cap)", RuntimeWarning, stacklevel=2,
+        )
         ia, ib = ia[::stride], ib[::stride]
         n_pairs = len(ia)
     w = np.sqrt(np.minimum(nn[ia], nn[ib]))
@@ -124,11 +129,7 @@ def harmonize(
 
     def apply_params(batch: pa.Table, ref=None) -> pa.Table:
         # worker-cached broadcast params (fused task stage)
-        key = ref.hex() if hasattr(ref, "hex") else id(ref)
-        p = _WORKER_CACHE.get(key)
-        if p is None:
-            p = ray.get(ref)
-            _WORKER_CACHE[key] = p
+        p = worker_broadcast(ref)
         src = batch[source_col].to_pylist()
         ab = np.asarray([p[s] for s in src])
         v = batch[value_col].to_numpy().astype(np.float64)

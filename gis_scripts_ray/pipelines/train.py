@@ -30,8 +30,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-# worker-process cache for broadcast weights
-_WORKER_CACHE: dict = {}
+from gis_scripts_ray.state.broadcast import worker_broadcast
 
 
 def _features(batch: pa.Table, feature_col: str) -> np.ndarray:
@@ -69,11 +68,7 @@ def train_logreg(
         w_ref = ray.put(w)
 
         def grad_partial(batch: pa.Table, ref=None) -> pa.Table:
-            key = ref.hex() if hasattr(ref, "hex") else id(ref)
-            ww = _WORKER_CACHE.get(key)
-            if ww is None:
-                ww = ray.get(ref)
-                _WORKER_CACHE[key] = ww
+            ww = worker_broadcast(ref)
             x = _features(batch, feature_col)
             y = batch[label_col].to_numpy().astype(np.int64)
             p = _softmax(x @ ww)
@@ -108,11 +103,7 @@ def predict(
     w_ref = ray.put(np.asarray(w, dtype=np.float64))
 
     def infer(batch: pa.Table, ref=None) -> pa.Table:
-        key = ref.hex() if hasattr(ref, "hex") else id(ref)
-        ww = _WORKER_CACHE.get(key)
-        if ww is None:
-            ww = ray.get(ref)
-            _WORKER_CACHE[key] = ww
+        ww = worker_broadcast(ref)
         x = _features(batch, feature_col)
         pred = np.argmax(x @ ww, axis=1).astype(np.int64)
         cols = {"pred": pa.array(pred, pa.int64())}

@@ -150,20 +150,7 @@ def located_documents(sf_dir: str, cols: tuple[str, ...] = ("doc_id",)) -> ray.d
     return geocode(ds.map_batches(add_url, batch_format="pyarrow"))
 
 
-# worker-process cache for broadcast objects used by task stages (same
-# rationale as pip_join._cached_index: load once per worker, keep fusion)
-_WORKER_BROADCAST: dict = {}
-
-
-def _worker_broadcast(ref):
-    import ray as _ray
-
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
-    obj = _WORKER_BROADCAST.get(key)
-    if obj is None:
-        obj = _ray.get(ref)
-        _WORKER_BROADCAST[key] = obj
-    return obj
+from gis_scripts_ray.state.broadcast import worker_broadcast as _worker_broadcast
 
 
 def _cents(col) -> pa.Array:
@@ -580,9 +567,12 @@ def q_ngram_jaccard(sf_dir: str):
         sh_col = pa.ListArray.from_arrays(
             pa.array(off, pa.int32()), pa.array(h.astype(np.int64), pa.int64())
         )
+        # pair key = the ORIGINAL doc id for both members — collision-free
+        # for any id range (a modulo key would silently merge doc 0 with
+        # doc 1M and drop both via the 2-member guard)
         return pa.table(
             {
-                "pair": pa.array(all_ids % 1_000_000, pa.int64()),
+                "pair": pa.array(np.concatenate([ids, ids]), pa.int64()),
                 "doc_id": pa.array(all_ids, pa.int64()),
                 "sh": sh_col,
             }

@@ -31,12 +31,10 @@ import pyarrow as pa
 import ray.data
 
 from gis_scripts_ray.functions.gridops import connected_components
+from gis_scripts_ray.state.broadcast import worker_broadcast
 
 _NEIGH4 = ((1, 0), (0, 1))
 _NEIGH8 = ((1, 0), (0, 1), (1, 1), (1, -1))
-
-# worker-process cache for broadcast objects used by task stages
-_WORKER_CACHE: dict = {}
 
 
 def _pack(x: np.ndarray, y: np.ndarray) -> np.ndarray:
@@ -118,12 +116,7 @@ def distributed_components(
 
     def relabel(batch: pa.Table, ref=None) -> pa.Table:
         # worker-cached broadcast remap (fused task stage, no actor spawn)
-        key = ref.hex() if hasattr(ref, "hex") else id(ref)
-        kv = _WORKER_CACHE.get(key)
-        if kv is None:
-            kv = _ray.get(ref)
-            _WORKER_CACHE[key] = kv
-        keys_, vals_ = kv
+        keys_, vals_ = worker_broadcast(ref)
         lab = batch["component"].to_numpy().astype(np.int64)
         pos = np.searchsorted(keys_, lab)
         pos = np.clip(pos, 0, len(keys_) - 1)

@@ -30,8 +30,7 @@ import ray.data
 
 _MERSENNE = (1 << 61) - 1
 
-# worker-process cache for broadcast objects used by task stages
-_WORKER_CACHE: dict = {}
+from gis_scripts_ray.state.broadcast import worker_broadcast
 
 
 def content_hash_cols(batch: pa.Table, col: str) -> pa.Table:
@@ -120,12 +119,9 @@ def dedup_rows(
 
         def keep_filter(batch: pa.Table, ref=None) -> pa.Table:
             # worker-cached broadcast keep set (fused task stage)
-            key = ref.hex() if hasattr(ref, "hex") else id(ref)
-            ks = _WORKER_CACHE.get(key)
-            if ks is None:
-                ks = _ray.get(ref)
-                _WORKER_CACHE[key] = ks
-            return batch.filter(pc.is_in(batch[id_col], value_set=ks))
+            return batch.filter(
+                pc.is_in(batch[id_col], value_set=worker_broadcast(ref))
+            )
 
         return ds.map_batches(keep_filter, fn_kwargs={"ref": keep_ref}, batch_format="pyarrow")
     cols = ds.schema().names

@@ -151,6 +151,16 @@ def knn_multi_brute(
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(partials) == 0:
+        cols = {
+            "probe": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "dist_m": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }
+        if value_col:
+            cols["value"] = pa.array([], pa.float64())
+        return pa.table(cols)
     # final refine: ONE lexsort over all probes' partials + run-offset
     # ranks (no per-probe Python loop — probes may be a dense raster grid)
     pr = partials["probe"].to_numpy()
@@ -180,6 +190,14 @@ def idw_interpolate(
     top = knn_multi_brute(
         ds, probe_lat, probe_lon, k, id_col=id_col, value_col=value_col
     ).to_pandas()
+    if len(top) == 0:
+        return pa.table(
+            {
+                "probe": pa.array([], pa.int64()),
+                "idw_value": pa.array([], pa.float64()),
+                "n_neighbors": pa.array([], pa.int64()),
+            }
+        )
     # vectorized per-probe finalize (reduceat over probe runs — the
     # knn_multi_brute output is already probe-sorted)
     pr = top["probe"].to_numpy()

@@ -165,41 +165,32 @@ def _subsample_gray(rgb: np.ndarray, target_size: tuple[int, int]) -> np.ndarray
     return gray[np.ix_(ys, xs)].astype(np.uint8)
 
 
-def _decode_payload(payload: bytes, target_size: tuple[int, int]) -> np.ndarray:
-    """Decode to a (h, w) grayscale thumbnail.
+def _decode_thumb_and_sum(
+    payload: bytes, target_size: tuple[int, int]
+) -> tuple[np.ndarray, int]:
+    """Decode ONCE to ((h, w) grayscale thumbnail, pixel-byte checksum).
 
-    REAL decode for bmp/ppm (pure numpy, see above). png/jpeg/gif/riff/pdf
-    still raise ``NotImplementedError`` — those formats need entropy
-    decoders not available in this environment; production swaps this
-    function. html/unknown payloads produce a deterministic byte-derived
-    'thumbnail' so plumbing is exercised with real shapes.
+    REAL decode for bmp/ppm (pure numpy, see above); the checksum is the
+    int64 sum of the decoded RGB bytes (-1 when no real decoder ran).
+    png/jpeg/gif/riff/pdf raise ``NotImplementedError`` — those formats
+    need entropy decoders not available in this environment; production
+    swaps this function. html/unknown payloads produce a deterministic
+    byte-derived 'thumbnail' so plumbing is exercised with real shapes.
     """
     kind = sniff_type(payload)
-    if kind == "bmp":
-        return _subsample_gray(decode_bmp(payload), target_size)
-    if kind == "ppm":
-        return _subsample_gray(decode_ppm(payload), target_size)
+    if kind in ("bmp", "ppm"):
+        rgb = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
+        return _subsample_gray(rgb, target_size), int(rgb.sum(dtype=np.int64))
     if kind in ("png", "jpeg", "gif", "riff", "pdf"):
         raise NotImplementedError(
             f"real {kind} decode requires an image library not present in "
-            "this environment — production swaps _decode_payload"
+            "this environment — production swaps _decode_thumb_and_sum"
         )
     h, w = target_size
     b = np.frombuffer(payload[: h * w] or b"\x00", dtype=np.uint8)
     out = np.zeros(h * w, dtype=np.uint8)
     out[: len(b)] = b[: h * w]
-    return out.reshape(h, w)
-
-
-def _pixel_sum(payload: bytes) -> int:
-    """int64 sum of decoded RGB bytes (the SQL-checkable decode checksum);
-    -1 for payloads without a real decoder."""
-    kind = sniff_type(payload)
-    if kind == "bmp":
-        return int(decode_bmp(payload).sum(dtype=np.int64))
-    if kind == "ppm":
-        return int(decode_ppm(payload).sum(dtype=np.int64))
-    return -1
+    return out.reshape(h, w), -1
 
 
 class DecodeStage:
@@ -226,9 +217,10 @@ class DecodeStage:
         sums = np.full(len(payloads), -1, dtype=np.int64)
         for i, p in enumerate(payloads):
             try:
-                thumbs[i] = _decode_payload(p or b"", self.target_size).ravel()
+                thumb, psum = _decode_thumb_and_sum(p or b"", self.target_size)
+                thumbs[i] = thumb.ravel()
+                sums[i] = psum
                 ok[i] = kinds[i] in ("bmp", "ppm", "html", "unknown", "empty")
-                sums[i] = _pixel_sum(p or b"")
             except NotImplementedError:
                 pass  # entropy-coded media: stub leaves zeros until prod swap
             except ValueError:

@@ -69,18 +69,9 @@ class PipJoiner:
 
 
 # worker-process cache for task-based PIP stages (see geocoder.geocode_batch
-# for the task-vs-actor tradeoff); keyed by ObjectRef so several polygon
-# layers can coexist
-_WORKER_PIP_CACHE: dict = {}
-
-
-def _cached_index(index_ref) -> PolygonIndex:
-    key = index_ref.hex() if hasattr(index_ref, "hex") else id(index_ref)
-    idx = _WORKER_PIP_CACHE.get(key)
-    if idx is None:
-        idx = ray.get(index_ref)
-        _WORKER_PIP_CACHE[key] = idx
-    return idx
+# for the task-vs-actor tradeoff); the shared bounded cache lets several
+# polygon layers coexist without growing forever in long-lived workers
+from gis_scripts_ray.state.broadcast import worker_broadcast as _cached_index
 
 
 def pip_join_batch(batch: pa.Table, index_ref=None, carry_cols=None) -> pa.Table:
