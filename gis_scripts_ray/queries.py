@@ -1703,6 +1703,25 @@ def q_ann_lsh(sf_dir: str):
     return out.select(["vec_id", "rank"]).rename_columns(["vec_id", "ann_rank"])
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF (k-means-bucketed) approximate nearest neighbors — the second
+    scale path for similarity search (recall < 1 by design; the centroid
+    fit, assignment and probe are all broadcast map_batches stages)."""
+    from gis_scripts_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_query,
+        query_vector,
+    )
+
+    qv = query_vector(sf_dir, vec_id=0)
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    index, cents = build_ivf_index(emb, dim=len(qv), k=8, iters=5)
+    out = ivf_query(index, cents, qv, 10, nprobe=3)
+    return out.select(["vec_id", "rank"]).rename_columns(["vec_id", "ann_rank"])
+
+
 def q_multimodal_decode(sf_dir: str):
     """Binary-payload decode plumbing (stubbed decoder, real schema/batching)."""
     from gis_scripts_ray.sources.webpages import web_pages_from_documents
@@ -1895,6 +1914,7 @@ QUERIES: dict[str, Callable] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "langid_pred_counts": q_langid_pred_counts,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "harmonize_params": q_harmonize_params,

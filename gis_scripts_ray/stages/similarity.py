@@ -170,6 +170,138 @@ def ann_query(
     return cosine_topk(filtered, query, k, id_col, emb_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed scale path named in the
+# brief alongside LSH. Same engine shapes as everything else: centroid
+# fitting is per-batch partial sums + driver combine + broadcast (the
+# distributed-training loop of pipelines/train.py), assignment and probing
+# are broadcast map_batches.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    dim: int,
+    k: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed k-means on normalized vectors.
+
+    Init = the vectors of the ``k`` smallest ids (order-free, seedless);
+    each iteration ships one (k, dim) sum + (k,) count partial per block.
+    Empty clusters keep their previous centroid. Returns (k, dim)
+    L2-normalized centroids.
+    """
+    import ray as _ray
+
+    from gis_scripts_ray.state.broadcast import worker_broadcast
+
+    seed_rows = ds.sort(id_col).limit(k).to_pandas()
+    cents = np.array(seed_rows[emb_col].to_list(), dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+
+    for _ in range(iters):
+        ref = _ray.put(cents)
+
+        def partial(batch: pa.Table, ref=None) -> pa.Table:
+            cc = worker_broadcast(ref)
+            v = np.asarray(
+                batch[emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64
+            ).reshape(len(batch), -1)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            assign = np.argmax(vn @ cc.T, axis=1)
+            sums = np.zeros_like(cc)
+            np.add.at(sums, assign, vn)
+            counts = np.bincount(assign, minlength=len(cc)).astype(np.int64)
+            return pa.table(
+                {
+                    "s": pa.array([sums.ravel()], pa.list_(pa.float64())),
+                    "c": pa.array([counts], pa.list_(pa.int64())),
+                }
+            )
+
+        rows = ds.map_batches(
+            partial, fn_kwargs={"ref": ref}, batch_format="pyarrow"
+        ).take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums += np.asarray(r["s"], dtype=np.float64).reshape(cents.shape)
+            counts += np.asarray(r["c"], dtype=np.int64)
+        nonempty = counts > 0
+        new = cents.copy()
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-300)
+        cents = new
+    return cents
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    dim: int,
+    k: int = 16,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """Fit centroids, assign every vector its ``ivf_bucket``, materialize.
+
+    Build once; :func:`ivf_query` probes only the ``nprobe`` nearest
+    buckets. At 100 TB write the index partitioned by bucket
+    (``write_partitioned_resumable``) so probes read only matching
+    partitions — the same persistence story as the LSH index.
+    """
+    import ray as _ray
+
+    from gis_scripts_ray.state.broadcast import worker_broadcast
+
+    cents = kmeans_fit(ds, dim, k, iters, id_col, emb_col)
+    ref = _ray.put(cents)
+
+    def assign(batch: pa.Table, ref=None) -> pa.Table:
+        cc = worker_broadcast(ref)
+        v = np.asarray(
+            batch[emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64
+        ).reshape(len(batch), -1)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        b = np.argmax(vn @ cc.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_bucket", pa.array(b, pa.int64()))
+
+    return (
+        ds.map_batches(assign, fn_kwargs={"ref": ref}, batch_format="pyarrow").materialize(),
+        cents,
+    )
+
+
+def ivf_query(
+    index: ray.data.Dataset,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    topk: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Probe the ``nprobe`` nearest centroid buckets, exact cosine refine.
+
+    Recall < 1 by design (candidate fraction ~ nprobe / k)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    order = np.argsort(-(centroids @ qn), kind="stable")[:nprobe]
+    probe = pa.array(order.astype(np.int64), pa.int64())
+
+    def in_buckets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["ivf_bucket"], value_set=probe))
+
+    return cosine_topk(
+        index.map_batches(in_buckets, batch_format="pyarrow"), q, topk, id_col, emb_col
+    )
+
+
 def ann_lsh_topk(
     ds: ray.data.Dataset,
     query: np.ndarray,

@@ -215,6 +215,38 @@ class TestJoins:
             ds, q2, 5, dim=16
         )["vec_id"].to_pylist()
 
+    def test_ivf_index_recall(self, ray_session):
+        """IVF probe must find planted exact copies and reach reasonable
+        recall vs brute force on clustered data."""
+        import ray
+
+        from gis_scripts_ray.stages.similarity import (
+            build_ivf_index,
+            cosine_topk,
+            ivf_query,
+        )
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((6, 16)) * 3
+        pts = np.concatenate(
+            [c + rng.standard_normal((80, 16)) for c in centers]
+        )
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(pts)), pa.int64()),
+                "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        index, cents = build_ivf_index(ds, dim=16, k=6, iters=8)
+        assert index.count() == len(pts)
+        q = pts[7] + 1e-6  # near an existing point
+        got = ivf_query(index, cents, q, 10, nprobe=2)["vec_id"].to_pylist()
+        want = cosine_topk(ds, q, 10)["vec_id"].to_pylist()
+        assert 7 in got  # the near-exact copy is found
+        recall = len(set(got) & set(want)) / 10
+        assert recall >= 0.7, (recall, got, want)
+
     def test_bucketed_join_string_keys(self, ray_session):
         import ray
 
