@@ -434,9 +434,15 @@ def _sql_toa_reflectance() -> str:
         "s AS (SELECT event_type, value, 357.529 + 0.98560028*dj AS g FROM r), "
         "t AS (SELECT event_type, value, 1.00014 - 0.01671*COS(g*(PI()/180.0)) "
         "- 0.00014*COS(2.0*g*(PI()/180.0)) AS dau FROM s) "
-        "SELECT event_type, CAST(SUM(CAST(ROUND(((value*(dau*dau)*PI())"
-        f"/({_TOA_IRRADIANCE!r}*COS({_TOA_ZENITH_DEG!r}*(PI()/180.0)))/PI())"
-        "*10000.0*1000.0) AS BIGINT)) AS BIGINT) AS sum_rrs_milli, "
+        # np.round is half-even — wrap the ROUND (ADVICE r2: latent
+        # half-away divergence on an exact .5 tie)
+        "SELECT event_type, CAST(SUM(CAST("
+        + _sql_round_half_even(
+            "((value*(dau*dau)*PI())"
+            f"/({_TOA_IRRADIANCE!r}*COS({_TOA_ZENITH_DEG!r}*(PI()/180.0)))/PI())"
+            "*10000.0*1000.0"
+        )
+        + " AS BIGINT)) AS BIGINT) AS sum_rrs_milli, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY event_type"
     )
 
@@ -923,8 +929,9 @@ def q_hash_sample(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        keep = (ids * 2654435761) % 100 < 10
+        # wrapping uint64 residue — same id contract as stages/sampling.py
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(100) < np.uint64(10)
         return batch.filter(pa.array(keep))
 
     return cell_sum_count(
@@ -938,9 +945,11 @@ def q_hash_sample(sf_dir: str):
 
 
 def _sql_hash_sample() -> str:
+    # HUGEINT mod 2^64 = the engine's wrapping uint64 (ADVICE r2)
     return (
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
-        "WHERE (doc_id*2654435761)%100 < 10 GROUP BY lang"
+        "WHERE ((CAST(doc_id AS HUGEINT)*2654435761)%18446744073709551616)%100 < 10 "
+        "GROUP BY lang"
     )
 
 
@@ -1425,9 +1434,13 @@ def _sql_idw_grid(k: int = 8) -> str:
         "FROM located, probes), "
         f"sel AS (SELECT p, CAST(n_chars AS DOUBLE) AS v, dm FROM ranked WHERE rn <= {k}) "
         "SELECT CAST(p AS BIGINT) AS probe, "
-        "ROUND(CASE WHEN SUM(CASE WHEN dm <= 0 THEN 1 ELSE 0 END) > 0 "
-        "THEN SUM(CASE WHEN dm <= 0 THEN v END)/SUM(CASE WHEN dm <= 0 THEN 1.0 END) "
-        "ELSE SUM(v/(dm*dm))/SUM(1.0/(dm*dm)) END, 4) AS idw_r4, "
+        # np.round(x, 4) is half-even at the 4th digit — mirror it exactly
+        # (ADVICE r2): scale by 1e4, banker's-round, scale back
+        "(" + _sql_round_half_even(
+            "(CASE WHEN SUM(CASE WHEN dm <= 0 THEN 1 ELSE 0 END) > 0 "
+            "THEN SUM(CASE WHEN dm <= 0 THEN v END)/SUM(CASE WHEN dm <= 0 THEN 1.0 END) "
+            "ELSE SUM(v/(dm*dm))/SUM(1.0/(dm*dm)) END)*10000.0"
+        ) + ")/10000.0 AS idw_r4, "
         "CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM sel GROUP BY p"
     )
 

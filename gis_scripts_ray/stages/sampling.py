@@ -31,8 +31,14 @@ def split_train_val(
     """
 
     def tag(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        is_val = (ids * _SPLIT_SALT) % 100 >= (100 - val_pct)
+        # uint64 residue (ADVICE r2): int64 would silently wrap for ids >=
+        # ~3.5e9 while the SQL twin errors on BIGINT overflow. uint64 wraps
+        # mod 2^64, which the twin spells out in HUGEINT. Id contract:
+        # ids must be non-negative (uint64 reinterprets negatives).
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        is_val = (ids * np.uint64(_SPLIT_SALT)) % np.uint64(100) >= np.uint64(
+            100 - val_pct
+        )
         return batch.append_column("_is_val", pa.array(is_val, pa.bool_()))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
@@ -55,6 +61,12 @@ def split_train_val(
 
 
 def split_sql_predicate(id_col: str, val_pct: int = 20, val_side: bool = True) -> str:
-    """The DuckDB twin of the split predicate (oracle support)."""
+    """The DuckDB twin of the split predicate (oracle support).
+
+    HUGEINT product reduced mod 2^64 = the engine's wrapping-uint64
+    arithmetic, for any non-negative BIGINT id (the id contract)."""
     cmp = ">=" if val_side else "<"
-    return f"({id_col}*{_SPLIT_SALT})%100 {cmp} {100 - val_pct}"
+    return (
+        f"(((CAST({id_col} AS HUGEINT)*{_SPLIT_SALT})%18446744073709551616)%100)"
+        f" {cmp} {100 - val_pct}"
+    )
