@@ -446,6 +446,7 @@ def minhash_lsh_candidates(
     max_group: int = 64,
     concurrency=None,
     persist_lsh_rows: bool = True,
+    broadcast_limit: int = 10_000_000,
 ) -> pa.Table:
     """Candidate near-dup pairs (id_a, id_b, n_bands) from banded MinHash.
 
@@ -477,6 +478,14 @@ def minhash_lsh_candidates(
     rows between the two passes — 16 bytes/row x bands; at extreme corpus
     scale pass ``False`` to recompute signatures for pass 2 instead of
     holding the rows in the object store.
+
+    Broadcast guard (round-2 verdict #3): the >= 2-member combo set is
+    bounded by near-dup volume, but a 100-TB corpus with an extreme dup
+    rate could exceed what one ``pa.array`` value set should hold — when
+    its MEASURED size exceeds ``broadcast_limit`` keys, the candidate
+    filter switches from the ``is_in`` broadcast to a hash semi-join on
+    ``combo`` (both paths byte-identical; threshold-forced equivalence
+    test in tests/test_operators.py).
     """
     import pyarrow.compute as pc
 
@@ -523,22 +532,26 @@ def minhash_lsh_candidates(
     counts = coalesce_shuffle_sum(
         lsh.map_batches(partial, batch_format="pyarrow"), ["combo"], ["n"]
     )
-    multi = counts.map_batches(
+    multi_ds = counts.map_batches(
         lambda b: b.filter(pc.greater(b["n"], 1)).select(["combo"]),
         batch_format="pyarrow",
-    ).to_pandas()
-    if len(multi) == 0:
+    ).materialize()
+    n_multi = multi_ds.count()
+    if n_multi == 0:
         return empty
-    multi_set = pa.array(multi["combo"].to_numpy(), pa.int64())
+    if n_multi <= broadcast_limit:
+        multi_set = pa.array(multi_ds.to_pandas()["combo"].to_numpy(), pa.int64())
+    else:
+        multi_set = None  # too big for one value-set array: semi-join below
 
     def truncate_local(batch: pa.Table, _s=multi_set) -> pa.Table:
         """Per-block hot-key guard: per combo, keep the ``max_group``
         smallest ids as real rows (w=0) plus ONE count row (id=-1,
         w=local run length). min-k and count are associative, so the
         global merge in ``expand_pairs`` is exact."""
-        b = batch.select([id_col, "combo"]).filter(
-            pc.is_in(batch["combo"], value_set=_s)
-        )
+        b = batch.select([id_col, "combo"])
+        if _s is not None:
+            b = b.filter(pc.is_in(b["combo"], value_set=_s))
         combos = b["combo"].to_numpy()
         ids = b[id_col].to_numpy()
         if len(ids) == 0:
@@ -572,7 +585,23 @@ def minhash_lsh_candidates(
             }
         )
 
-    cand = lsh.map_batches(truncate_local, batch_format="pyarrow")
+    if multi_set is not None:
+        cand_src = lsh
+    else:
+        # hash semi-join on combo: distributed, no driver-side key set.
+        # Repartition-compact the aggregate output first — Ray 2.49's
+        # Dataset.join raises inside Acero on right sides with empty
+        # shuffle-partition blocks (see dedup_rows / CLAUDE.md).
+        from gis_scripts_ray.stages.joins import hash_join
+
+        compact = multi_ds.repartition(
+            max(1, min(64, n_multi // 2_000_000 + 1))
+        )
+        cand_src = hash_join(
+            lsh.select_columns([id_col, "combo"]), compact, on="combo",
+            num_partitions=16,
+        )
+    cand = cand_src.map_batches(truncate_local, batch_format="pyarrow")
 
     pair_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]

@@ -170,6 +170,75 @@ def ann_query(
     return cosine_topk(filtered, query, k, id_col, emb_col)
 
 
+def write_lsh_index_partitioned(
+    index: ray.data.Dataset, out_dir: str, lineage: str = "lsh-index"
+):
+    """Persist a :func:`build_lsh_index` dataset partitioned BY BUCKET via
+    the resumable checkpoint sink — the 100-TB index layout: one directory
+    per bucket, atomic per-partition manifest, resume skips completed
+    buckets. :func:`ann_query_persisted` then reads ONLY the partitions
+    matching a probe's candidate buckets."""
+    import pyarrow.compute as pc
+
+    from gis_scripts_ray.state.checkpoint import write_partitioned_resumable
+
+    def part_fn(batch: pa.Table) -> pa.Array:
+        return pc.cast(batch["bucket"], pa.string())
+
+    return write_partitioned_resumable(index, out_dir, part_fn, lineage=lineage)
+
+
+def partition_paths_for_buckets(out_dir: str, buckets: list[int]) -> list[str]:
+    """The parquet files a probe of ``buckets`` must read: the intersection
+    of candidate buckets with COMPLETED index partitions (factored out so
+    tests can assert the probe's exact input file set)."""
+    import os
+
+    from gis_scripts_ray.state.checkpoint import Manifest
+
+    man = Manifest(out_dir)
+    done = man.completed()
+    want = {str(b) for b in buckets}
+    return [
+        os.path.join(man.partition_dir(k), "data.parquet")
+        for k in sorted(done)
+        if k in want
+    ]
+
+
+def ann_query_persisted(
+    out_dir: str,
+    query: np.ndarray,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Probe a partitioned on-disk LSH index: the read is PRUNED to the
+    candidate buckets' partitions (storage never ships non-matching
+    buckets), then exact cosine refine — identical results to
+    :func:`ann_query` on the in-memory index (tested)."""
+    bucketer = LshBucketer(dim, n_planes, seed, emb_col)
+    qbucket = int(
+        bucketer.bucket_of(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+    )
+    paths = partition_paths_for_buckets(
+        out_dir, _probe_buckets(qbucket, n_planes, max_hamming)
+    )
+    if not paths:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    return cosine_topk(ray.data.read_parquet(paths), query, k, id_col, emb_col)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the k-means-bucketed scale path named in the
 # brief alongside LSH. Same engine shapes as everything else: centroid

@@ -154,6 +154,39 @@ class TestDedup:
         assert hot.id_b.max() <= 6 and len(hot) == 6  # C(4,2) smallest ids
         assert hot.capped.all() and (hot.n_bands == 16).all()
 
+    def test_minhash_candidates_semijoin_path_identical(self, ray_session):
+        """broadcast_limit=0 forces the hash-semi-join candidate filter;
+        output must be byte-identical to the is_in-broadcast path
+        (round-2 verdict #3 guard)."""
+        import ray
+
+        from gis_scripts_ray.stages.dedup import minhash_lsh_candidates
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again with words"
+        )
+        texts = [
+            base,
+            base + " tail",
+            "totally different content about ray data engines and arrow tables",
+        ] + ["identical boilerplate text repeated verbatim many times across docs"] * 7
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        bc = (
+            minhash_lsh_candidates(ds, "doc_id", "text", max_group=4)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        sj = (
+            minhash_lsh_candidates(ds, "doc_id", "text", max_group=4, broadcast_limit=0)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(bc, sj)
+
     def test_minhash_candidates_empty(self, ray_session):
         import ray
 

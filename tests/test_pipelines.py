@@ -215,6 +215,59 @@ class TestJoins:
             ds, q2, 5, dim=16
         )["vec_id"].to_pylist()
 
+    def test_lsh_index_partitioned_persistence(self, ray_session, tmp_path):
+        """End-to-end partitioned index persistence: the persisted probe
+        reads ONLY the matching-bucket partition files and returns exactly
+        the in-memory probe's results."""
+        import os
+
+        import ray
+
+        from gis_scripts_ray.state.checkpoint import Manifest
+        from gis_scripts_ray.stages.similarity import (
+            LshBucketer,
+            _probe_buckets,
+            ann_query,
+            ann_query_persisted,
+            build_lsh_index,
+            partition_paths_for_buckets,
+            write_lsh_index_partitioned,
+        )
+
+        rng = np.random.default_rng(23)
+        m = rng.standard_normal((600, 16))
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(600), pa.int64()),
+                "embedding": pa.array(list(m), pa.list_(pa.float64())),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        index = build_lsh_index(ds, dim=16)
+        out = str(tmp_path / "lsh_index")
+        write_lsh_index_partitioned(index, out)
+
+        # every index row landed in a completed partition
+        done = Manifest(out).completed()
+        assert sum(r.n_rows for r in done.values()) == 600
+
+        q = rng.standard_normal(16)
+        qb = int(LshBucketer(16).bucket_of(q.reshape(1, -1))[0])
+        cand = set(_probe_buckets(qb, 12, 2))
+        paths = partition_paths_for_buckets(out, sorted(cand))
+        # the probe's input file set is exactly the matching-bucket subset
+        assert paths, "probe read nothing"
+        got_buckets = {
+            int(os.path.basename(os.path.dirname(p)).split("=", 1)[1]) for p in paths
+        }
+        assert got_buckets == {int(k) for k in done if int(k) in cand}
+        assert got_buckets < {int(k) for k in done}  # strictly pruned
+
+        mem = ann_query(index, q, 5, dim=16)
+        persisted = ann_query_persisted(out, q, 5, dim=16)
+        assert mem["vec_id"].to_pylist() == persisted["vec_id"].to_pylist()
+        assert np.allclose(mem["sim"].to_numpy(), persisted["sim"].to_numpy())
+
     def test_ivf_index_recall(self, ray_session):
         """IVF probe must find planted exact copies and reach reasonable
         recall vs brute force on clustered data."""
