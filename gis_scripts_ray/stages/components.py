@@ -30,7 +30,6 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from gis_scripts_ray.functions.gridops import connected_components
 from gis_scripts_ray.state.broadcast import worker_broadcast
 
 _NEIGH4 = ((1, 0), (0, 1))
@@ -78,7 +77,9 @@ def distributed_components(
             v = group[value_col].to_numpy().astype(np.int64)
             lab = _label_local_values(x, y, v, connectivity)
         else:
-            lab = connected_components(x, y, connectivity=connectivity)
+            # vectorized kernel for both branches; only the PARTITION
+            # matters here (labels canonicalize to min packed key below)
+            lab = _label_local_values(x, y, None, connectivity)
         packed = _pack(x, y)
         n_comp = int(lab.max()) + 1
         comp_min = np.full(n_comp, np.iinfo(np.int64).max, dtype=np.int64)
@@ -130,9 +131,64 @@ def distributed_components(
 
 
 def _label_local_values(
-    x: np.ndarray, y: np.ndarray, v: np.ndarray, connectivity: int
+    x: np.ndarray, y: np.ndarray, v: np.ndarray | None, connectivity: int
 ) -> np.ndarray:
-    """Union-find restricted to equal-valued neighbors."""
+    """Vectorized in-stripe component labeling (equal-value connectivity
+    when ``v`` is given) — round-2 verdict #6: the per-row Python
+    union-find became the parity oracle (:func:`_label_local_values_py`,
+    bit-equal by test); this path is sorted-neighbor edge discovery +
+    min-label propagation with pointer jumping.
+
+    Both produce labels densely ranked over each component's MIN row
+    index, so they are identical arrays, not merely equal partitions.
+    Measured on a 10^5-cell stripe: see BASELINE.md ledger.
+    """
+    n = len(x)
+    packed = _pack(x, y)
+    order = np.argsort(packed)  # cell keys are unique by contract
+    sp = packed[order]
+    neigh = _NEIGH4 if connectivity == 4 else _NEIGH8
+    ei_l, ej_l = [], []
+    for dx, dy in neigh:
+        target = _pack(x + dx, y + dy)
+        pos = np.clip(np.searchsorted(sp, target), 0, n - 1)
+        hit = sp[pos] == target
+        i = np.nonzero(hit)[0]
+        j = order[pos[hit]]
+        if v is not None:
+            ok = v[i] == v[j]
+            i, j = i[ok], j[ok]
+        ei_l.append(i)
+        ej_l.append(j)
+    ei = np.concatenate(ei_l) if ei_l else np.empty(0, dtype=np.int64)
+    ej = np.concatenate(ej_l) if ej_l else np.empty(0, dtype=np.int64)
+
+    p = np.arange(n, dtype=np.int64)
+    while True:
+        # hook: every endpoint takes the min label in its closed
+        # edge-neighborhood, then full pointer jumping — O(log n) rounds
+        m = p.copy()
+        if len(ei):
+            np.minimum.at(m, ei, p[ej])
+            np.minimum.at(m, ej, p[ei])
+        while True:
+            mm = m[m]
+            if np.array_equal(mm, m):
+                break
+            m = mm
+        if np.array_equal(m, p):
+            break
+        p = m
+    _, lab = np.unique(p, return_inverse=True)
+    return lab.astype(np.int64)
+
+
+def _label_local_values_py(
+    x: np.ndarray, y: np.ndarray, v: np.ndarray | None, connectivity: int
+) -> np.ndarray:
+    """Per-row Python union-find — the parity oracle for
+    :func:`_label_local_values` (the repo's established kernel pattern:
+    every vectorized kernel keeps its row-wise reference)."""
     n = len(x)
     index = {(int(x[i]), int(y[i])): i for i in range(n)}
     parent = np.arange(n, dtype=np.int64)
@@ -147,7 +203,7 @@ def _label_local_values(
     for (cx, cy), i in index.items():
         for dx, dy in neigh:
             j = index.get((cx + dx, cy + dy))
-            if j is not None and v[i] == v[j]:
+            if j is not None and (v is None or v[i] == v[j]):
                 ra, rb = find(i), find(j)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)

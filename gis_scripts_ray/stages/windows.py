@@ -58,10 +58,9 @@ def sessionize(
     Skew note: sessionization is inherently per-key-sequential, so a hot
     key's ENTIRE event history lands on one ``map_groups`` task. That is
     acceptable for user/host keys (bounded per-entity history); for a key
-    whose history exceeds one worker's memory, pre-split the key by
-    coarse time range, sessionize per (key, range), and stitch the
-    at-most-one boundary session per range pair at the driver (the same
-    boundary-merge shape as ``stages/components.py``).
+    whose history exceeds one worker's memory use
+    :func:`sessionize_presplit` — same output, but no task ever holds
+    more than one (key, time-range) slice.
     """
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -89,6 +88,132 @@ def sessionize(
         return agg[[key_col, "session_id", "n_events", "start_us", "end_us"]]
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sessionize_presplit(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int,
+    range_us: int,
+) -> ray.data.Dataset:
+    """:func:`sessionize` for HOT keys: identical output, bounded tasks.
+
+    The round-2 verdict's documented mitigation, implemented (the
+    ``components.py`` boundary-merge shape):
+
+    1. pre-split by coarse time range (``_range = ts // range_us``) —
+       ``groupby(key, _range)`` tasks hold one slice, never a key's whole
+       history;
+    2. sessionize each slice locally (1-based ``local_sid``);
+    3. ONLY the boundary facts (first/last session per slice — O(2 x
+       key-ranges), not O(events)) come to the driver, which walks each
+       key's slices in time order: slice i's first session merges into
+       the running chain iff its first event is within ``gap_us`` of
+       slice i-1's last event — exactly the per-event rule, because the
+       inter-slice gap IS the gap between those two consecutive events.
+       The walk emits one ``base`` per (key, range) such that
+       ``global_sid = base + local_sid``; a backward merge is encoded by
+       overlapping bases (slice i's session 1 gets the chain's sid);
+    4. broadcast the (tiny) base table, relabel the SESSION rows (not
+       events) via a vectorized merge, and combine merged sessions'
+       parts with an associative (sum, min, max) aggregate.
+
+    Output: (key, session_id, n_events, start_us, end_us) — equal to
+    :func:`sessionize` (equivalence-tested on chains spanning 3+ ranges).
+    """
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from gis_scripts_ray.state.broadcast import worker_broadcast
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        rng = pc.floor(pc.divide(pc.cast(us, pa.float64()), float(range_us)))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: batch[id_col],
+                "_us": us,
+                "_range": pc.cast(rng, pa.int64()),
+            }
+        )
+
+    def per_slice(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_us", id_col], kind="mergesort")
+        us = g["_us"].to_numpy()
+        new = np.empty(len(us), dtype=np.int64)
+        new[0] = 1
+        new[1:] = (np.diff(us) > gap_us).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame({"local_sid": sid, "us": us})
+        agg = out.groupby("local_sid", as_index=False).agg(
+            n_events=("us", "size"), start_us=("us", "min"), end_us=("us", "max")
+        )
+        agg[key_col] = g[key_col].iloc[0]
+        agg["_range"] = g["_range"].iloc[0]
+        agg["n_local"] = len(agg)
+        return agg[[key_col, "_range", "local_sid", "n_events", "start_us", "end_us", "n_local"]]
+
+    local = (
+        ds.map_batches(add_range, batch_format="pyarrow")
+        .groupby([key_col, "_range"])
+        .map_groups(per_slice, batch_format="pandas")
+        .materialize()
+    )
+
+    # boundary facts only: first + last session per (key, range)
+    def boundary(batch: pa.Table) -> pa.Table:
+        first = pc.equal(batch["local_sid"], 1)
+        last = pc.equal(batch["local_sid"], batch["n_local"])
+        return batch.filter(pc.or_(first, last))
+
+    bt = local.map_batches(boundary, batch_format="pyarrow").to_pandas()
+    bt = bt.sort_values([key_col, "_range", "local_sid"], kind="mergesort")
+
+    bases: list[tuple] = []  # (key, range, base)
+    for key, kg in bt.groupby(key_col, sort=False):
+        c = 0
+        prev_end = None
+        for rng_val, rg in kg.groupby("_range", sort=True):
+            first_row = rg.iloc[0]
+            last_row = rg.iloc[-1]
+            m = int(first_row["n_local"])
+            merged = (
+                prev_end is not None
+                and int(first_row["start_us"]) - prev_end <= gap_us
+            )
+            base = c - 1 if merged else c
+            bases.append((key, int(rng_val), base))
+            c = base + m
+            prev_end = int(last_row["end_us"])
+
+    base_df = pd.DataFrame(bases, columns=[key_col, "_range", "_base"])
+    ref = _ray.put(base_df)
+
+    def relabel(batch: pa.Table, ref=None) -> pa.Table:
+        bd = worker_broadcast(ref)
+        df = batch.to_pandas().merge(bd, on=[key_col, "_range"], how="left")
+        sid = df["_base"].to_numpy().astype(np.int64) + df["local_sid"].to_numpy()
+        return pa.table(
+            {
+                key_col: pa.array(df[key_col]),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array(df["n_events"].to_numpy(), pa.int64()),
+                "start_us": pa.array(df["start_us"].to_numpy(), pa.int64()),
+                "end_us": pa.array(df["end_us"].to_numpy(), pa.int64()),
+            }
+        )
+
+    relabeled = local.map_batches(relabel, fn_kwargs={"ref": ref}, batch_format="pyarrow")
+    # merged sessions (one part per adjacent range) combine associatively
+    return coalesce_shuffle_agg(
+        relabeled,
+        [key_col, "session_id"],
+        {"n_events": "sum", "start_us": "min", "end_us": "max"},
+    )
 
 
 def sliding_window_sum(

@@ -40,6 +40,41 @@ def _run(x, y, connectivity, part_width, v=None, ray_ds=None):
     return out
 
 
+class TestLocalLabelParity:
+    """Vectorized in-stripe labeling vs the per-row Python union-find
+    oracle (verdict r2 #6) — identical ARRAYS, not just equal partitions
+    (both canonicalize to dense ranks over component min row index)."""
+
+    @pytest.mark.parametrize("connectivity", [4, 8])
+    @pytest.mark.parametrize("with_values", [False, True])
+    def test_random_grids_bit_equal(self, connectivity, with_values):
+        from gis_scripts_ray.stages.components import (
+            _label_local_values,
+            _label_local_values_py,
+        )
+
+        rng = np.random.default_rng(13)
+        for density, size in ((0.7, 25), (0.2, 40), (1.0, 12)):
+            pts = {
+                (int(a), int(b))
+                for a, b in rng.integers(0, size, (int(density * size * size), 2))
+            }
+            x = np.array([p[0] for p in sorted(pts)], dtype=np.int64)
+            y = np.array([p[1] for p in sorted(pts)], dtype=np.int64)
+            v = rng.integers(0, 3, len(x)).astype(np.int64) if with_values else None
+            got = _label_local_values(x, y, v, connectivity)
+            want = _label_local_values_py(x, y, v, connectivity)
+            assert (got == want).all()
+
+    def test_empty_and_singleton(self):
+        from gis_scripts_ray.stages.components import _label_local_values
+
+        e = np.array([], dtype=np.int64)
+        assert len(_label_local_values(e, e, None, 8)) == 0
+        one = np.array([5], dtype=np.int64)
+        assert _label_local_values(one, one, None, 4).tolist() == [0]
+
+
 class TestDistributedComponents:
     @pytest.mark.parametrize("connectivity", [4, 8])
     @pytest.mark.parametrize("part_width", [1, 3, 64])

@@ -121,6 +121,48 @@ class TestWindows:
         assert out["n_events"].tolist() == [3, 2, 1]
         assert out["start_us"].tolist() == [0, 2000, 5000]
 
+    def test_sessionize_presplit_matches_plain(self, ray_session):
+        """Pre-split sessionize == plain sessionize on a hot key whose
+        sessions CHAIN across 4+ time ranges (including a single-session
+        range bridging its neighbors), plus normal keys and randomized
+        event times."""
+        import ray
+
+        from gis_scripts_ray.stages.windows import sessionize, sessionize_presplit
+
+        rows = []
+        # hot key: one long session spanning ranges 0..3 (every 50us,
+        # range_us=1000 < session span), then a gap, then a 2-range session
+        rows += [("hot", t, i) for i, t in enumerate(range(0, 3501, 50))]
+        rows += [("hot", t, 100 + i) for i, t in enumerate(range(6000, 7001, 80))]
+        rows += [("hot", 9990, 200)]  # lone event, last range
+        # normal key: sessions within single ranges + one boundary-adjacent
+        rows += [("u2", t, 300 + i) for i, t in enumerate([10, 20, 990, 1005, 2500])]
+        # randomized key
+        rng = np.random.default_rng(9)
+        ts = np.sort(rng.integers(0, 12000, 120))
+        rows += [("rnd", int(t), 400 + i) for i, t in enumerate(ts)]
+        df = pd.DataFrame(rows, columns=["user_id", "us", "event_id"])
+        df["ts"] = pd.to_datetime(df["us"].to_numpy() * 1000, unit="ns")
+        ds = ray.data.from_pandas(df[["user_id", "ts", "event_id"]]).repartition(6)
+
+        def norm(d):
+            return (
+                d.sort_values(["user_id", "session_id"], kind="mergesort")
+                .reset_index(drop=True)[
+                    ["user_id", "session_id", "n_events", "start_us", "end_us"]
+                ]
+            )
+
+        plain = norm(sessionize(ds, "user_id", "ts", "event_id", gap_us=100).to_pandas())
+        for range_us in (1000, 300, 7000):
+            split = norm(
+                sessionize_presplit(
+                    ds, "user_id", "ts", "event_id", gap_us=100, range_us=range_us
+                ).to_pandas()
+            )
+            pd.testing.assert_frame_equal(plain, split, check_dtype=False)
+
     def test_tumbling_counts(self, ray_session):
         import ray
 
