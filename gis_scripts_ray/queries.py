@@ -200,6 +200,93 @@ def _sql_geo_pip_class_stats() -> str:
     )
 
 
+def q_agreement_test(sf_dir: str):
+    """Statistical-agreement layer (``Assess_Agreement.R:85-94``): the
+    reference's per-zone Mann-Whitney U — here doc sizes in 'urban' zones
+    (x) vs 'water' zones (y), one-sided 'less' — with the
+    ``effectsize::rank_biserial`` effect size and the reference's
+    Negligible/Small/Moderate/Large label. Output mirrors the reference's
+    csv: one row per class (class, n, median_chars, rank_biserial,
+    difference).
+
+    Distributed shape: per-(class, value) counts via ``cell_count``
+    (in-batch partials + small shuffle); only the bounded histogram
+    reaches the driver, where midranks/U/medians are EXACT functions of
+    it (average ranks are multiples of 0.5 — float64-exact), so the SQL
+    twin's per-row window-function midranks agree bit-for-bit."""
+    from gis_scripts_ray.functions.stats_tests import (
+        difference_label,
+        mwu_from_histogram,
+        weighted_median,
+    )
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    ds = located_documents(sf_dir, ("doc_id", "n_chars"))
+    joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id", "n_chars"])
+    two = pa.array(["urban", "water"])
+
+    def keep_two(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["class"], value_set=two)).select(
+            ["class", "n_chars"]
+        )
+
+    hist = cell_count(
+        joined.map_batches(keep_two, batch_format="pyarrow"), ["class", "n_chars"]
+    ).to_pandas()
+    hu = hist[hist["class"] == "urban"]
+    hw = hist[hist["class"] == "water"]
+    vals = np.union1d(hu["n_chars"].to_numpy(), hw["n_chars"].to_numpy())
+    cu = np.zeros(len(vals), dtype=np.int64)
+    cu[np.searchsorted(vals, hu["n_chars"].to_numpy())] = hu["n"].to_numpy()
+    cw = np.zeros(len(vals), dtype=np.int64)
+    cw[np.searchsorted(vals, hw["n_chars"].to_numpy())] = hw["n"].to_numpy()
+    res = mwu_from_histogram(vals, cu, cw, alternative="less")
+    rb = res["rank_biserial"]
+    lab = difference_label(rb)
+    return pa.table(
+        {
+            "class": pa.array(["urban", "water"], pa.string()),
+            "n": pa.array([res["n1"], res["n2"]], pa.int64()),
+            "median_chars": pa.array(
+                [
+                    weighted_median(vals[cu > 0], cu[cu > 0]),
+                    weighted_median(vals[cw > 0], cw[cw > 0]),
+                ],
+                pa.float64(),
+            ),
+            "rank_biserial": pa.array([rb, rb], pa.float64()),
+            "difference": pa.array([lab, lab], pa.string()),
+        }
+    )
+
+
+def _sql_agreement_test() -> str:
+    """Midranks via window functions: avg rank of a tied block =
+    RANK() + (tie_count - 1)/2 — identical halves-exact arithmetic to the
+    engine's histogram path."""
+    rb = "(SELECT rb FROM u)"
+    return (
+        _located_cte("d.doc_id, d.n_chars")
+        + ", j AS (SELECT r.class AS class, n_chars FROM located "
+        + _RECT_JOIN.format(values=_rect_values())
+        + " WHERE r.class IN ('urban', 'water')), "
+        "rk AS (SELECT class, n_chars, CAST(RANK() OVER (ORDER BY n_chars) AS DOUBLE) "
+        "+ (CAST(COUNT(*) OVER (PARTITION BY n_chars) AS DOUBLE) - 1.0)/2.0 AS ar FROM j), "
+        "s AS (SELECT SUM(CASE WHEN class='urban' THEN ar ELSE 0 END) AS r1, "
+        "CAST(SUM(CASE WHEN class='urban' THEN 1 ELSE 0 END) AS DOUBLE) AS n1, "
+        "CAST(SUM(CASE WHEN class='water' THEN 1 ELSE 0 END) AS DOUBLE) AS n2 FROM rk), "
+        "u AS (SELECT 2.0*(r1 - n1*(n1+1.0)/2.0)/(n1*n2) - 1.0 AS rb FROM s) "
+        "SELECT class, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars, "
+        f"{rb} AS rank_biserial, "
+        f"CASE WHEN ABS({rb}) < 0.1 THEN 'Negligible' "
+        f"WHEN ABS({rb}) < 0.3 THEN 'Small' "
+        f"WHEN ABS({rb}) < 0.5 THEN 'Moderate' "
+        "ELSE 'Large' END AS difference "
+        "FROM j GROUP BY class"
+    )
+
+
 def q_geo_pip_join_rows(sf_dir: str):
     ds = located_documents(sf_dir)
     joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id"])
@@ -1869,6 +1956,7 @@ def q_text_fingerprints(sf_dir: str):
 QUERIES: dict[str, Callable] = {
     "geo_tile_counts": q_geo_tile_counts,
     "geo_pip_class_stats": q_geo_pip_class_stats,
+    "agreement_test": q_agreement_test,
     "geo_pip_join_rows": q_geo_pip_join_rows,
     "geo_source_tile_stats": q_geo_source_tile_stats,
     "geo_knn": q_geo_knn,
@@ -1923,6 +2011,7 @@ QUERIES: dict[str, Callable] = {
 ORACLES: dict[str, str] = {
     "geo_tile_counts": _sql_geo_tile_counts(),
     "geo_pip_class_stats": _sql_geo_pip_class_stats(),
+    "agreement_test": _sql_agreement_test(),
     "geo_pip_join_rows": _sql_geo_pip_join_rows(),
     "geo_source_tile_stats": _sql_geo_source_tile_stats(),
     "geo_knn": _sql_geo_knn(),

@@ -481,3 +481,65 @@ class TestMultiProbeKnn:
             want = (w * val[order]).sum() / w.sum()
             got = float(out[out["probe"] == p]["idw_value"].iloc[0])
             assert got == pytest.approx(want, rel=1e-12)
+
+
+class TestStatsTests:
+    """Mann-Whitney U / rank-biserial (Assess_Agreement.R analog) goldens."""
+
+    def test_hand_case_no_ties(self):
+        from gis_scripts_ray.functions.stats_tests import mann_whitney_u
+
+        # x entirely below y: U1 = 0, rank-biserial = -1,
+        # z = (0 - 4.5 + 0.5)/sqrt(9*7/12); p matches R's
+        # wilcox.test(1:3, 4:6, alternative="less", exact=FALSE)
+        res = mann_whitney_u([1, 2, 3], [4, 5, 6], "less")
+        assert res["u1"] == 0.0
+        assert res["rank_biserial"] == -1.0
+        assert res["z"] == pytest.approx(-4.0 / np.sqrt(5.25), rel=1e-12)
+        assert res["p"] == pytest.approx(0.04043, abs=1e-4)
+
+    def test_brute_force_pair_oracle_with_ties(self):
+        from gis_scripts_ray.functions.stats_tests import (
+            mann_whitney_u,
+            mwu_from_histogram,
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.integers(0, 12, 37)
+        y = rng.integers(2, 14, 53)
+        res = mann_whitney_u(x, y, "less")
+        # independent oracle: U1 = #(x>y) pairs (x-wins) + half ties
+        u_brute = float((x[:, None] > y[None, :]).sum()) + 0.5 * float(
+            (x[:, None] == y[None, :]).sum()
+        )
+        assert res["u1"] == u_brute
+        assert res["rank_biserial"] == 2.0 * u_brute / (37 * 53) - 1.0
+        # histogram shape is bit-identical to the raw shape
+        vals = np.unique(np.concatenate([x, y]))
+        cx = np.array([(x == v).sum() for v in vals])
+        cy = np.array([(y == v).sum() for v in vals])
+        hres = mwu_from_histogram(vals, cx, cy, "less")
+        for k in ("u1", "z", "p", "rank_biserial"):
+            assert res[k] == hres[k], k
+        # alternatives are consistent
+        g = mann_whitney_u(x, y, "greater")
+        assert res["p"] + g["p"] >= 1.0  # continuity overlap
+        two = mann_whitney_u(x, y, "two-sided")
+        assert 0.0 <= two["p"] <= 1.0
+
+    def test_weighted_median_and_labels(self):
+        from gis_scripts_ray.functions.stats_tests import (
+            difference_label,
+            weighted_median,
+        )
+
+        rng = np.random.default_rng(3)
+        v = rng.integers(0, 9, 101)
+        vals, cnt = np.unique(v, return_counts=True)
+        assert weighted_median(vals, cnt) == float(np.median(v))
+        v2 = rng.integers(0, 9, 100)  # even: mean of two middles
+        vals2, cnt2 = np.unique(v2, return_counts=True)
+        assert weighted_median(vals2, cnt2) == float(np.median(v2))
+        assert [difference_label(r) for r in (0.05, -0.2, 0.4, -0.9)] == [
+            "Negligible", "Small", "Moderate", "Large",
+        ]
