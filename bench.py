@@ -168,8 +168,9 @@ def dedup_stage(input_dir: str) -> float:
         minhash_band_counts, fn_kwargs={"text_col": "text"}, batch_format="pyarrow"
     )
     # band-key space is UNBOUNDED (~docs x bands): bounded coalesce + hash
-    # shuffle, never a tree ending in repartition(1)
-    clusters = coalesce_shuffle_sum(partials, ["band", "band_key"], ["n"])
+    # shuffle, never a tree ending in repartition(1). Keys arrive folded
+    # to ONE int64 combo column (16 B/row partials, single-column hash)
+    clusters = coalesce_shuffle_sum(partials, ["combo"], ["n"])
     n_multi = clusters.map_batches(
         lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
     ).count()
@@ -332,9 +333,21 @@ def run_scaling() -> dict:
             "dedup_reps": [r["dedup_reps"] for r in rs],
         }
 
+    def median_composite(rs: list[dict]) -> float:
+        # conservative companion to the best-of composite (ADVICE r2):
+        # median over ALL reps of each stage, across both ABBA children —
+        # a steady-state estimate no single scheduler hiccup can improve
+        import statistics
+
+        h = statistics.median([t for r in rs for t in r["headline_reps"]])
+        d = statistics.median([t for r in rs for t in r["dedup_reps"]])
+        return round(h + d, 3)
+
     lo, hi = best(lo_runs), best(hi_runs)
     rate_lo = lo["docs_per_sec"]
     rate_hi = hi["docs_per_sec"]
+    lo_med = median_composite(lo_runs)
+    hi_med = median_composite(hi_runs)
     return {
         "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "job": "full_pipeline(spatial_join_tiling + minhash_lsh_dedup)",
@@ -342,11 +355,16 @@ def run_scaling() -> dict:
         "cpus_hi": n_hi,
         "sec_lo": lo["value"],
         "sec_hi": hi["value"],
+        "sec_lo_median": lo_med,
+        "sec_hi_median": hi_med,
         "reps_lo": {"headline": lo["headline_reps"], "dedup": lo["dedup_reps"]},
         "reps_hi": {"headline": hi["headline_reps"], "dedup": hi["dedup_reps"]},
         "docs_per_sec_lo": rate_lo,
         "docs_per_sec_hi": rate_hi,
         "scaling_efficiency": round(rate_hi / ((n_hi / n_lo) * rate_lo), 3),
+        "scaling_efficiency_median": round(
+            lo_med / ((n_hi / n_lo) * hi_med), 3
+        ),
         "docs": hi["docs"],
     }
 

@@ -721,7 +721,7 @@ def minhash_band_counts(
     seed: int = 42,
     chunk: int = 8192,
 ) -> pa.Table:
-    """Per-block partial cluster counts (band, band_key, n) in ONE pass.
+    """Per-block partial cluster counts (combo, n) in ONE pass.
 
     The LSH row table never materializes: signatures are computed in
     ``chunk``-doc slices (bounding the shingle buffer; the signature
@@ -729,6 +729,13 @@ def minhash_band_counts(
     accumulated, and the block reduces to its per-band-key counts
     immediately. Combine the partials with
     :func:`gis_scripts_ray.stages.tile_agg.coalesce_shuffle_sum`.
+
+    ``combo`` folds (band, band_key) into ONE wrapping-uint64 key —
+    ``band * 0x9E3779B97F4A7C15 + band_key``, the same collision-free-in-
+    practice fold as the candidates path's ``add_combined`` — which
+    shrinks the shuffled partial rows from 24 to 16 bytes and makes the
+    combine hash a single int64 column (round-3 scaling-tail work; the
+    dedup stage is the memory-bandwidth-bound limiter at 16-way).
     """
     key = ("", text_col, num_perm, bands, shingle_w, seed)
     mh = _WORKER_MINHASHERS.get(key)
@@ -737,6 +744,11 @@ def minhash_band_counts(
         _WORKER_MINHASHERS[key] = mh
     texts = batch[text_col]
     r = mh.rows_per_band
+    # per-band fold offsets precomputed in Python ints (wrapping uint64
+    # scalar multiply in numpy emits a RuntimeWarning)
+    band_off = [
+        np.uint64((b * 0x9E3779B97F4A7C15) % (1 << 64)) for b in range(bands)
+    ]
     all_keys = []
     for s in range(0, len(texts), chunk):
         sigs = mh.signatures(texts.slice(s, chunk))
@@ -746,20 +758,13 @@ def minhash_band_counts(
             acc = np.full(len(sigs), 0xCBF29CE484222325, dtype=np.uint64)
             for j in range(r):
                 acc = (acc ^ blk[:, j]) * np.uint64(0x100000001B3)
-            keys[:, b] = acc
+            keys[:, b] = acc + band_off[b]
         all_keys.append(keys)
     keys = np.concatenate(all_keys) if all_keys else np.zeros((0, bands), dtype=np.uint64)
-    t = pa.table(
-        {
-            "band": pa.array(
-                np.tile(np.arange(bands, dtype=np.int64), len(keys)), pa.int64()
-            ),
-            "band_key": pa.array(keys.ravel().astype(np.int64), pa.int64()),
-        }
-    )
-    out = t.group_by(["band", "band_key"]).aggregate([("band", "count")])
+    t = pa.table({"combo": pa.array(keys.ravel().astype(np.int64), pa.int64())})
+    out = t.group_by(["combo"]).aggregate([([], "count_all")])
     return out.rename_columns(
-        ["n" if c == "band_count" else c for c in out.column_names]
+        ["n" if c == "count_all" else c for c in out.column_names]
     )
 
 
