@@ -131,23 +131,48 @@ def knn_multi_brute(
         lon = batch[lon_col].to_numpy()
         ids = batch[id_col].to_numpy()
         vals = batch[value_col].to_numpy() if value_col else None
+        n = len(lat)
         out_probe, out_id, out_d, out_v = [], [], [], []
-        # probe-major loop, row-vectorized haversine per probe
-        for p in range(n_probes):
-            d = geo.haversine_m(probe_lat[p], probe_lon[p], lat, lon)
-            sel = _select_topk_ties(d, ids, k)
-            out_probe.append(np.full(len(sel), p, dtype=np.int64))
-            out_id.append(ids[sel])
-            out_d.append(d[sel])
-            if vals is not None:
-                out_v.append(vals[sel])
+        if n:
+            # probe-chunked (P_chunk x rows) haversine MATRIX + per-row
+            # partition — no per-probe Python loop (round-2 verdict minor
+            # #5: a 10^6-probe dense raster paid O(probes) interpreter
+            # overhead per batch). Chunk bounds the matrix to ~4M doubles.
+            kk = min(k, n)
+            chunk_p = max(1, 4_000_000 // n)
+            for c0 in range(0, n_probes, chunk_p):
+                pl = probe_lat[c0 : c0 + chunk_p]
+                po = probe_lon[c0 : c0 + chunk_p]
+                dm = geo.haversine_m(
+                    pl[:, None], po[:, None], lat[None, :], lon[None, :]
+                )
+                thresh = np.partition(dm, kk - 1, axis=1)[:, kk - 1 : kk]
+                pi, ri = np.nonzero(dm <= thresh)
+                dsel = dm[pi, ri]
+                # one lexsort + run-offset ranks (tie-complete, same total
+                # order (d, id) as _select_topk_ties)
+                order = np.lexsort((ids[ri], dsel, pi))
+                pi, ri, dsel = pi[order], ri[order], dsel[order]
+                new_run = np.concatenate([[True], pi[1:] != pi[:-1]])
+                run_start = np.maximum.accumulate(
+                    np.where(new_run, np.arange(len(pi)), 0)
+                )
+                keep = (np.arange(len(pi)) - run_start) < kk
+                out_probe.append(pi[keep] + c0)
+                out_id.append(ids[ri[keep]])
+                out_d.append(dsel[keep])
+                if vals is not None:
+                    out_v.append(vals[ri[keep]])
+        cat = lambda parts, dt: (
+            np.concatenate(parts) if parts else np.empty(0, dtype=dt)
+        )
         cols = {
-            "probe": pa.array(np.concatenate(out_probe), pa.int64()),
-            id_col: pa.array(np.concatenate(out_id), pa.int64()),
-            "dist_m": pa.array(np.concatenate(out_d), pa.float64()),
+            "probe": pa.array(cat(out_probe, np.int64).astype(np.int64), pa.int64()),
+            id_col: pa.array(cat(out_id, np.int64), pa.int64()),
+            "dist_m": pa.array(cat(out_d, np.float64), pa.float64()),
         }
         if vals is not None:
-            cols["value"] = pa.array(np.concatenate(out_v), pa.float64())
+            cols["value"] = pa.array(cat(out_v, np.float64), pa.float64())
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()

@@ -191,9 +191,23 @@ def sessionize_presplit(
             prev_end = int(last_row["end_us"])
 
     base_df = pd.DataFrame(bases, columns=[key_col, "_range", "_base"])
+    if len(base_df) == 0:
+        # typed empty frame: pandas merge raises on object-vs-int64 key
+        # dtypes even when both sides are empty
+        base_df = base_df.astype({"_range": np.int64, "_base": np.int64})
     ref = _ray.put(base_df)
 
     def relabel(batch: pa.Table, ref=None) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], batch.schema.field(key_col).type),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                }
+            )
         bd = worker_broadcast(ref)
         df = batch.to_pandas().merge(bd, on=[key_col, "_range"], how="left")
         sid = df["_base"].to_numpy().astype(np.int64) + df["local_sid"].to_numpy()
