@@ -229,11 +229,16 @@ def run_bench() -> dict:
 
     qtimes = {}
     for name in QUERY_SUBSET:
-        t0 = time.time()
-        res = QUERIES[name](SF_DIR)
-        if hasattr(res, "count"):
-            res.count()
-        qtimes[name] = round(time.time() - t0, 3)
+        # best-of-2: the first rep doubles as the query's warm-up (machine
+        # background load drifts ~2x on a minutes scale — BASELINE.md)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            res = QUERIES[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            times.append(time.time() - t0)
+        qtimes[name] = round(min(times), 3)
 
     ray.shutdown()
     return {

@@ -404,6 +404,7 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     max_group: int = 4096,
+    broadcast_limit: int = 10_000_000,
 ) -> pa.Table:
     """Embedding near-duplicate pairs (id_a, id_b, capped) with cosine >=
     ``threshold``, found by BANDED random-hyperplane LSH — the embedding
@@ -418,7 +419,9 @@ def lsh_neardup_pairs(
        by construction) — embeddings NEVER enter the shuffle;
     2. per-combo counts via in-batch partials +
        :func:`~gis_scripts_ray.stages.tile_agg.coalesce_shuffle_sum`; only
-       the >= 2-member combo set (bounded by near-dup volume) broadcasts;
+       the >= 2-member combo set (bounded by near-dup volume) broadcasts —
+       and when its MEASURED size exceeds ``broadcast_limit`` the filter
+       switches to a distributed hash semi-join (the dedup stage's guard);
     3. distributed pair expansion ``groupby(combo).map_groups`` with the
        dedup stage's exact min-k + count hot-bucket truncation
        (``capped`` flags, no silent drops);
@@ -481,18 +484,24 @@ def lsh_neardup_pairs(
     counts = coalesce_shuffle_sum(
         rows.map_batches(partial_counts, batch_format="pyarrow"), ["combo"], ["n"]
     )
-    multi = counts.map_batches(
+    multi_ds = counts.map_batches(
         lambda b: b.filter(pc.greater(b["n"], 1)).select(["combo"]),
         batch_format="pyarrow",
-    ).to_pandas()
-    if len(multi) == 0:
+    ).materialize()
+    n_multi = multi_ds.count()
+    if n_multi == 0:
         return empty
-    multi_set = pa.array(multi["combo"].to_numpy(), pa.int64())
+    if n_multi <= broadcast_limit:
+        multi_set = pa.array(multi_ds.to_pandas()["combo"].to_numpy(), pa.int64())
+    else:
+        multi_set = None  # semi-join below (same guard as the dedup stage)
 
     def truncate_local(batch: pa.Table) -> pa.Table:
         # per-block min-k + count rows per combo (exact, associative) —
         # the dedup.py hot-key guard verbatim in shape
-        b = batch.filter(pc.is_in(batch["combo"], value_set=multi_set))
+        b = batch
+        if multi_set is not None:
+            b = b.filter(pc.is_in(b["combo"], value_set=multi_set))
         combos = b["combo"].to_numpy()
         ids = b[id_col].to_numpy()
         if len(ids) == 0:
@@ -526,7 +535,20 @@ def lsh_neardup_pairs(
             }
         )
 
-    cand = rows.map_batches(truncate_local, batch_format="pyarrow")
+    if multi_set is not None:
+        cand_src = rows
+    else:
+        # >=2-member combo set too big for one value-set array: hash
+        # semi-join on combo (repartition-compact first — Ray 2.49's
+        # Dataset.join Acero bug on empty shuffle-partition blocks)
+        from gis_scripts_ray.stages.joins import hash_join
+
+        compact = multi_ds.repartition(max(1, min(64, n_multi // 2_000_000 + 1)))
+        cand_src = hash_join(
+            rows.select_columns([id_col, "combo"]), compact, on="combo",
+            num_partitions=16,
+        )
+    cand = cand_src.map_batches(truncate_local, batch_format="pyarrow")
     pair_schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]
     )

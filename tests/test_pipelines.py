@@ -368,6 +368,16 @@ class TestJoins:
         pairs = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
         want = {(int(i), int(i + 1_000_000)) for i in ids}
         assert pairs == want, (len(pairs - want), len(want - pairs))
+        # forced semi-join candidate filter is byte-identical
+        sj = lsh_neardup_pairs(
+            ray.data.from_arrow(both).repartition(8),
+            dim=16,
+            threshold=0.99,
+            broadcast_limit=0,
+        )
+        assert sj.sort_by([("id_a", "ascending"), ("id_b", "ascending")]).equals(
+            got.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+        )
 
     def test_kmeans_matches_local_oracle(self, ray_session):
         """Distributed k-means == single-process numpy k-means: identical
