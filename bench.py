@@ -201,6 +201,30 @@ def _pin_kernel_threads() -> None:
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 
+# Calibrated on an idle window 2026-08-17 (median-of-3 in fresh quiet
+# processes: 0.070-0.086 s; floor 0.070). The probe is a fixed
+# single-thread uint64 xorshift-fold —
+# compute+memory mix resembling the engine's hash kernels. Its wall-time
+# ratio vs this nominal estimates how loaded the machine was DURING a
+# scaling child, turning "background load drifted" from a claim into a
+# recorded per-run measurement (BASELINE.md variance notes).
+PROBE_NOMINAL_SEC = 0.070
+
+
+def _load_probe(reps: int = 3) -> float:
+    import numpy as np
+
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        x = np.arange(2_000_000, dtype=np.uint64)
+        for _ in range(20):
+            x = (x ^ (x >> np.uint64(13))) * np.uint64(0x100000001B3)
+        int(x.sum())
+        ts.append(time.time() - t0)
+    return round(sorted(ts)[len(ts) // 2], 4)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -214,9 +238,14 @@ def run_bench() -> dict:
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # block counts are pinned via override_num_blocks — skip the parquet
+    # decoding-size sampling pass (serial driver time per execution)
+    ctx.decoding_size_estimation = False
 
     input_dir, n_docs = prepare_input()
+    probe_before = _load_probe()
     # untimed warm-up over the FULL input: spawns workers, imports
     # numpy/polars in them, touches every input page (a partial warm-up
     # leaves the first timed rep ~3x slower on a cold page cache).
@@ -250,6 +279,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "docs": n_docs,
         "docs_per_sec": round(n_docs / sec, 1),
+        "probe": [probe_before, _load_probe()],
+        "probe_nominal": PROBE_NOMINAL_SEC,
     }
 
 
@@ -269,8 +300,14 @@ def run_scaling_child() -> dict:
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # skip the parquet decoding-size sampling pass: block counts are pinned
+    # via override_num_blocks here, so the estimate buys nothing and costs
+    # serial driver time per execution
+    ctx.decoding_size_estimation = False
     input_dir, n_docs = prepare_input()
+    probe_before = _load_probe()
     # untimed warm-up over the FULL input: spawns workers, imports numpy/
     # polars in them, and touches every input page — measured: a 4-file
     # warm-up leaves the first timed rep ~70% slower (cold page cache)
@@ -284,6 +321,7 @@ def run_scaling_child() -> dict:
     d_times = [round(dedup_stage(input_dir), 3) for _ in range(reps)]
     sec = min(h_times) + min(d_times)
     ray.shutdown()
+    probe_after = _load_probe()
     return {
         "value": round(sec, 3),
         "headline_reps": h_times,
@@ -291,6 +329,7 @@ def run_scaling_child() -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / sec, 1),
         "num_cpus": NUM_CPUS,
+        "probe": [probe_before, probe_after],
     }
 
 
@@ -371,6 +410,18 @@ def run_scaling() -> dict:
             lo_med / ((n_hi / n_lo) * hi_med), 3
         ),
         "docs": hi["docs"],
+        # per-child [before, after] single-thread probe wall-times in ABBA
+        # order (lo, hi, hi, lo) + the idle-window nominal: probes well
+        # above nominal are recorded evidence that background machine load
+        # overlapped that child's window (the known cause of the sub-0.8
+        # efficiency tail — BASELINE.md)
+        "probes": [r.get("probe") for r in runs],
+        "probe_nominal": PROBE_NOMINAL_SEC,
+        "load_factor_max": round(
+            max(p for r in runs for p in (r.get("probe") or [PROBE_NOMINAL_SEC]))
+            / PROBE_NOMINAL_SEC,
+            2,
+        ),
     }
 
 

@@ -24,10 +24,19 @@ from gis_scripts_ray.sources.webpages import SEED, site_locations
 CLASSES = ["urban", "water", "forest", "cropland", "wetland", "barren", "grassland"]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def synthesize_polygons(seed: int = SEED, n_extra_rects: int = 0) -> pa.Table:
     """Fixture layer; ``n_extra_rects`` adds district-scale rectangles
     clustered around the sites (bench uses ~2000 — a realistic admin-layer
-    size that makes the STRtree probe the dominant per-row cost)."""
+    size that makes the STRtree probe the dominant per-row cost).
+
+    Memoized per (seed, n_extra_rects): the layer is deterministic and the
+    returned Arrow table immutable, and returning the SAME object lets the
+    driver-side PolygonIndex memo in ``stages/pip_join.py`` hit across
+    repeated pipeline executions over one layer."""
     rng = np.random.default_rng(seed + 1)
     site_lat, site_lon = site_locations(seed)
     rows: list[tuple[int, str, bytes, int]] = []

