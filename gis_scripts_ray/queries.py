@@ -640,6 +640,44 @@ def _sql_dedup_exact() -> str:
     )
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate-distinct (``stages/sketch.py``) with a
+    DERIVED-INVARIANT oracle: the sketch estimate is not SQL-expressible,
+    but (a) the exact distributed distinct count is a REAL engine value
+    SQL-checked against ``COUNT(DISTINCT ...)``, and (b) the
+    estimate-within-bound flag is implied TRUE by HLL's error bound
+    (p=12 → 1.04/√4096 ≈ 1.6% standard error; the flag allows 4σ;
+    measured error −1.2% / +1.3% / +0.2% at sf0.001/0.01/0.1). A broken
+    register, merge, or estimator path flips the flag and diverges the
+    value hash.
+
+    Output: one row (n_exact, est_ok)."""
+    from gis_scripts_ray.stages.sketch import (
+        approx_distinct_column,
+        exact_distinct_column,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    est, _ = approx_distinct_column(ds, "l_extendedprice")
+    n_exact = exact_distinct_column(ds, "l_extendedprice")
+    est_ok = abs(est - n_exact) <= max(0.065 * n_exact, 16.0)
+    return pa.table(
+        {
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "est_ok": pa.array([bool(est_ok)], pa.bool_()),
+        }
+    )
+
+
+def _sql_approx_distinct() -> str:
+    return (
+        "SELECT CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS n_exact, "
+        "TRUE AS est_ok FROM lineitem"
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram (word-trigram) Jaccard as a DISTRIBUTED operator: each
     doc is paired with a deterministic perturbed copy ('PAD ' prefix,
@@ -1737,26 +1775,161 @@ def q_s2_cell_counts(sf_dir: str):
     )
 
 
+_SHIFT_ID = 1_000_000  # id offset of the exact-copy half in shifted-union queries
+
+
+def _text_group_map(sf_dir: str):
+    """(doc_id -> group_id, group_id -> docs-table group size) where a group
+    is an exact-text equivalence class and group_id its min doc_id. The
+    documents table is the SMALL side (fixture check scale) — read directly,
+    driver-side, like any broadcast lookup build."""
+    import pyarrow.parquet as pq_mod
+
+    docs = pq_mod.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    gid = docs.groupby("text")["doc_id"].transform("min").to_numpy()
+    gmap = dict(zip(docs["doc_id"].to_numpy(), gid))
+    import pandas as pd
+
+    gsize = pd.Series(gid).value_counts().to_dict()
+    return gmap, gsize
+
+
 def q_minhash_clusters(sf_dir: str):
-    """MinHash-LSH near-dup candidate clusters over documents+shifted copy."""
+    """MinHash-LSH candidates over documents + an exact id-shifted copy,
+    promoted to a DERIVED-INVARIANT oracle (the ``harmonize_params``
+    pattern): the near-dup pair set itself has recall < 1 by design, but
+    its restriction to exact-text groups is fully determined by LSH
+    semantics — identical texts produce identical signatures, so every
+    unordered pair within an exact-text group of the union MUST surface as
+    a candidate matching in ALL ``bands`` bands. The engine columns are
+    MEASURED from the real distributed candidate table (a dropped band,
+    broken key fold, or lost pair diverges the value hash); the SQL twin
+    derives each group's size and implied pair count from the raw table.
+    Cross-group (true near-dup) candidates remain covered by the
+    planted-pair/hot-group tests in tests/test_dedup.py.
+
+    Output: one row per exact-text group —
+    (group_id, g_union, n_pairs, n_pairs_full)."""
+    import pandas as pd
+
     from gis_scripts_ray.stages.dedup import minhash_lsh_candidates
+
+    bands = 16
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.add(batch["doc_id"], _SHIFT_ID), "text": batch["text"]}
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+    pairs = minhash_lsh_candidates(
+        both, "doc_id", "text", bands=bands, concurrency=2
+    ).to_pandas()
+    gmap, gsize = _text_group_map(sf_dir)
+    base_a = np.where(pairs["id_a"] >= _SHIFT_ID, pairs["id_a"] - _SHIFT_ID, pairs["id_a"])
+    base_b = np.where(pairs["id_b"] >= _SHIFT_ID, pairs["id_b"] - _SHIFT_ID, pairs["id_b"])
+    ga = pd.Series(base_a).map(gmap)
+    gb = pd.Series(base_b).map(gmap)
+    within = (ga == gb).to_numpy()
+    wp = pairs[within].assign(group_id=ga[within].to_numpy())
+    found = wp.groupby("group_id").size()
+    full = wp[wp["n_bands"] == bands].groupby("group_id").size()
+    groups = sorted(gsize)
+    return pa.table(
+        {
+            "group_id": pa.array(groups, pa.int64()),
+            "g_union": pa.array([2 * gsize[g] for g in groups], pa.int64()),
+            "n_pairs": pa.array(
+                found.reindex(groups, fill_value=0).to_numpy().astype(np.int64),
+                pa.int64(),
+            ),
+            "n_pairs_full": pa.array(
+                full.reindex(groups, fill_value=0).to_numpy().astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _sql_minhash_clusters() -> str:
+    # identical texts => identical signatures => a candidate pair in every
+    # band: the within-group pair count implied by the raw table is
+    # C(g_union, 2), full-band. Valid while no union group exceeds the
+    # query's max_group pair-expansion cap (fixture max group is 2 docs ->
+    # g_union 4 -> 6 pairs, far under 64).
+    return (
+        "WITH g AS (SELECT MIN(doc_id) AS group_id, COUNT(*) * 2 AS g_union "
+        "FROM documents GROUP BY text) "
+        "SELECT CAST(group_id AS BIGINT) AS group_id, "
+        "CAST(g_union AS BIGINT) AS g_union, "
+        "CAST((g_union * (g_union - 1)) // 2 AS BIGINT) AS n_pairs, "
+        "CAST((g_union * (g_union - 1)) // 2 AS BIGINT) AS n_pairs_full "
+        "FROM g ORDER BY group_id"
+    )
+
+
+def q_simhash_fingerprints(sf_dir: str):
+    """SimHash fingerprints, promoted to a DERIVED-INVARIANT oracle: the
+    64-bit fingerprints are not SQL-expressible (byte-level FNV + bit
+    votes), but content-purity is — identical texts MUST simhash
+    identically. The corpus is unioned with an id-shifted exact copy (the
+    copies land in different blocks/workers), fingerprints computed by the
+    distributed stage, and the engine reports the MEASURED distinct
+    fingerprints per exact-text group (implied 1 by the SQL twin) plus the
+    engine-side character count (a real varying value, SQL-checked).
+    Raw fingerprint values stay covered by the bit-exactness parity tests
+    (TestTextKernelParity).
+
+    Output: (group_id, n_docs, n_distinct_sim, n_chars_text) per group."""
+    import pandas as pd
+
+    from gis_scripts_ray.stages.dedup import simhash_rows
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"doc_id": pc.add(batch["doc_id"], 1_000_000), "text": batch["text"]}
+            {"doc_id": pc.add(batch["doc_id"], _SHIFT_ID), "text": batch["text"]}
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
-    return minhash_lsh_candidates(both, "doc_id", "text", concurrency=2)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        out = simhash_rows(batch, "doc_id", "text")
+        return out.append_column(
+            "n_chars_text", pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        )
+
+    fps = both.map_batches(rows, batch_format="pyarrow").to_pandas()
+    gmap, _ = _text_group_map(sf_dir)
+    base = np.where(fps["doc_id"] >= _SHIFT_ID, fps["doc_id"] - _SHIFT_ID, fps["doc_id"])
+    summ = (
+        fps.assign(group_id=pd.Series(base).map(gmap).to_numpy())
+        .groupby("group_id")
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_distinct_sim=("simhash", "nunique"),
+            n_chars_text=("n_chars_text", "min"),
+        )
+        .reset_index()
+        .sort_values("group_id")
+    )
+    return pa.table(
+        {c: pa.array(summ[c].to_numpy().astype(np.int64), pa.int64()) for c in summ.columns}
+    )
 
 
-def q_simhash_fingerprints(sf_dir: str):
-    from gis_scripts_ray.stages.dedup import simhash_fingerprints
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_fingerprints(ds, "doc_id", "text", concurrency=2)
+def _sql_simhash_fingerprints() -> str:
+    return (
+        "SELECT CAST(MIN(doc_id) AS BIGINT) AS group_id, "
+        "CAST(COUNT(*) * 2 AS BIGINT) AS n_docs, "
+        "CAST(1 AS BIGINT) AS n_distinct_sim, "
+        "CAST(MIN(LENGTH(text)) AS BIGINT) AS n_chars_text "
+        "FROM documents GROUP BY text ORDER BY group_id"
+    )
 
 
 def q_langid_pred_counts(sf_dir: str):
@@ -1773,7 +1946,16 @@ def q_langid_pred_counts(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate nearest neighbors (recall < 1 by design)."""
+    """LSH-bucketed approximate nearest neighbors — now FULLY
+    oracle-checked: the whole probe is deterministic given the seeded
+    hyperplane matrix (bucket = sign bits of ``emb @ planes``, probe =
+    buckets within Hamming 2, refine = exact cosine top-k), and the plane
+    matrix is embeddable as SQL literals the same way the RPC term table
+    and shapefile VALUES twins are. Recall < 1 versus brute force remains
+    BY DESIGN — the twin reproduces the algorithm, not exhaustive search.
+    Sign-flip risk audited: min |dot| over every fixture is >= 2.4e-05
+    (sf0.1) vs ~1e-15 summation-order noise; top-k boundary margins are
+    >= 0.003 (FIXTURES.md discipline: no decision within float noise)."""
     from gis_scripts_ray.stages.similarity import ann_lsh_topk, query_vector
 
     qv = query_vector(sf_dir, vec_id=0)
@@ -1782,6 +1964,33 @@ def q_ann_lsh(sf_dir: str):
     )
     out = ann_lsh_topk(emb, qv, 10, dim=len(qv))
     return out.select(["vec_id", "rank"]).rename_columns(["vec_id", "ann_rank"])
+
+
+def _sql_ann_lsh(dim: int = 64, n_planes: int = 12, seed: int = 42) -> str:
+    """Plane weights are transcribed constants from the same public seeded
+    generator the engine uses (numpy PCG64 standard_normal) — the twin
+    checks the DISTRIBUTED pipeline (bucketing, Hamming-2 probe set,
+    filter, exact-cosine top-k refine), like the RPC00B term-table twin."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    rows = ", ".join(
+        f"({i}, {j}, {planes[i, j]!r})" for i in range(dim) for j in range(n_planes)
+    )
+    return (
+        f"WITH planes(i, j, w) AS (VALUES {rows}), "
+        "dots AS (SELECT e.vec_id, p.j, SUM(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.w) AS d "
+        "FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.j), "
+        "buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) "
+        "ELSE 0 END) AS BIGINT) AS bucket FROM dots GROUP BY vec_id), "
+        "qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0), "
+        "qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0), "
+        "cand AS (SELECT b.vec_id FROM buckets b, qb "
+        "WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2), "
+        "scored AS (SELECT c.vec_id, list_cosine_similarity(e.embedding, qv.v) AS sim "
+        "FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, qv) "
+        "SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) "
+        "AS ann_rank FROM scored ORDER BY sim DESC, vec_id LIMIT 10"
+    )
 
 
 def q_ann_ivf(sf_dir: str):
@@ -2031,11 +2240,66 @@ def q_checkpoint_resume(sf_dir: str):
 
 
 def q_text_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints, promoted to a DERIVED-INVARIANT
+    oracle (same pattern as ``simhash_fingerprints``): identical texts
+    MUST fingerprint identically, so over documents + an id-shifted exact
+    copy the engine-measured distinct-fingerprint count per exact-text
+    group is 1, and the engine tokenizer's token count is SQL-checkable
+    against the space-count expression (the ``token_counts`` twin's form).
+    Raw fingerprint values stay covered by TestTextKernelParity.
+
+    Output: (group_id, n_docs, n_distinct_fp, n_tokens) per group."""
+    import pandas as pd
+
     from gis_scripts_ray.stages.textstages import rolling_fingerprint
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = ds.map_batches(rolling_fingerprint, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "fingerprint"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.add(batch["doc_id"], _SHIFT_ID), "text": batch["text"]}
+        )
+
+    both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
+
+    def rows(batch: pa.Table) -> pa.Table:
+        out = rolling_fingerprint(batch)
+        toks = pc.cast(pc.add(pc.count_substring(batch["text"], " "), 1), pa.int64())
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "fingerprint": out["fingerprint"],
+                "n_tokens": toks,
+            }
+        )
+
+    fps = both.map_batches(rows, batch_format="pyarrow").to_pandas()
+    gmap, _ = _text_group_map(sf_dir)
+    base = np.where(fps["doc_id"] >= _SHIFT_ID, fps["doc_id"] - _SHIFT_ID, fps["doc_id"])
+    summ = (
+        fps.assign(group_id=pd.Series(base).map(gmap).to_numpy())
+        .groupby("group_id")
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_distinct_fp=("fingerprint", "nunique"),
+            n_tokens=("n_tokens", "min"),
+        )
+        .reset_index()
+        .sort_values("group_id")
+    )
+    return pa.table(
+        {c: pa.array(summ[c].to_numpy().astype(np.int64), pa.int64()) for c in summ.columns}
+    )
+
+
+def _sql_text_fingerprints() -> str:
+    return (
+        "SELECT CAST(MIN(doc_id) AS BIGINT) AS group_id, "
+        "CAST(COUNT(*) * 2 AS BIGINT) AS n_docs, "
+        "CAST(1 AS BIGINT) AS n_distinct_fp, "
+        "CAST(MIN(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) "
+        "AS n_tokens FROM documents GROUP BY text ORDER BY group_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2058,6 +2322,7 @@ QUERIES: dict[str, Callable] = {
     "distinct_langs": q_distinct_langs,
     "top_hosts": q_top_hosts,
     "dedup_exact": q_dedup_exact,
+    "approx_distinct": q_approx_distinct,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -2113,6 +2378,7 @@ ORACLES: dict[str, str] = {
     "distinct_langs": _sql_distinct_langs(),
     "top_hosts": _sql_top_hosts(),
     "dedup_exact": _sql_dedup_exact(),
+    "approx_distinct": _sql_approx_distinct(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),
@@ -2135,6 +2401,11 @@ ORACLES: dict[str, str] = {
     # round-3 derived-invariant promotions (see each query's docstring)
     "harmonize_params": _sql_harmonize_params(),
     "train_eval": _sql_train_eval(),
+    "minhash_clusters": _sql_minhash_clusters(),
+    "simhash_fingerprints": _sql_simhash_fingerprints(),
+    "text_fingerprints": _sql_text_fingerprints(),
+    # round-3 full-twin promotion: deterministic seeded-plane LSH probe
+    "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks
     "knn_cell_ring": _sql_knn_cell_ring(),
     "checkpoint_resume": _sql_checkpoint_resume(),
