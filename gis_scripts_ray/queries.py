@@ -678,6 +678,181 @@ def _sql_approx_distinct() -> str:
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact phi-heavy hitters via the two-pass Misra-Gries
+    sketch-then-verify (``stages/sketch.py``): pass 1 reduces each block
+    to <= 256 counters and tree-folds them (mergeable-summaries guarantee:
+    no key above the threshold can be missed), pass 2 recounts ONLY the
+    candidate keys exactly, so the output is exact and a plain SQL
+    GROUP BY/HAVING twin checks it value-for-value. The key plants
+    deterministic skew over lineitem (10 hot keys at ~2% each riding a
+    ~2000-key partkey tail — the regime where a naive GROUP BY shuffles
+    every distinct key but the sketch shuffles 256):
+    ``key = -l_quantity if l_quantity <= 10 else l_partkey``.
+
+    Output: (key, n_exact) for keys with frequency > 1% of rows."""
+    from gis_scripts_ray.stages.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy()
+        pk = batch["l_partkey"].to_numpy().astype(np.int64)
+        key = np.where(q <= 10.0, -q.astype(np.int64), pk)
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    keyed = ds.map_batches(derive, batch_format="pyarrow")
+    return heavy_hitters(keyed, "key", phi=0.01, capacity=256).sort("key")
+
+
+def _sql_heavy_hitters() -> str:
+    return (
+        "WITH k AS (SELECT CASE WHEN l_quantity <= 10 "
+        "THEN -CAST(l_quantity AS BIGINT) ELSE l_partkey END AS key "
+        "FROM lineitem) "
+        "SELECT key, CAST(COUNT(*) AS BIGINT) AS n_exact FROM k "
+        "GROUP BY key HAVING COUNT(*) > 0.01 * (SELECT COUNT(*) FROM k) "
+        "ORDER BY key"
+    )
+
+
+def q_bloom_join_revenue(sf_dir: str):
+    """Runtime-filtered large x large join (``stages/joins.py``
+    ``bloom_semi_join``): a Bloom filter of the selective right side's
+    keys (URGENT orders, ~20%) is OR-folded from per-block partials,
+    broadcast once, and prunes lineitem INSIDE the fused read stage —
+    only ~matching rows (+ ~1-2% false positives, removed by the exact
+    join) enter the all-to-all shuffle. False negatives are impossible,
+    so the result equals the plain filtered join, which is exactly what
+    the SQL twin computes. Revenue in exact integer micro-cents per
+    order status."""
+    from gis_scripts_ray.stages.joins import bloom_semi_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy()
+        disc_pct = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_microcents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+    urgent = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).drop_columns(
+            ["o_orderpriority"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bloom_semi_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        urgent,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+    return cell_sum_count(joined, ["o_orderstatus"], ["rev_microcents"])
+
+
+def _sql_bloom_join_revenue() -> str:
+    return (
+        "SELECT o_orderstatus, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_rev_microcents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus"
+    )
+
+
+# epoch microseconds of 2024-01-01T00:00:00 — the event window's start,
+# into which order dates (1995-2001, disjoint from events) are remapped
+_ASOF_BASE_US = 1_704_067_200_000_000
+
+
+def q_events_asof_orders(sf_dir: str):
+    """Distributed backward AS-OF join (``stages/asof.py``): each event is
+    matched to the latest order at-or-before its timestamp within its key
+    group. Order dates (1995-2001) are deterministically remapped into
+    the 30-day event window, with the orderkey folded into the
+    microseconds so (key, ts) is unique on the right side (the operator's
+    tie contract); key = o_custkey % 150 aligns the custkey domain with
+    events.user_id. Engine: range-bucketed shuffle + per-key carry seeds
+    + per-bucket sorted merge — oracle: DuckDB ``ASOF JOIN``, row-exact.
+
+    Output: (event_id, o_orderkey) for every matched event."""
+    from gis_scripts_ray.stages.asof import asof_join_backward, timestamp_to_us
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def prep_e(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": timestamp_to_us(batch["ts"]),
+            }
+        )
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy()
+        od_us = np.asarray(timestamp_to_us(batch["o_orderdate"]))
+        ts2 = (
+            _ASOF_BASE_US
+            + ((od_us // 1_000_000) % 2_592_000) * 1_000_000
+            + ok % 1_000_000
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "key": pa.array(batch["o_custkey"].to_numpy() % 150, pa.int64()),
+                "ts2_us": pa.array(ts2, pa.int64()),
+            }
+        )
+
+    joined = asof_join_backward(
+        events.map_batches(prep_e, batch_format="pyarrow"),
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        left_ts="ts_us",
+        right_ts="ts2_us",
+        left_by="user_id",
+        right_by="key",
+        carry_cols=["o_orderkey"],
+        n_buckets=48,
+    )
+    return joined.select_columns(["event_id", "o_orderkey"]).sort("event_id")
+
+
+def _sql_events_asof_orders() -> str:
+    return (
+        "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
+        "TIMESTAMP '2024-01-01 00:00:00' + to_microseconds("
+        "((epoch_us(o_orderdate) // 1000000) % 2592000) * 1000000 "
+        "+ o_orderkey % 1000000) AS ts2 FROM orders) "
+        "SELECT e.event_id, o2.o_orderkey FROM events e "
+        "ASOF JOIN o2 ON e.user_id = o2.key AND e.ts >= o2.ts2 "
+        "ORDER BY e.event_id"
+    )
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram (word-trigram) Jaccard as a DISTRIBUTED operator: each
     doc is paired with a deterministic perturbed copy ('PAD ' prefix,
@@ -2323,6 +2498,9 @@ QUERIES: dict[str, Callable] = {
     "top_hosts": q_top_hosts,
     "dedup_exact": q_dedup_exact,
     "approx_distinct": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
+    "bloom_join_revenue": q_bloom_join_revenue,
+    "events_asof_orders": q_events_asof_orders,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -2379,6 +2557,9 @@ ORACLES: dict[str, str] = {
     "top_hosts": _sql_top_hosts(),
     "dedup_exact": _sql_dedup_exact(),
     "approx_distinct": _sql_approx_distinct(),
+    "heavy_hitters": _sql_heavy_hitters(),
+    "bloom_join_revenue": _sql_bloom_join_revenue(),
+    "events_asof_orders": _sql_events_asof_orders(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),

@@ -1,0 +1,252 @@
+"""Distributed backward as-of join (time-series nearest-predecessor).
+
+For every left row, find the right row with the greatest right timestamp
+<= the left timestamp within the same key group — the standard
+market-data / sensor-fusion join that neither Ray Data nor the reference
+has natively. The engine composes it from map_batches + a driver-sized
+carry table + one ``groupby(bucket).map_groups`` (the same
+boundary-merge shape as ``stages/components.py``).
+
+Partitioning scheme (the documented assumption of this operator):
+
+* Time is split into ``n_buckets`` equal ranges of the LEFT side's span.
+  Left rows shuffle once to their bucket; right rows shuffle once to
+  theirs (rows after the left max are dropped — they can never match).
+* A right row can also answer for left rows in LATER buckets. The only
+  right row that can cross a bucket boundary forward is, per key, the
+  LATEST one at or before that boundary — so the carry state is the
+  per-(bucket, key) latest-row table: reduced per block (vectorized
+  lexsort take-last), folded at the driver, forward-filled per key, and
+  re-emitted as seed rows into each later bucket. The operator assumes
+  #distinct-keys x n_buckets is driver-sized (thousands of
+  instruments/sensors x tens-hundreds of time ranges — the standard
+  as-of regime). Bucket contents stream; only the carry table
+  materializes.
+* Each bucket group runs a local sorted backward merge
+  (``pandas.merge_asof``) over its left rows + in-bucket right rows +
+  seeds — exact, because every potential predecessor of a left row is
+  either in-bucket or the carried per-key latest.
+
+Timestamp contract: both timestamp columns are int64 microseconds
+(CLAUDE.md normalization rule — pandas ns vs parquet us was a real
+round-1 bug class; callers cast with ``timestamp_to_us``).
+
+Ties: duplicate (key, right_ts) pairs make "latest" ambiguous; the right
+side must be unique on (key, right_ts) (callers fold a unique id into
+the microseconds — see ``queries.q_events_asof_orders``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def timestamp_to_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Cast a timestamp column to int64 microseconds (normalization rule)."""
+    import pyarrow.compute as pc
+
+    out = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _minmax(ds: ray.data.Dataset, col: str) -> tuple[int, int]:
+    """Global (min, max) of an int64 column: per-block partials folded at
+    the driver in ONE streaming pass (not a ``ds.min()`` + ``ds.max()``
+    pair of executions)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy()
+        if len(v) == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(v.min())], pa.int64()),
+                "hi": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("asof_join: empty left side")
+    return min(r["lo"] for r in rows), max(r["hi"] for r in rows)
+
+
+def asof_join_backward(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_ts: str,
+    right_ts: str,
+    left_by: str,
+    right_by: str,
+    carry_cols: list[str],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Backward as-of inner join; see module docstring for the scheme.
+
+    Output: every matched left row with its columns plus ``carry_cols``
+    from the matched right row (unmatched left rows are dropped — inner
+    semantics, the SQL ``ASOF JOIN`` default)."""
+    t_lo, t_hi = _minmax(left, left_ts)
+    width = max(1, (t_hi - t_lo + n_buckets) // n_buckets)
+
+    def bucket_of(ts: np.ndarray) -> np.ndarray:
+        return np.clip((ts - t_lo) // width, -1, n_buckets - 1)
+
+    r_cols = [right_by, right_ts] + list(carry_cols)
+    r_schema = right.schema()
+    r_types = [dict(zip(r_schema.names, r_schema.types))[c] for c in r_cols]
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    # ---- carry table: per-(bucket, key) latest right row ----------------
+    def latest_partial(batch: pa.Table) -> pa.Table:
+        b = batch.select(r_cols)
+        ts = b[right_ts].to_numpy()
+        b = b.filter(pa.array(ts <= t_hi))  # later rows can never match
+        if len(b) == 0:
+            return b.append_column("__bucket", pa.array([], pa.int64()))
+        ts = b[right_ts].to_numpy()
+        key = b[right_by].to_numpy()
+        bk = bucket_of(ts)
+        order = np.lexsort((ts, bk, key))
+        bk_s, key_s = bk[order], key[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = (bk_s[1:] != bk_s[:-1]) | (key_s[1:] != key_s[:-1])
+        sel = order[last]
+        return b.take(pa.array(sel)).append_column(
+            "__bucket", pa.array(bk[sel], pa.int64())
+        )
+
+    latest = (
+        right.map_batches(latest_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values([right_by, "__bucket", right_ts], kind="mergesort")
+        .drop_duplicates([right_by, "__bucket"], keep="last")
+    )
+
+    # forward-fill per key: the seed for bucket b is the latest right row
+    # in any bucket < b (buckets ascend in time, so the row from the
+    # greatest earlier bucket IS the latest-so-far)
+    seed_rows: list[dict] = []
+    for _, g in latest.groupby(right_by, sort=False):
+        by_bucket = {r["__bucket"]: r for r in g.to_dict("records")}
+        carried = None
+        for b in range(-1, n_buckets - 1):
+            if b in by_bucket:
+                carried = by_bucket[b]
+            if carried is not None:
+                seed = dict(carried)
+                seed["__bucket"] = b + 1
+                seed_rows.append(seed)
+    seeds = (
+        pd.DataFrame(seed_rows)
+        if seed_rows
+        else pd.DataFrame({c: [] for c in r_cols + ["__bucket"]})
+    )
+
+    # ---- shuffle both sides into bucket groups --------------------------
+    def tag_left(batch: pa.Table) -> pa.Table:
+        ts = batch[left_ts].to_numpy()
+        out = batch
+        for c, typ in zip(r_cols, r_types):
+            if c not in l_names:
+                out = out.append_column(c, pa.nulls(len(batch), typ))
+        return out.append_column(
+            "__bucket", pa.array(bucket_of(ts), pa.int64())
+        ).append_column("__side", pa.array(np.full(len(batch), "l"), pa.string()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        b = batch.select(r_cols)
+        ts = b[right_ts].to_numpy()
+        b = b.filter(pa.array((ts <= t_hi) & (bucket_of(ts) >= 0)))
+        ts = b[right_ts].to_numpy()
+        out = b
+        for c in l_names:
+            if c not in r_cols:
+                out = out.append_column(c, pa.nulls(len(b), l_types[c]))
+        return out.append_column(
+            "__bucket", pa.array(bucket_of(ts), pa.int64())
+        ).append_column("__side", pa.array(np.full(len(b), "r"), pa.string()))
+
+    col_order = sorted(set(l_names) | set(r_cols)) + ["__bucket", "__side"]
+    lt = left.map_batches(tag_left, batch_format="pyarrow").select_columns(col_order)
+    rt = right.map_batches(tag_right, batch_format="pyarrow").select_columns(col_order)
+
+    r_type_map = dict(zip(r_cols, r_types))
+    seeds = seeds.assign(__side="r")
+    seed_tbl = pa.table(
+        {
+            c: pa.array(
+                seeds[c] if c in seeds.columns else [None] * len(seeds),
+                pa.int64()
+                if c == "__bucket"
+                else r_type_map.get(c) or l_types.get(c) or pa.string(),
+            )
+            for c in col_order
+        }
+    )
+    both = lt.union(rt).union(ray.data.from_arrow(seed_tbl))
+
+    out_cols = l_names + list(carry_cols)
+
+    def _np_dtype(t: pa.DataType):
+        if pa.types.is_integer(t):
+            return np.int64
+        if pa.types.is_floating(t):
+            return np.float64
+        if pa.types.is_boolean(t):
+            return np.bool_
+        return object
+
+    # the union pads each side with nulls, so pandas group frames arrive
+    # with int64 columns promoted to float64 (NaN) — every output column
+    # must be cast back to its true dtype, and EMPTY group frames must be
+    # typed too (schema-mismatched empty pandas blocks was a real bug —
+    # see the sessionize relabel fix)
+    out_dtypes = {
+        c: _np_dtype(l_types[c] if c in l_types else r_type_map[c])
+        for c in out_cols
+    }
+
+    # within its own side no column is null, so each frame can be cast
+    # back to its true dtypes (the union's null-padding promotes whichever
+    # side is absent from a group to float64 — merge_asof requires the
+    # on/by dtypes to MATCH between frames, not merely be numeric)
+    l_dtypes = {c: _np_dtype(l_types[c]) for c in l_names}
+    r_dtypes = {c: _np_dtype(r_type_map[c]) for c in r_cols}
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = (
+            g[g["__side"] == "l"][l_names]
+            .astype(l_dtypes, copy=False)
+            .sort_values(left_ts, kind="mergesort")
+        )
+        if len(lg) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=dt) for c, dt in out_dtypes.items()}
+            )
+        rg = (
+            g[g["__side"] == "r"][r_cols]
+            .astype(r_dtypes, copy=False)
+            .drop_duplicates()  # a seed can coincide with an in-bucket row
+            .sort_values(right_ts, kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            lg,
+            rg,
+            left_on=left_ts,
+            right_on=right_ts,
+            left_by=left_by,
+            right_by=right_by,
+            direction="backward",
+        )
+        merged = merged.dropna(subset=[right_ts])  # inner semantics
+        out = merged[out_cols]
+        return out.astype(out_dtypes, copy=False)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")

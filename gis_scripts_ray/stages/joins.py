@@ -40,6 +40,69 @@ def hash_join(
     return bucketed_join(left, right, on, right_on, num_partitions)
 
 
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_partitions: int = 16,
+    bits_per_key: int = 10,
+    k: int = 4,
+) -> ray.data.Dataset:
+    """Runtime-filtered inner join: Bloom-prefilter the big left side with
+    the right side's key set before the shuffle join (the classic
+    sideways-information-passing / runtime-filter optimization).
+
+    Build a Bloom filter of the right side's join keys (a mergeable
+    OR-fold sketch, ``stages/sketch.py``), broadcast the fixed-size bit
+    array once (``ray.put`` + per-worker cache), and drop left rows whose
+    key is DEFINITELY absent inside a fused ``map_batches`` — so only
+    ~matching rows (plus the ~1-2% false-positive tail) ever enter the
+    all-to-all hash shuffle. False positives are removed by the exact
+    join; false negatives are impossible, so the result is EXACTLY the
+    plain inner join. At 100 TB with a selective right side this is the
+    difference between shuffling the corpus and shuffling the matches.
+
+    Inner joins only: outer semantics would need the dropped rows back.
+    """
+    import ray
+
+    from gis_scripts_ray.stages.sketch import bloom_build, bloom_contains
+
+    right_on = right_on or on
+    right = right.materialize()
+    n_keys = right.count()
+    if n_keys == 0:
+        # empty right side: the inner join is empty. Built directly —
+        # Ray 2.49's native join crashes on all-empty shuffle partitions
+        # (the Acero empty-block bug, CLAUDE.md). Output schema matches
+        # the native join: left columns + right non-key columns.
+        l_schema, r_schema = left.schema(), right.schema()
+        fields = [
+            pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)
+        ] + [
+            pa.field(n, t)
+            for n, t in zip(r_schema.names, r_schema.types)
+            if n != right_on
+        ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
+    bits, m_bits, kk = bloom_build(right, right_on, n_keys, bits_per_key, k)
+    ref = ray.put(bits)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        from gis_scripts_ray.state.broadcast import worker_broadcast
+
+        keep = bloom_contains(worker_broadcast(ref), m_bits, kk, batch[on])
+        return batch.filter(pa.array(keep))
+
+    left_f = left.map_batches(prefilter, batch_format="pyarrow")
+    # compact the (filtered, materialized) right side: Ray 2.49's native
+    # join rejects right sides containing empty shuffle-partition blocks
+    # (CLAUDE.md), and a selective filter upstream produces exactly those
+    right = right.repartition(max(1, min(num_partitions, n_keys)))
+    return hash_join(left_f, right, on, right_on, num_partitions)
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

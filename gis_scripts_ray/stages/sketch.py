@@ -161,6 +161,207 @@ def exact_distinct_column(ds: ray.data.Dataset, col: str) -> int:
     return combined.count()
 
 
+def _series(col: pa.ChunkedArray | pa.Array):
+    import polars as pl
+
+    s = pl.from_arrow(col)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    return s
+
+
+def _bloom_positions(
+    col: pa.ChunkedArray | pa.Array, m_bits: int, k: int
+) -> list[np.ndarray]:
+    """k probe positions per value — Kirsch-Mitzenmacher double hashing
+    (pos_i = h1 + i*h2 mod m, two independent 64-bit value hashes; public
+    technique, 'Less Hashing, Same Performance', 2006). ``m_bits`` must be
+    a power of two so the mod is a mask. Build and probe MUST both route
+    through this function: the filter is only correct if both sides hash
+    identically (same polars seeds, same key dtype)."""
+    s = _series(col)
+    h1 = s.hash(seed=7).to_numpy().astype(np.uint64)
+    h2 = s.hash(seed=13).to_numpy().astype(np.uint64)
+    mask = np.uint64(m_bits - 1)
+    return [(h1 + np.uint64(i) * h2) & mask for i in range(k)]
+
+
+def bloom_build(
+    ds: ray.data.Dataset,
+    col: str,
+    n_keys: int,
+    bits_per_key: int = 10,
+    k: int = 4,
+) -> tuple[bytes, int, int]:
+    """Build a Bloom filter of a Dataset column as a mergeable sketch.
+
+    Per-block partial = the fixed-size bit array with that block's keys
+    set (a ``map_batches`` partial, like the HLL registers above); the
+    combine is elementwise OR — associative, commutative, and
+    block-structure-independent. 10 bits/key with k=4 gives ~1-2% false
+    positives; false NEGATIVES are impossible, which is what the
+    semi-join prefilter relies on for exactness.
+
+    Returns ``(bit_array_bytes, m_bits, k)``.
+    """
+    m_bits = 1 << max(10, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+    n_bytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for pos in _bloom_positions(batch[col], m_bits, k):
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        mat = np.frombuffer(b"".join(batch["bits"].to_pylist()), dtype=np.uint8)
+        merged = np.bitwise_or.reduce(mat.reshape(-1, n_bytes), axis=0)
+        return pa.table({"bits": pa.array([merged.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    folded = (
+        partials.repartition(max(1, partials.num_blocks() // 8))
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+    out = folded.take_all()
+    return out[0]["bits"], m_bits, k
+
+
+def bloom_contains(
+    bits_bytes: bytes, m_bits: int, k: int, col: pa.ChunkedArray | pa.Array
+) -> np.ndarray:
+    """Vectorized membership probe: bool mask per value (True = possibly
+    in the set; False = DEFINITELY not)."""
+    bits = np.frombuffer(bits_bytes, dtype=np.uint8)
+    n = len(col)
+    keep = np.ones(n, dtype=bool)
+    for pos in _bloom_positions(col, m_bits, k):
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        keep &= (
+            np.right_shift(byte, (pos & np.uint64(7)).astype(np.uint8)) & 1
+        ).astype(bool)
+    return keep
+
+
+def _mg_reduce(
+    keys: pa.Array, counts: np.ndarray, capacity: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Misra-Gries reduction of a counted multiset to <= ``capacity``
+    counters: subtract the (capacity+1)-th largest count from all and
+    drop the non-positive ones (the mergeable-summaries formulation,
+    Agarwal et al., PODS 2012 — public)."""
+    n = len(counts)
+    if n <= capacity:
+        return keys, counts
+    thr = np.partition(counts, n - capacity - 1)[n - capacity - 1]
+    kept = counts > thr
+    return keys.filter(pa.array(kept)), counts[kept] - thr
+
+
+def misra_gries_candidates(
+    ds: ray.data.Dataset, col: str, capacity: int
+) -> pa.Table:
+    """Heavy-hitter CANDIDATE set via a distributed Misra-Gries sketch.
+
+    Per-block partial: exact in-block value counts (``Table.group_by``)
+    reduced to ``capacity`` counters; folds re-group summed counters and
+    re-reduce. The mergeable-summaries guarantee survives arbitrary merge
+    trees: every key with true frequency > n/(capacity+1) appears in the
+    result (no false negatives); estimates undercount by at most
+    n/(capacity+1). Result is a driver-sized table of <= ``capacity``
+    rows (key, est).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        keys, counts = _mg_reduce(
+            g[col].combine_chunks(), g["count_all"].to_numpy().astype(np.int64), capacity
+        )
+        return pa.table({col: keys, "est": pa.array(counts, pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([col]).aggregate([("est", "sum")])
+        keys, counts = _mg_reduce(
+            g[col].combine_chunks(), g["est_sum"].to_numpy().astype(np.int64), capacity
+        )
+        return pa.table({col: keys, "est": pa.array(counts, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    folded = (
+        partials.repartition(max(1, partials.num_blocks() // 8))
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+    rows = folded.take_all()
+    if not rows:
+        return pa.table({col: pa.array([], pa.int64()), "est": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            col: pa.array([r[col] for r in rows]),
+            "est": pa.array([r["est"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    phi: float,
+    capacity: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT phi-heavy hitters (keys with frequency > phi*n) at corpus
+    scale: the classic two-pass sketch-then-verify.
+
+    Pass 1: Misra-Gries candidates with capacity >= 2/phi — guaranteed to
+    contain every key above the threshold (candidates are a superset; no
+    heavy key can be missed). Pass 2: EXACT counts for the candidate keys
+    only (a broadcast ``is_in`` filter — the candidate set is
+    driver-sized by construction — then in-batch partials + the adaptive
+    combine). Output (key, n_exact) for n_exact > phi*n, so the result is
+    exact and SQL-expressible despite the sketch: a ``GROUP BY ...
+    HAVING COUNT(*) > phi*n`` twin checks it value-for-value.
+
+    The 100-TB story: a naive GROUP BY shuffles every distinct key; this
+    shuffles <= capacity candidate keys' partial counts plus one
+    fixed-size sketch fold, independent of key cardinality.
+    """
+    import pyarrow.compute as pc
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    if capacity is None:
+        capacity = max(64, int(np.ceil(2.0 / phi)))
+    cands = misra_gries_candidates(ds, col, capacity)
+    n_total = ds.count()
+    cand_set = cands[col].combine_chunks()
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[col], value_set=cand_set)
+        hit = batch.select([col]).filter(keep)
+        g = hit.group_by([col]).aggregate([([], "count_all")])
+        return pa.table(
+            {col: g[col], "n_exact": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    counts = coalesce_shuffle_sum(
+        ds.map_batches(exact_partial, batch_format="pyarrow"), [col], ["n_exact"]
+    )
+    thr = phi * n_total
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n_exact"], thr)),
+        batch_format="pyarrow",
+    )
+
+
 def exact_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text") -> int:
     """Exact distinct-token count: per-block distinct (tokens unique-ized
     BEFORE the shuffle, so the all-to-all carries each block's vocabulary

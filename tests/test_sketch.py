@@ -1,4 +1,5 @@
-"""HyperLogLog sketch: kernel parity, merge laws, accuracy, Ray invariance."""
+"""Mergeable sketches: HLL, Bloom filter, Misra-Gries — kernel parity,
+merge laws, guarantees, Ray block-structure invariance."""
 
 import numpy as np
 import pyarrow as pa
@@ -7,13 +8,18 @@ import pytest
 from gis_scripts_ray.stages.sketch import (
     _clz64,
     _hash_column,
+    _mg_reduce,
     approx_distinct_column,
+    bloom_build,
+    bloom_contains,
     exact_distinct_column,
     exact_distinct_tokens,
     approx_distinct_tokens,
+    heavy_hitters,
     hll_estimate,
     hll_merge,
     hll_registers,
+    misra_gries_candidates,
 )
 
 
@@ -107,3 +113,140 @@ class TestHllRay:
         assert n_exact == n_sql
         est, _ = approx_distinct_tokens(ds)
         assert abs(est - n_exact) <= max(0.065 * n_exact, 16)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_low_fpr(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(10)
+        members = np.unique(rng.integers(0, 2**40, 3000, dtype=np.int64))
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(members)})).repartition(5)
+        bits, m_bits, k = bloom_build(ds, "k", len(members))
+        # every member must probe True — the semi-join's exactness rests on it
+        assert bloom_contains(bits, m_bits, k, pa.array(members)).all()
+        # non-members: measured FPR must sit near the design point (~1-2%)
+        non = np.unique(rng.integers(2**41, 2**42, 50_000, dtype=np.int64))
+        fpr = bloom_contains(bits, m_bits, k, pa.array(non)).mean()
+        assert fpr < 0.05, fpr
+
+    def test_block_structure_invariance(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 10_000, 20_000, dtype=np.int64)
+        t = pa.table({"k": pa.array(vals)})
+        outs = set()
+        for nb in (1, 7, 32):
+            bits, m_bits, k = bloom_build(
+                ray.data.from_arrow(t).repartition(nb), "k", 10_000
+            )
+            outs.add((bits, m_bits, k))
+        assert len(outs) == 1  # OR-fold is block-structure-independent
+
+
+class TestMisraGries:
+    def _ref_counts(self, keys: np.ndarray) -> dict:
+        u, c = np.unique(keys, return_counts=True)
+        return dict(zip(u.tolist(), c.tolist()))
+
+    def test_reduce_bounds(self):
+        rng = np.random.default_rng(12)
+        keys = pa.array(np.arange(1000, dtype=np.int64))
+        counts = rng.integers(1, 500, 1000).astype(np.int64)
+        cap = 64
+        k2, c2 = _mg_reduce(keys, counts, cap)
+        assert len(k2) <= cap
+        ref = dict(zip(keys.to_pylist(), counts.tolist()))
+        # every surviving estimate undercounts, never overcounts
+        for key, est in zip(k2.to_pylist(), c2.tolist()):
+            assert 0 < est <= ref[key]
+        # the decrement applied to survivors is one uniform threshold
+        decs = {ref[key] - est for key, est in zip(k2.to_pylist(), c2.tolist())}
+        assert len(decs) == 1
+
+    def test_candidates_complete_across_block_structures(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(13)
+        # 10 hot keys (~2% each) over a 5000-key uniform tail
+        hot = np.repeat(np.arange(-10, 0, dtype=np.int64), 2000)
+        tail = rng.integers(0, 5000, 80_000, dtype=np.int64)
+        keys = rng.permutation(np.concatenate([hot, tail]))
+        n = len(keys)
+        cap = 128
+        t = pa.table({"key": pa.array(keys)})
+        for nb in (1, 6, 25):
+            ds = ray.data.from_arrow(t).repartition(nb)
+            cands = misra_gries_candidates(ds, "key", cap)
+            assert len(cands) <= cap
+            got = set(cands["key"].to_pylist())
+            ref = self._ref_counts(keys)
+            for key, cnt in ref.items():
+                if cnt > n / (cap + 1):  # the mergeable-summaries guarantee
+                    assert key in got, (key, cnt, nb)
+
+    def test_heavy_hitters_exact_vs_reference(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(14)
+        hot = np.repeat(np.arange(3, dtype=np.int64) + 10_000, 1500)
+        tail = rng.integers(0, 3000, 50_000, dtype=np.int64)
+        keys = rng.permutation(np.concatenate([hot, tail]))
+        n = len(keys)
+        phi = 0.02
+        ref = {
+            k: c for k, c in self._ref_counts(keys).items() if c > phi * n
+        }
+        ds = ray.data.from_arrow(pa.table({"key": pa.array(keys)})).repartition(9)
+        out = heavy_hitters(ds, "key", phi).to_pandas()
+        got = dict(zip(out["key"].tolist(), out["n_exact"].tolist()))
+        assert got == ref  # exact keys AND exact counts
+
+
+class TestBloomSemiJoin:
+    def test_equals_plain_join(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.joins import bloom_semi_join, hash_join
+
+        rng = np.random.default_rng(15)
+        lk = rng.integers(0, 5000, 30_000, dtype=np.int64)
+        left = pa.table(
+            {"k": pa.array(lk), "v": pa.array(rng.integers(0, 100, len(lk)))}
+        )
+        rk = np.unique(rng.integers(0, 5000, 400, dtype=np.int64))
+        right = pa.table(
+            {"rk": pa.array(rk), "w": pa.array(np.arange(len(rk), dtype=np.int64))}
+        )
+        lds = ray.data.from_arrow(left).repartition(8)
+        rds = ray.data.from_arrow(right).repartition(3)
+        a = (
+            bloom_semi_join(lds, rds, on="k", right_on="rk", num_partitions=4)
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_join(lds, rds, on="k", right_on="rk", num_partitions=4)
+            .to_pandas()
+            .sort_values(["k", "v", "w"])
+            .reset_index(drop=True)
+        )
+        assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+        assert len(a) > 0
+
+    def test_empty_right(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.joins import bloom_semi_join
+
+        left = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        right = pa.table({"rk": pa.array([], pa.int64())})
+        out = bloom_semi_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="k",
+            right_on="rk",
+        )
+        assert out.count() == 0
