@@ -841,6 +841,57 @@ def q_events_asof_orders(sf_dir: str):
     return joined.select_columns(["event_id", "o_orderkey"]).sort("event_id")
 
 
+def q_topk_docs_per_host(sf_dir: str):
+    """Distributed per-group top-k (``stages/topk.py``): the 3 longest
+    documents (byte length, doc_id ASC tie-break — the repo's
+    tie-complete-partials rule) per host bucket. The host index is the
+    geocoder's doc_id hash derivation (``_HIDX_SQL``), computed
+    vectorized; a global sort would shuffle every row, the partial-top-k
+    path shuffles <= k rows per (group, block).
+
+    Output: (hidx, doc_id, text_len), rank <= 3 per host."""
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hidx = np.where(
+            (ids * 2654435761) % 1_000_000 < 800_000,
+            (ids * 40503) % 40,
+            40 + (ids * 9973) % 160,
+        )
+        return pa.table(
+            {
+                "hidx": pa.array(hidx, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "text_len": pc.cast(pc.binary_length(batch["text"]), pa.int64()),
+            }
+        )
+
+    out = topk_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_col="hidx",
+        value_col="text_len",
+        id_col="doc_id",
+        k=3,
+    )
+    return out.sort(["hidx", "doc_id"])
+
+
+def _sql_topk_docs_per_host() -> str:
+    return (
+        f"WITH hx AS (SELECT doc_id, {_HIDX_SQL} AS hidx, "
+        "octet_length(encode(text)) AS text_len FROM documents), "
+        "r AS (SELECT hidx, doc_id, text_len, ROW_NUMBER() OVER ("
+        "PARTITION BY hidx ORDER BY text_len DESC, doc_id ASC) AS rn FROM hx) "
+        "SELECT hidx, doc_id, CAST(text_len AS BIGINT) AS text_len "
+        "FROM r WHERE rn <= 3 ORDER BY hidx, doc_id"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -2501,6 +2552,7 @@ QUERIES: dict[str, Callable] = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_join_revenue": q_bloom_join_revenue,
     "events_asof_orders": q_events_asof_orders,
+    "topk_docs_per_host": q_topk_docs_per_host,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -2560,6 +2612,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _sql_heavy_hitters(),
     "bloom_join_revenue": _sql_bloom_join_revenue(),
     "events_asof_orders": _sql_events_asof_orders(),
+    "topk_docs_per_host": _sql_topk_docs_per_host(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),
