@@ -892,6 +892,37 @@ def _sql_topk_docs_per_host() -> str:
     )
 
 
+def q_tfidf_scores(sf_dir: str):
+    """Corpus-level TF-IDF-style relevance mass
+    (``stages/textstages.tfidf_integer_scores``): two streaming passes —
+    distributed per-token document frequencies (per-block vocab partials
+    + adaptive combine), then a broadcast weight map applied per batch.
+    Integer-exact idf (``N // df``) keeps the distributed per-doc sum
+    order-independent, so the SQL twin matches bit-for-bit (a float log
+    idf would hash-diverge on FP addition order).
+
+    Output: (doc_id, score) for every document."""
+    from gis_scripts_ray.stages.textstages import tfidf_integer_scores
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_integer_scores(ds).sort("doc_id")
+
+
+def _sql_tfidf_scores() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok), "
+        "df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) "
+        "SELECT tf.doc_id, "
+        "CAST(SUM(tf.tf * ((SELECT n FROM n) // df.df)) AS BIGINT) AS score "
+        "FROM tf JOIN df ON tf.tok = df.tok GROUP BY tf.doc_id ORDER BY tf.doc_id"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -2553,6 +2584,7 @@ QUERIES: dict[str, Callable] = {
     "bloom_join_revenue": q_bloom_join_revenue,
     "events_asof_orders": q_events_asof_orders,
     "topk_docs_per_host": q_topk_docs_per_host,
+    "tfidf_scores": q_tfidf_scores,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -2613,6 +2645,7 @@ ORACLES: dict[str, str] = {
     "bloom_join_revenue": _sql_bloom_join_revenue(),
     "events_asof_orders": _sql_events_asof_orders(),
     "topk_docs_per_host": _sql_topk_docs_per_host(),
+    "tfidf_scores": _sql_tfidf_scores(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),

@@ -253,3 +253,103 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 1
     return batch.append_column(
         "fingerprint", pa.array(fps.astype(np.int64), pa.int64())
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level TF-IDF-style scoring (integer-exact variant)
+# ---------------------------------------------------------------------------
+
+
+def token_df_counts(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Document frequency per token: per-block partials count each token
+    once per document (polars split(' ')/explode/unique — DuckDB
+    ``string_split`` semantics, empties kept), then the adaptive combine
+    sums them. The all-to-all carries each block's vocabulary once, not
+    every occurrence."""
+    import polars as pl
+
+    import ray.data  # noqa: F401  (type-only above)
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[text_col])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        d = (
+            pl.DataFrame({"text": s})
+            .with_row_index("__doc")
+            .with_columns(pl.col("text").fill_null("").str.split(" ").alias("tok"))
+            .drop("text")
+            .explode("tok")
+            .unique(subset=["__doc", "tok"])  # one df count per (doc, token)
+            .group_by("tok")
+            .len(name="df")
+        )
+        return pa.table(
+            {
+                "token": pa.array(d["tok"].to_list(), pa.string()),
+                "df": pa.array(d["df"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return coalesce_shuffle_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["token"], ["df"]
+    )
+
+
+def tfidf_integer_scores(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-document relevance mass with INTEGER-EXACT idf weights:
+    ``score(d) = sum_t tf(t, d) * (N // df(t))`` — the TF-IDF shape
+    (weights shrink as document frequency grows) with integer division in
+    place of the logarithm, so the distributed sum is order-independent
+    and bit-exact (a float idf would make the score hash depend on FP
+    addition order — the divergence class the oracle rules forbid).
+
+    Two streaming passes: (1) df table via :func:`token_df_counts`
+    (vocabulary assumed driver-sized — stopword/controlled vocab; at
+    open-web scale route the weights through a token hash-join instead);
+    (2) a broadcast weight map applied per batch (polars explode + join +
+    group-sum). N is the corpus document count."""
+    import ray
+
+    import polars as pl
+
+    n_docs = ds.count()
+    df_pd = token_df_counts(ds, text_col).to_pandas()
+    wmap = pl.DataFrame(
+        {
+            "tok": df_pd["token"].astype(str),
+            "w": (n_docs // df_pd["df"].to_numpy()).astype(np.int64),
+        }
+    )
+    ref = ray.put(wmap)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from gis_scripts_ray.state.broadcast import worker_broadcast
+
+        w = worker_broadcast(ref)
+        s = pl.from_arrow(batch[text_col])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        d = (
+            pl.DataFrame({"text": s})
+            .with_row_index("__doc")
+            .with_columns(pl.col("text").fill_null("").str.split(" ").alias("tok"))
+            .drop("text")
+            .explode("tok")
+            .join(w, on="tok", how="left")  # df built from this corpus: no miss
+            .group_by("__doc")
+            .agg(pl.col("w").sum().alias("score"))
+            .sort("__doc")
+        )
+        # every doc yields >= 1 token (empty text -> [""]), so the group-by
+        # preserves row count and __doc order indexes the batch directly
+        scores = np.zeros(len(batch), dtype=np.int64)
+        scores[d["__doc"].to_numpy()] = d["score"].to_numpy()
+        return pa.table({id_col: batch[id_col], "score": pa.array(scores, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
