@@ -923,6 +923,137 @@ def _sql_tfidf_scores() -> str:
     )
 
 
+def q_grouped_median_qty(sf_dir: str):
+    """Exact per-group lower median via value compaction
+    (``stages/stats.grouped_median``): the shuffle carries each block's
+    distinct (group, value) pairs — bounded by |groups| x |value domain|
+    (quantity is 1..50) — never the rows; the finish is an adaptive
+    single-block segment scan / hash-shuffle weighted median. Integer
+    domain end to end (lower median = value at rank ceil(n/2), no
+    interpolation), so the distributed result is order-independent.
+
+    Output: (l_returnflag, l_linestatus, median_qty, n)."""
+    from gis_scripts_ray.stages.stats import grouped_median
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            }
+        )
+
+    out = grouped_median(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        "qty",
+        out_col="median_qty",
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def _sql_grouped_median_qty() -> str:
+    # lower median spelled as an explicit window-rank formula (value at
+    # ascending rank ceil(n/2)) so the semantics are pinned rather than
+    # inherited from quantile_disc's definition
+    return (
+        "WITH s AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS q FROM lineitem), "
+        "r AS (SELECT l_returnflag, l_linestatus, q, "
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY q) AS rn, "
+        "COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n FROM s) "
+        "SELECT l_returnflag, l_linestatus, "
+        "MAX(CASE WHEN rn = (n + 1) // 2 THEN q END) AS median_qty, "
+        "CAST(MAX(n) AS BIGINT) AS n FROM r "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    )
+
+
+def q_dominant_lang_per_source(sf_dir: str):
+    """Per-group mode (most frequent value): dominant language per
+    source. Two scale-safe layers — per-(source, lang) counts via
+    in-batch pre-agg + adaptive combine, then distributed per-group
+    top-1 on the counts (``stages/topk.py``; ties broken (n DESC, lang
+    ASC) inside partials). The all-to-all carries the compacted count
+    table, never a document row.
+
+    Output: (source, lang, n) — one row per source."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return out.rename_columns(["source", "lang", "n"])
+
+    counts = coalesce_shuffle_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), ["source", "lang"], ["n"]
+    )
+    mode = topk_per_group(counts, group_col="source", value_col="n", id_col="lang", k=1)
+    return mode.select_columns(["source", "lang", "n"]).sort("source")
+
+
+def _sql_dominant_lang_per_source() -> str:
+    return (
+        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY source, lang), "
+        "r AS (SELECT source, lang, n, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY n DESC, lang ASC) AS rn FROM c) "
+        "SELECT source, lang, n FROM r WHERE rn = 1 ORDER BY source"
+    )
+
+
+def q_customers_no_urgent(sf_dir: str):
+    """Distributed anti-join (``stages/joins.hash_anti_join``): customers
+    with no urgent-priority order — the exclusion-list subtraction every
+    pipeline needs (docs already processed, opted-out users). The right
+    side reduces to its distinct key set (per-block unique + adaptive
+    combine) and the finish is adaptive: broadcast inverted ``is_in``
+    when the key set is driver-sized, native ``left_anti`` hash join
+    when it is not.
+
+    Output: (c_custkey, c_nationkey) rows with no match."""
+    from gis_scripts_ray.stages.joins import hash_anti_join
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"])
+
+    out = hash_anti_join(
+        left,
+        right.map_batches(urgent, batch_format="pyarrow"),
+        on="c_custkey",
+        right_on="o_custkey",
+    )
+    return out.sort("c_custkey")
+
+
+def _sql_customers_no_urgent() -> str:
+    return (
+        "SELECT c_custkey, c_nationkey FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') "
+        "ORDER BY c_custkey"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -2585,6 +2716,9 @@ QUERIES: dict[str, Callable] = {
     "events_asof_orders": q_events_asof_orders,
     "topk_docs_per_host": q_topk_docs_per_host,
     "tfidf_scores": q_tfidf_scores,
+    "grouped_median_qty": q_grouped_median_qty,
+    "dominant_lang_per_source": q_dominant_lang_per_source,
+    "customers_no_urgent": q_customers_no_urgent,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -2646,6 +2780,9 @@ ORACLES: dict[str, str] = {
     "events_asof_orders": _sql_events_asof_orders(),
     "topk_docs_per_host": _sql_topk_docs_per_host(),
     "tfidf_scores": _sql_tfidf_scores(),
+    "grouped_median_qty": _sql_grouped_median_qty(),
+    "dominant_lang_per_source": _sql_dominant_lang_per_source(),
+    "customers_no_urgent": _sql_customers_no_urgent(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),

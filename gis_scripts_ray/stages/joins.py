@@ -103,6 +103,81 @@ def bloom_semi_join(
     return hash_join(left_f, right, on, right_on, num_partitions)
 
 
+def hash_anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Rows of ``left`` whose key has NO match in ``right`` (NOT EXISTS /
+    anti-join) — the LLM-pipeline "subtract an exclusion list" shape
+    (docs not yet processed, users without an opt-in event).
+
+    The right side reduces to its DISTINCT key set first (per-block
+    unique partial + adaptive combine — the all-to-all carries each
+    block's distinct keys once, never right's rows), then an adaptive
+    finish, the same decision as ``dedup_rows``:
+
+    * key set <= ``broadcast_limit``: broadcast it once (``ray.put`` +
+      per-worker cache) and drop matches inside a fused ``map_batches``
+      via an inverted ``is_in`` — no shuffle of either side;
+    * else the native ``left_anti`` hash join against the compacted
+      distinct-key table (compaction sidesteps Ray 2.49's Acero
+      empty-shuffle-block crash, CLAUDE.md).
+
+    Contract: non-null join keys (a NULL key never matches, and the two
+    paths are only guaranteed to agree when keys are non-null).
+    """
+    import ray as _ray
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    right_on = right_on or on
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select([right_on])
+            .group_by([right_on])
+            .aggregate([(right_on, "count")])
+        )
+        return out.rename_columns([right_on, "_n"])
+
+    keys = (
+        coalesce_shuffle_sum(
+            right.map_batches(partial, batch_format="pyarrow"), [right_on], ["_n"]
+        )
+        .select_columns([right_on])
+        .materialize()
+    )
+    n_keys = keys.count()
+    if n_keys == 0:
+        return left
+    if n_keys <= broadcast_limit:
+        keyset = pa.concat_arrays(
+            chunk
+            for b in keys.iter_batches(batch_format="pyarrow")
+            for chunk in b[right_on].chunks
+        )
+        ref = _ray.put(keyset)
+
+        def anti_filter(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            from gis_scripts_ray.state.broadcast import worker_broadcast
+
+            ks = worker_broadcast(ref)
+            return batch.filter(pc.invert(pc.is_in(batch[on], value_set=ks)))
+
+        return left.map_batches(anti_filter, batch_format="pyarrow")
+    keys = keys.repartition(max(1, -(-n_keys // 4_000_000)))
+    return hash_join(
+        left, keys, on=on, right_on=right_on,
+        num_partitions=num_partitions, join_type="left_anti",
+    )
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

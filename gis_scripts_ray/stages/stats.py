@@ -65,6 +65,107 @@ def exact_quantiles_int(ds: ray.data.Dataset, col: str, qs: list[float]) -> list
     return quantiles_from_histogram(values, counts, qs)
 
 
+def grouped_value_counts(
+    ds: ray.data.Dataset, key_cols: list[str], value_col: str
+) -> ray.data.Dataset:
+    """(keys..., value, n) — occurrence counts per (group, value), exact.
+
+    The grouped sibling of :func:`value_histogram`: per-block pre-agg on
+    (keys + value) then the adaptive combine, so the all-to-all carries
+    each block's distinct (group, value) pairs once, never the rows. The
+    compacted size is bounded by |groups| x |distinct values| — the same
+    bounded-cardinality contract as the global histogram (class labels,
+    integer measures); unbounded-domain columns should go through the
+    sort-based path instead."""
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    cols = key_cols + [value_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.select(cols).group_by(cols).aggregate([(value_col, "count")])
+        return out.rename_columns(cols + ["n"])
+
+    return coalesce_shuffle_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), cols, ["n"]
+    )
+
+
+def grouped_median(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "median",
+    small_limit: int = 8_000_000,
+) -> ray.data.Dataset:
+    """Exact LOWER median per group: the value at ascending rank
+    ``ceil(n/2)`` — integer-exact (no interpolation), so the result is
+    order-independent and SQL-twinnable bit-for-bit (DuckDB
+    ``quantile_disc(x, 0.5)`` / an explicit window-rank formula).
+
+    Runs over the :func:`grouped_value_counts` compaction, then an
+    adaptive finish mirroring ``tile_agg.coalesce_shuffle_agg``: a
+    single-block vectorized segment scan when the MEASURED compacted size
+    fits one comfortable block, else a hash-shuffle ``map_groups``
+    weighted median (the (group, value) space really is huge).
+
+    Output: (keys..., ``out_col``, n) with n = group row count."""
+
+    compact = grouped_value_counts(ds, key_cols, value_col).materialize()
+
+    def finish_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {k: batch[k] for k in key_cols}
+            cols[out_col] = batch[value_col]
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        df = (
+            batch.to_pandas()
+            .sort_values(key_cols + [value_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = df["n"].to_numpy(dtype=np.int64)
+        new = np.zeros(len(df), dtype=bool)
+        new[0] = True
+        for k in key_cols:
+            a = df[k].to_numpy()
+            new[1:] |= a[1:] != a[:-1]
+        gid = np.cumsum(new) - 1
+        cum = np.cumsum(n)
+        # per-group cumulative counts: subtract the running total at the
+        # group's start row
+        start_total = np.where(new, cum - n, 0)
+        base = np.maximum.accumulate(start_total * new)
+        within = cum - base
+        totals = np.zeros(gid[-1] + 1, dtype=np.int64)
+        np.add.at(totals, gid, n)
+        target = (totals + 1) // 2  # lower median rank, ceil(n/2)
+        sel = (within >= target[gid]) & (within - n < target[gid])
+        out = {k: pa.array(df[k].to_numpy()[sel]) for k in key_cols}
+        out[out_col] = pa.array(df[value_col].to_numpy()[sel])
+        out["n"] = pa.array(totals, pa.int64())
+        return pa.table(out)
+
+    if compact.count() <= small_limit:
+        return compact.repartition(1).map_batches(
+            finish_block, batch_format="pyarrow", batch_size=None
+        )
+
+    def group_median(g):
+        g = g.sort_values(value_col, kind="mergesort")
+        n = g["n"].to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        idx = int(np.searchsorted(np.cumsum(n), (total + 1) // 2))
+        row = {k: [g[k].iloc[0]] for k in key_cols}
+        row[out_col] = [g[value_col].iloc[idx]]
+        row["n"] = [total]
+        return type(g)(row)
+
+    return compact.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
+        group_median, batch_format="pandas"
+    )
+
+
 def exclude_negative_quantile(
     ds: ray.data.Dataset, col: str, q: float
 ) -> float:

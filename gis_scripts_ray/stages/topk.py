@@ -27,16 +27,28 @@ import pyarrow as pa
 import ray.data
 
 
+def _sort_codes(arr: np.ndarray) -> np.ndarray:
+    """Order-preserving integer codes for lexsort keys: non-numeric
+    columns (string groups/ids — hosts, languages) factorize via
+    ``np.unique``, whose inverse codes sort exactly as the values do."""
+    if arr.dtype != object and np.issubdtype(arr.dtype, np.number):
+        return arr
+    _, inv = np.unique(arr, return_inverse=True)
+    return inv
+
+
 def topk_batch(
     batch: pa.Table, group_col: str, value_col: str, id_col: str, k: int
 ) -> pa.Table:
     """Keep the top-k rows per group of ONE batch — (value DESC, id ASC)
-    total order, vectorized (lexsort + segment rank)."""
+    total order, vectorized (lexsort + segment rank). Group/id columns
+    may be any orderable dtype (strings factorize to sort codes); the
+    value column must be numeric."""
     if len(batch) == 0:
         return batch
-    g = batch[group_col].to_numpy()
+    g = _sort_codes(batch[group_col].to_numpy(zero_copy_only=False))
     v = batch[value_col].to_numpy()
-    i = batch[id_col].to_numpy()
+    i = _sort_codes(batch[id_col].to_numpy(zero_copy_only=False))
     order = np.lexsort((i, -v, g))
     gs = g[order]
     new = np.ones(len(gs), dtype=bool)
