@@ -353,7 +353,7 @@ def _fnv_ragged(vals: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.nd
 class MinHasher:
     """Per-actor state: permutation coefficients (built once).
 
-    ``__call__`` emits (id, band, band_key) LSH rows — ``num_perm``
+    ``__call__`` emits (id, combo) LSH rows — ``num_perm``
     minhashes split into ``bands`` bands of ``num_perm // bands`` rows.
     """
 
@@ -416,22 +416,25 @@ class MinHasher:
         texts = batch[self.text_col]
         n = len(ids)
         sigs = self.signatures(texts)
-        # band keys: FNV-combine each band's rows
+        # band keys: FNV-combine each band's rows, then fold (band, key)
+        # into ONE wrapping-uint64 combo — identical fold to
+        # minhash_band_counts so the two paths bucket identically. Rows
+        # are (id, combo): 16 B instead of the previous 32 B
+        # (id, band, band_key, combo), halving what pass 1 materializes.
         r = self.rows_per_band
         out_id = np.repeat(ids, self.bands)
-        out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
-        keys = np.zeros((n, self.bands), dtype=np.uint64)
+        combos = np.empty((n, self.bands), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
         for b in range(self.bands):
             blk = sigs[:, b * r : (b + 1) * r]
             acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
             for j in range(r):
                 acc = (acc ^ blk[:, j]) * np.uint64(0x100000001B3)
-            keys[:, b] = acc
+            combos[:, b] = np.uint64(b) * mult + acc
         return pa.table(
             {
                 self.id_col: pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int64()),
-                "band_key": pa.array(keys.ravel().astype(np.int64), pa.int64()),
+                "combo": pa.array(combos.ravel().astype(np.int64), pa.int64()),
             }
         )
 
@@ -474,7 +477,7 @@ def minhash_lsh_candidates(
     Groups larger than ``max_group`` are truncated to their smallest ids
     and flagged in the ``capped`` column (no silent drops). ``concurrency``
     is accepted for backward compatibility and ignored (task-based stages).
-    ``persist_lsh_rows=True`` (default) materializes the (id, band_key)
+    ``persist_lsh_rows=True`` (default) materializes the (id, combo)
     rows between the two passes — 16 bytes/row x bands; at extreme corpus
     scale pass ``False`` to recompute signatures for pass 2 instead of
     holding the rows in the object store.
@@ -507,19 +510,11 @@ def minhash_lsh_candidates(
         "bands": bands,
         "shingle_w": shingle_w,
     }
+    # rows arrive as (id, combo) — the (band, key) fold happens inside
+    # the signature kernel (16 B/row materialized, single-column hash)
     lsh = ds.map_batches(
         minhash_lsh_rows, fn_kwargs=fn_kwargs, batch_format="pyarrow", batch_size=8192
     )
-
-    def add_combined(batch: pa.Table) -> pa.Table:
-        # wrapping uint64 combine (numpy — Arrow int64 ops are
-        # overflow-checked and band_key spans the full int64 range)
-        band = batch["band"].to_numpy().astype(np.uint64)
-        key = batch["band_key"].to_numpy().astype(np.uint64)
-        combo = (band * np.uint64(0x9E3779B97F4A7C15) + key).astype(np.int64)
-        return batch.append_column("combo", pa.array(combo, pa.int64()))
-
-    lsh = lsh.map_batches(add_combined, batch_format="pyarrow")
     if persist_lsh_rows:
         lsh = lsh.materialize()
 
@@ -738,7 +733,7 @@ def minhash_band_counts(
 
     ``combo`` folds (band, band_key) into ONE wrapping-uint64 key —
     ``band * 0x9E3779B97F4A7C15 + band_key``, the same collision-free-in-
-    practice fold as the candidates path's ``add_combined`` — which
+    practice fold as the candidates path's ``MinHasher.__call__`` — which
     shrinks the shuffled partial rows from 24 to 16 bytes and makes the
     combine hash a single int64 column (round-3 scaling-tail work; the
     dedup stage is the memory-bandwidth-bound limiter at 16-way).
