@@ -1054,6 +1054,144 @@ def _sql_customers_no_urgent() -> str:
     )
 
 
+def q_price_band_revenue(sf_dir: str):
+    """Range join (``stages/joins.range_join_lookup``): lineitem prices
+    against a literal table of non-overlapping price bands ``[lo, hi)``
+    cents — broadcast once, vectorized searchsorted per batch, no shuffle
+    of the fact stream. The top of the domain is deliberately uncovered so
+    inner-drop semantics are exercised. Revenue aggregates in exact cents
+    via the standard partial + adaptive combine.
+
+    Output: (band, lo, n_items, revenue_cents) per band, ordered by lo."""
+    from gis_scripts_ray.stages.joins import range_join_lookup
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    bands = pa.table(
+        {
+            "band": pa.array([f"b{i}" for i in range(6)]),
+            "lo": pa.array(
+                [0, 1_000_000, 2_500_000, 4_000_000, 6_000_000, 8_500_000],
+                pa.int64(),
+            ),
+            "hi": pa.array(
+                [1_000_000, 2_500_000, 4_000_000, 6_000_000, 8_500_000, 10_000_000],
+                pa.int64(),
+            ),
+        }
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(batch["l_extendedprice"])})
+
+    joined = range_join_lookup(
+        ds.map_batches(prep, batch_format="pyarrow"), bands, "cents"
+    )
+    out = cell_sum_count(joined, ["band", "lo"], ["cents"])
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": batch["band"],
+                "lo": batch["lo"],
+                "n_items": batch["n"],
+                "revenue_cents": batch["sum_cents"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("lo")
+
+
+def _sql_price_band_revenue() -> str:
+    return (
+        "WITH bands(band, lo, hi) AS (VALUES "
+        "('b0', 0, 1000000), ('b1', 1000000, 2500000), "
+        "('b2', 2500000, 4000000), ('b3', 4000000, 6000000), "
+        "('b4', 6000000, 8500000), ('b5', 8500000, 10000000)), "
+        "c AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents "
+        "FROM lineitem) "
+        "SELECT b.band, CAST(b.lo AS BIGINT) AS lo, "
+        "CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "CAST(SUM(c.cents) AS BIGINT) AS revenue_cents "
+        "FROM c JOIN bands b ON c.cents >= b.lo AND c.cents < b.hi "
+        "GROUP BY b.band, b.lo ORDER BY lo"
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): distinct users per event type
+    (``stages/stats.grouped_count_distinct``) — two compaction levels, the
+    all-to-all bounded by the distinct (type, user) pair count, never the
+    event count. The exact companion to the HLL sketch query
+    (``approx_distinct``).
+
+    Output: (event_type, n_distinct) ordered by event_type."""
+    from gis_scripts_ray.stages.stats import grouped_count_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = grouped_count_distinct(ds, ["event_type"], "user_id")
+    return out.sort("event_type")
+
+
+def _sql_distinct_users_per_type() -> str:
+    return (
+        "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+
+
+def q_running_order_total(sf_dir: str):
+    """Per-key cumulative window (``stages/windows.grouped_running_sum``):
+    each customer's running order total in exact cents, ordered by
+    (o_orderdate, o_orderkey). Prefix sums are per-key-sequential, so the
+    key's history lands on one ``map_groups`` task — bounded per customer;
+    the output keeps the int64 domain end to end (timestamps never
+    round-trip through pandas ns).
+
+    Output: one row per order (o_custkey, o_orderkey, cents, run_cents)."""
+    from gis_scripts_ray.stages.windows import grouped_running_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "ts_us": batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    out = grouped_running_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="o_custkey",
+        ts_col="ts_us",
+        id_col="o_orderkey",
+        value_col="cents",
+        out_col="run_cents",
+    )
+    return out.sort(["o_custkey", "o_orderkey"])
+
+
+def _sql_running_order_total() -> str:
+    return (
+        "SELECT o_custkey, o_orderkey, "
+        "CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER ("
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents "
+        "FROM orders ORDER BY o_custkey, o_orderkey"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -2719,6 +2857,9 @@ QUERIES: dict[str, Callable] = {
     "grouped_median_qty": q_grouped_median_qty,
     "dominant_lang_per_source": q_dominant_lang_per_source,
     "customers_no_urgent": q_customers_no_urgent,
+    "price_band_revenue": q_price_band_revenue,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "running_order_total": q_running_order_total,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -2783,6 +2924,9 @@ ORACLES: dict[str, str] = {
     "grouped_median_qty": _sql_grouped_median_qty(),
     "dominant_lang_per_source": _sql_dominant_lang_per_source(),
     "customers_no_urgent": _sql_customers_no_urgent(),
+    "price_band_revenue": _sql_price_band_revenue(),
+    "distinct_users_per_type": _sql_distinct_users_per_type(),
+    "running_order_total": _sql_running_order_total(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),

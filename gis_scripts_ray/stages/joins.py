@@ -178,6 +178,65 @@ def hash_anti_join(
     )
 
 
+def range_join_lookup(
+    ds: ray.data.Dataset,
+    ranges: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> ray.data.Dataset:
+    """Inner range join of a fact stream against a driver-sized table of
+    NON-OVERLAPPING half-open ranges ``[lo, hi)`` — the band/tier-lookup
+    join (price bands, size tiers, latency buckets) the Dataset API has
+    no native operator for.
+
+    Scale design: the range table broadcasts ONCE (``ray.put`` +
+    per-worker cache) with its breakpoints pre-sorted at the driver; each
+    batch resolves every value with one vectorized ``np.searchsorted``
+    against the ``lo`` array and validates ``value < hi[idx]`` (gaps
+    between ranges are allowed — misses drop, inner semantics). No
+    shuffle of either side; the fact stream stays fused read->lookup.
+    For a range table too large to broadcast, compose
+    :func:`bucketed_join` over a coarse value grid instead (replicate
+    each range row to every grid bucket it spans, bucket facts by
+    ``value // grid``, join per bucket) — lookup-table shapes never need
+    it.
+
+    Ranges must be non-empty and pairwise non-overlapping (validated at
+    the driver; overlapping intervals are a different operator — an
+    interval-overlap join produces multiple matches per row).
+    """
+    import ray as _ray
+
+    from gis_scripts_ray.state.broadcast import worker_broadcast
+
+    r = ranges.sort_by(lo_col)
+    lo = r[lo_col].to_numpy()
+    hi = r[hi_col].to_numpy()
+    if len(r) == 0:
+        raise ValueError("empty range table")
+    if np.any(hi <= lo) or np.any(hi[:-1] > lo[1:]):
+        raise ValueError("ranges must be non-empty and non-overlapping")
+    ref = _ray.put(r)
+    attach_cols = [c for c in r.column_names if c not in (lo_col, hi_col)]
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        rt = worker_broadcast(ref)
+        lo_b = rt[lo_col].to_numpy()
+        hi_b = rt[hi_col].to_numpy()
+        x = batch[value_col].to_numpy()
+        idx = np.searchsorted(lo_b, x, side="right") - 1
+        safe = np.clip(idx, 0, len(lo_b) - 1)
+        ok = (idx >= 0) & (x < hi_b[safe])
+        out = batch.filter(pa.array(ok))
+        take = safe[ok]
+        for c in attach_cols + [lo_col, hi_col]:
+            out = out.append_column(c, rt[c].take(pa.array(take)))
+        return out
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

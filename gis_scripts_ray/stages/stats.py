@@ -91,6 +91,36 @@ def grouped_value_counts(
     )
 
 
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+) -> ray.data.Dataset:
+    """Exact per-group COUNT(DISTINCT value) — two compaction levels, no
+    row ever shuffles twice: :func:`grouped_value_counts` reduces the
+    stream to distinct (group, value) pairs (per-block pre-agg + adaptive
+    combine), then a second per-block count + adaptive combine collapses
+    pairs to (group, n_distinct). The all-to-all volume is bounded by the
+    distinct-pair count, never the row count — the exact companion to the
+    HyperLogLog sketch in ``stages/sketch.py`` (use the sketch when the
+    distinct-pair space itself is corpus-sized)."""
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    pairs = grouped_value_counts(ds, key_cols, value_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select(key_cols).group_by(key_cols).aggregate([([], "count_all")])
+        )
+        return out.rename_columns(key_cols + [out_col])
+
+    return coalesce_shuffle_sum(
+        pairs.map_batches(partial, batch_format="pyarrow"), key_cols, [out_col]
+    )
+
+
 def grouped_median(
     ds: ray.data.Dataset,
     key_cols: list[str],

@@ -270,3 +270,41 @@ def sliding_window_sum(
         [key_col, "window_start_us"],
         [value_col],
     )
+
+
+def grouped_running_sum(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    out_col: str = "run_total",
+) -> ray.data.Dataset:
+    """Per-key cumulative sum ordered by (ts, id) — the running-total
+    window (``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    UNBOUNDED PRECEDING)``). Output = the input rows (key, id, value)
+    plus ``out_col``; the raw timestamp is dropped so the result stays
+    in the exact int64 domain end to end (pandas would re-emit it as
+    nanoseconds — the us/ns divergence CLAUDE.md flags).
+
+    Same partitioning contract as :func:`sessionize`: a prefix sum is
+    per-key-sequential, so each key's history lands on one ``map_groups``
+    task — fine for bounded-per-entity keys (customers, users, hosts);
+    a key whose history exceeds one worker should go through the
+    presplit pattern (per-(key, time-range) partials + carry fold, the
+    :func:`sessionize_presplit` shape). (ts, id) must be unique per key
+    for a deterministic order; value should be integer (cents/micros)
+    so the prefix sums are exact."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                value_col: g[value_col].to_numpy(),
+                out_col: g[value_col].cumsum().to_numpy(),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
