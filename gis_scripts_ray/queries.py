@@ -1192,6 +1192,235 @@ def _sql_running_order_total() -> str:
     )
 
 
+def q_price_p90_by_flag(sf_dir: str):
+    """Exact discrete p90 per group (``stages/stats.grouped_quantile_disc``
+    at q = 9/10): the rank is ``ceil(9n/10)`` computed as
+    ``(9n + 9) // 10`` — an integer fraction end to end, twinned by the
+    same window-rank formula in SQL. The shuffle carries the (flag, cents)
+    value compaction, never rows.
+
+    Output: (l_returnflag, p90_cents, n)."""
+    from gis_scripts_ray.stages.stats import grouped_quantile_disc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    out = grouped_quantile_disc(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        "cents",
+        9,
+        10,
+        out_col="p90_cents",
+    )
+    return out.sort("l_returnflag")
+
+
+def _sql_price_p90_by_flag() -> str:
+    return (
+        "WITH s AS (SELECT l_returnflag, "
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM lineitem), "
+        "r AS (SELECT l_returnflag, c, "
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn, "
+        "COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM s) "
+        "SELECT l_returnflag, "
+        "MAX(CASE WHEN rn = (9*n + 9) // 10 THEN c END) AS p90_cents, "
+        "CAST(MAX(n) AS BIGINT) AS n FROM r "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+def q_user_gap_stats(sf_dir: str):
+    """Per-key LAG window reduced to exact gap statistics
+    (``stages/windows.grouped_gap_stats``): each user's events ordered by
+    (ts, event_id), consecutive int64-us differences, one exact row per
+    user — the inter-arrival profile a sessionization pipeline tunes its
+    gap threshold from. Per-key-sequential (bounded per-entity history).
+
+    Output: (user_id, n_gaps, sum_gap_us, max_gap_us)."""
+    from gis_scripts_ray.stages.windows import grouped_gap_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    out = grouped_gap_stats(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", "us", "event_id"
+    )
+    return out.sort("user_id")
+
+
+def _sql_user_gap_stats() -> str:
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events), "
+        "g AS (SELECT user_id, us - LAG(us) OVER "
+        "(PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e) "
+        "SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps, "
+        "CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us, "
+        "CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us "
+        "FROM g GROUP BY user_id ORDER BY user_id"
+    )
+
+
+def q_qty_discount_corr(sf_dir: str):
+    """Per-group Pearson correlation from exact integer moments: quantity
+    vs discount micros per return flag. The distributed part ships only
+    the five product sums (q, d, qd, q2, d2 — all exact int64, order
+    independent); the correlation itself is ONE float expression of those
+    exact inputs, evaluated in the same operation order as the SQL twin
+    (both cast to float64 first, so the IEEE results are bit-identical).
+
+    Output: (l_returnflag, n, sum_q, sum_d, sum_qd, sum_q2, sum_d2,
+    corr)."""
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64()).to_numpy()
+        d = _micros(batch["l_discount"]).to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "q": pa.array(q, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "qd": pa.array(q * d, pa.int64()),
+                "q2": pa.array(q * q, pa.int64()),
+                "d2": pa.array(d * d, pa.int64()),
+            }
+        )
+
+    out = cell_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["q", "d", "qd", "q2", "d2"],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.float64)
+        sq = batch["sum_q"].to_numpy().astype(np.float64)
+        sd = batch["sum_d"].to_numpy().astype(np.float64)
+        sqd = batch["sum_qd"].to_numpy().astype(np.float64)
+        sq2 = batch["sum_q2"].to_numpy().astype(np.float64)
+        sd2 = batch["sum_d2"].to_numpy().astype(np.float64)
+        corr = (n * sqd - sq * sd) / np.sqrt(
+            (n * sq2 - sq * sq) * (n * sd2 - sd * sd)
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": batch["n"],
+                "sum_q": batch["sum_q"],
+                "sum_d": batch["sum_d"],
+                "sum_qd": batch["sum_qd"],
+                "sum_q2": batch["sum_q2"],
+                "sum_d2": batch["sum_d2"],
+                "corr": pa.array(corr, pa.float64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("l_returnflag")
+
+
+def _sql_qty_discount_corr() -> str:
+    return (
+        "WITH s AS (SELECT l_returnflag, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS q, "
+        "CAST(ROUND(l_discount*1000000) AS BIGINT) AS d FROM lineitem), "
+        "m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(q) AS BIGINT) AS sum_q, CAST(SUM(d) AS BIGINT) AS sum_d, "
+        "CAST(SUM(q*d) AS BIGINT) AS sum_qd, "
+        "CAST(SUM(q*q) AS BIGINT) AS sum_q2, "
+        "CAST(SUM(d*d) AS BIGINT) AS sum_d2 "
+        "FROM s GROUP BY l_returnflag) "
+        "SELECT l_returnflag, n, sum_q, sum_d, sum_qd, sum_q2, sum_d2, "
+        "(CAST(n AS DOUBLE)*CAST(sum_qd AS DOUBLE) - "
+        "CAST(sum_q AS DOUBLE)*CAST(sum_d AS DOUBLE)) / "
+        "SQRT((CAST(n AS DOUBLE)*CAST(sum_q2 AS DOUBLE) - "
+        "CAST(sum_q AS DOUBLE)*CAST(sum_q AS DOUBLE)) * "
+        "(CAST(n AS DOUBLE)*CAST(sum_d2 AS DOUBLE) - "
+        "CAST(sum_d AS DOUBLE)*CAST(sum_d AS DOUBLE))) AS corr "
+        "FROM m ORDER BY l_returnflag"
+    )
+
+
+def q_priority_status_pivot(sf_dir: str):
+    """Pivot / wide aggregate: order counts per priority spread into one
+    column per order status (O/F/P) — one-hot int columns in the fused
+    prep, then the standard partial + adaptive combine; the shuffle
+    carries one compact row per (priority) per block, and the pivot never
+    re-shapes rows after the aggregate.
+
+    Output: (o_orderpriority, n_open, n_finished, n_pending, n_total)."""
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        st = batch["o_orderstatus"]
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "is_o": pc.cast(pc.equal(st, "O"), pa.int64()),
+                "is_f": pc.cast(pc.equal(st, "F"), pa.int64()),
+                "is_p": pc.cast(pc.equal(st, "P"), pa.int64()),
+            }
+        )
+
+    out = cell_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["is_o", "is_f", "is_p"],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_open": batch["sum_is_o"],
+                "n_finished": batch["sum_is_f"],
+                "n_pending": batch["sum_is_p"],
+                "n_total": batch["n"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("o_orderpriority")
+
+
+def _sql_priority_status_pivot() -> str:
+    return (
+        "SELECT o_orderpriority, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending, "
+        "CAST(COUNT(*) AS BIGINT) AS n_total "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -2860,6 +3089,10 @@ QUERIES: dict[str, Callable] = {
     "price_band_revenue": q_price_band_revenue,
     "distinct_users_per_type": q_distinct_users_per_type,
     "running_order_total": q_running_order_total,
+    "price_p90_by_flag": q_price_p90_by_flag,
+    "user_gap_stats": q_user_gap_stats,
+    "qty_discount_corr": q_qty_discount_corr,
+    "priority_status_pivot": q_priority_status_pivot,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -2927,6 +3160,10 @@ ORACLES: dict[str, str] = {
     "price_band_revenue": _sql_price_band_revenue(),
     "distinct_users_per_type": _sql_distinct_users_per_type(),
     "running_order_total": _sql_running_order_total(),
+    "price_p90_by_flag": _sql_price_p90_by_flag(),
+    "user_gap_stats": _sql_user_gap_stats(),
+    "qty_discount_corr": _sql_qty_discount_corr(),
+    "priority_status_pivot": _sql_priority_status_pivot(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),

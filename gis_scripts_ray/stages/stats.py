@@ -128,18 +128,41 @@ def grouped_median(
     out_col: str = "median",
     small_limit: int = 8_000_000,
 ) -> ray.data.Dataset:
-    """Exact LOWER median per group: the value at ascending rank
-    ``ceil(n/2)`` — integer-exact (no interpolation), so the result is
-    order-independent and SQL-twinnable bit-for-bit (DuckDB
-    ``quantile_disc(x, 0.5)`` / an explicit window-rank formula).
+    """Exact LOWER median per group — :func:`grouped_quantile_disc` at
+    q = 1/2 (value at ascending rank ``ceil(n/2)``)."""
+    return grouped_quantile_disc(
+        ds, key_cols, value_col, 1, 2, out_col=out_col, small_limit=small_limit
+    )
+
+
+def grouped_quantile_disc(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str = "quantile",
+    small_limit: int = 8_000_000,
+) -> ray.data.Dataset:
+    """Exact discrete quantile per group: the value at ascending rank
+    ``ceil(q * n)`` with ``q = q_num/q_den`` given as an INTEGER fraction
+    — the rank is ``(q_num*n + q_den - 1) // q_den``, no float ever
+    touches the rank computation, so the result is order-independent and
+    SQL-twinnable bit-for-bit (an explicit window-rank formula).
 
     Runs over the :func:`grouped_value_counts` compaction, then an
     adaptive finish mirroring ``tile_agg.coalesce_shuffle_agg``: a
     single-block vectorized segment scan when the MEASURED compacted size
     fits one comfortable block, else a hash-shuffle ``map_groups``
-    weighted median (the (group, value) space really is huge).
+    weighted rank-select (the (group, value) space really is huge).
 
     Output: (keys..., ``out_col``, n) with n = group row count."""
+
+    if not (0 < q_num <= q_den):
+        raise ValueError("require 0 < q_num <= q_den")
+
+    def rank_of(totals):
+        return (q_num * totals + q_den - 1) // q_den
 
     compact = grouped_value_counts(ds, key_cols, value_col).materialize()
 
@@ -169,7 +192,7 @@ def grouped_median(
         within = cum - base
         totals = np.zeros(gid[-1] + 1, dtype=np.int64)
         np.add.at(totals, gid, n)
-        target = (totals + 1) // 2  # lower median rank, ceil(n/2)
+        target = rank_of(totals)  # ceil(q*n), integer-exact
         sel = (within >= target[gid]) & (within - n < target[gid])
         out = {k: pa.array(df[k].to_numpy()[sel]) for k in key_cols}
         out[out_col] = pa.array(df[value_col].to_numpy()[sel])
@@ -181,18 +204,18 @@ def grouped_median(
             finish_block, batch_format="pyarrow", batch_size=None
         )
 
-    def group_median(g):
+    def group_select(g):
         g = g.sort_values(value_col, kind="mergesort")
         n = g["n"].to_numpy(dtype=np.int64)
         total = int(n.sum())
-        idx = int(np.searchsorted(np.cumsum(n), (total + 1) // 2))
+        idx = int(np.searchsorted(np.cumsum(n), rank_of(total)))
         row = {k: [g[k].iloc[0]] for k in key_cols}
         row[out_col] = [g[value_col].iloc[idx]]
         row["n"] = [total]
         return type(g)(row)
 
     return compact.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
-        group_median, batch_format="pandas"
+        group_select, batch_format="pandas"
     )
 
 

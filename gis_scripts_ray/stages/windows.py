@@ -308,3 +308,37 @@ def grouped_running_sum(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_gap_stats(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Per-key inter-event-gap statistics: order each key's events by
+    (ts, id), difference consecutive int64-us timestamps (the LAG window),
+    and reduce to one exact row per key — (key, n_gaps, sum_gap_us,
+    max_gap_us). Keys with a single event emit n_gaps = 0 with zero sums.
+
+    Gap statistics are per-key-sequential (same contract as
+    :func:`sessionize` / :func:`grouped_running_sum`): one ``map_groups``
+    task per key, bounded per-entity history. The sums are exact int64
+    microseconds, so the distributed result is order-independent and the
+    mean gap is a single float expression of exact inputs downstream.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy(dtype=np.int64)
+        gaps = np.diff(us)
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_gaps": np.array([len(gaps)], dtype=np.int64),
+                "sum_gap_us": np.array([gaps.sum() if len(gaps) else 0], dtype=np.int64),
+                "max_gap_us": np.array([gaps.max() if len(gaps) else 0], dtype=np.int64),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
