@@ -1421,6 +1421,187 @@ def _sql_priority_status_pivot() -> str:
     )
 
 
+def q_nation_year_revenue(sf_dir: str):
+    """TPC-H-shaped multi-join pipeline: lineitem x orders (large x large
+    hash join) -> EARLY pre-aggregation to (custkey, year) partials (the
+    compaction is bounded by |customers| x |years|, so the second join
+    moves compacted rows, never lineitems) -> x customer (shuffle hash
+    join on custkey — customer is corpus-sized at scale, NOT broadcast,
+    unlike ``orders_nation_rollup``'s deliberate broadcast contrast) ->
+    nation names via a 25-row broadcast map -> final re-aggregate. Exact
+    integer micro-cents end to end.
+
+    Output: (n_name, year, sum_rev_microcents, n) — n = lineitem count."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count, coalesce_shuffle_sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["l_extendedprice"]).to_numpy()
+        disc_pct = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_microcents": pa.array(price_c * (100 - disc_pct), pa.int64()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+    # aggregate EARLY: lineitem-grain rows collapse to (custkey, year)
+    # before the customer join
+    per_cust = cell_sum_count(
+        joined, ["o_custkey", "year"], ["rev_microcents"]
+    ).materialize()
+    per_cust = per_cust.repartition(max(1, -(-per_cust.count() // 4_000_000)))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    with_nat = hash_join(
+        per_cust, cust, on="o_custkey", right_on="c_custkey", num_partitions=8
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap_ref = _ray.put(
+        dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    )
+
+    def tag_and_partial(batch: pa.Table, ref=None) -> pa.Table:
+        nmap = _worker_broadcast(ref)
+        names = [nmap[int(k)] for k in batch["c_nationkey"].to_pylist()]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "year": batch["year"],
+                "sum_rev_microcents": batch["sum_rev_microcents"],
+                "n": batch["n"],
+            }
+        )
+        out = t.group_by(["n_name", "year"]).aggregate(
+            [("sum_rev_microcents", "sum"), ("n", "sum")]
+        )
+        return out.rename_columns(["n_name", "year", "sum_rev_microcents", "n"])
+
+    partials = with_nat.map_batches(
+        tag_and_partial, fn_kwargs={"ref": nmap_ref}, batch_format="pyarrow"
+    )
+    out = coalesce_shuffle_sum(partials, ["n_name", "year"], ["sum_rev_microcents", "n"])
+    return out.sort(["n_name", "year"])
+
+
+def _sql_nation_year_revenue() -> str:
+    return (
+        "SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_rev_microcents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name, year ORDER BY n_name, year"
+    )
+
+
+def q_rollup_order_counts(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate from ONE pass: order counts and
+    cents at (priority, status), (priority), and grand-total levels — the
+    finest-level compaction is computed once (partial pre-agg + adaptive
+    combine) and the coarser levels derive from the COMPACTED rows at the
+    driver-free ``map_batches`` level, never from a second scan. Level
+    columns use the SQL ROLLUP convention (NULL = rolled up), encoded as
+    the sentinel string 'ALL' so the schema stays non-null string.
+
+    Output: (o_orderpriority, o_orderstatus, n, sum_cents) for all three
+    levels, ordered."""
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    fine = cell_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        ["cents"],
+    ).materialize()
+
+    def widen(batch: pa.Table) -> pa.Table:
+        # each compacted fine row contributes to all three rollup levels;
+        # the combine re-sums per level key (associative)
+        pri = batch["o_orderpriority"].to_pylist()
+        st = batch["o_orderstatus"].to_pylist()
+        n = batch["n"].to_numpy()
+        c = batch["sum_cents"].to_numpy()
+        k = len(pri)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(pri + pri + ["ALL"] * k, pa.string()),
+                "o_orderstatus": pa.array(st + ["ALL"] * (2 * k), pa.string()),
+                "n": pa.array(np.concatenate([n, n, n]), pa.int64()),
+                "sum_cents": pa.array(np.concatenate([c, c, c]), pa.int64()),
+            }
+        )
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    out = coalesce_shuffle_sum(
+        fine.map_batches(widen, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        ["n", "sum_cents"],
+    )
+    return out.sort(["o_orderpriority", "o_orderstatus"])
+
+
+def _sql_rollup_order_counts() -> str:
+    return (
+        "SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+        "COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+        "ORDER BY o_orderpriority, o_orderstatus"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -3093,6 +3274,8 @@ QUERIES: dict[str, Callable] = {
     "user_gap_stats": q_user_gap_stats,
     "qty_discount_corr": q_qty_discount_corr,
     "priority_status_pivot": q_priority_status_pivot,
+    "nation_year_revenue": q_nation_year_revenue,
+    "rollup_order_counts": q_rollup_order_counts,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -3164,6 +3347,8 @@ ORACLES: dict[str, str] = {
     "user_gap_stats": _sql_user_gap_stats(),
     "qty_discount_corr": _sql_qty_discount_corr(),
     "priority_status_pivot": _sql_priority_status_pivot(),
+    "nation_year_revenue": _sql_nation_year_revenue(),
+    "rollup_order_counts": _sql_rollup_order_counts(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),
