@@ -1602,6 +1602,91 @@ def _sql_rollup_order_counts() -> str:
     )
 
 
+def q_event_prop_stats(sf_dir: str):
+    """JSON metadata extraction (``textstages.json_int_field``): the
+    events ``props`` JSON column yields its integer ``k`` field in ONE
+    vectorized polars pass (malformed JSON / missing / non-integer-
+    literal values -> null, pinned identical in the per-row reference,
+    the vectorized kernel, and the SQL twin's json_valid + regexp
+    guard), then exact per-type stats via the standard partial +
+    adaptive combine. Blocks where a type has no parseable value carry
+    int64 min/max sentinels; the finish restores the COALESCE(..., 0)
+    convention when n_k = 0.
+
+    Output: (event_type, n, n_k, sum_k, min_k, max_k)."""
+    from gis_scripts_ray.stages.textstages import json_int_field
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    I64_MAX = np.iinfo(np.int64).max
+    I64_MIN = np.iinfo(np.int64).min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = json_int_field(batch, "props", "k", "k")
+        t = pa.table({"event_type": b["event_type"], "k": b["k"]})
+        all_ct = t.group_by(["event_type"]).aggregate([([], "count_all")])
+        all_ct = all_ct.rename_columns(["event_type", "n"])
+        nz = t.filter(pc.is_valid(t["k"]))
+        kagg = nz.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        kagg = kagg.rename_columns(["event_type", "n_k", "sum_k", "min_k", "max_k"])
+        j = all_ct.join(kagg, keys=["event_type"], join_type="left outer")
+        return pa.table(
+            {
+                "event_type": j["event_type"],
+                "n": j["n"],
+                "n_k": pc.fill_null(j["n_k"], 0),
+                "sum_k": pc.fill_null(j["sum_k"], 0),
+                "min_k": pc.fill_null(j["min_k"], I64_MAX),
+                "max_k": pc.fill_null(j["max_k"], I64_MIN),
+            }
+        )
+
+    combined = coalesce_shuffle_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": "sum", "n_k": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        empty = pc.equal(batch["n_k"], 0)
+        zero = pa.array(np.zeros(len(batch), dtype=np.int64), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": batch["n"],
+                "n_k": batch["n_k"],
+                "sum_k": batch["sum_k"],
+                "min_k": pc.if_else(empty, zero, batch["min_k"]),
+                "max_k": pc.if_else(empty, zero, batch["max_k"]),
+            }
+        )
+
+    return combined.map_batches(fin, batch_format="pyarrow").sort("event_type")
+
+
+def _sql_event_prop_stats() -> str:
+    # the integer-literal guard (regexp on the EXTRACTED string) pins the
+    # same contract as json_int_field: quoted integer strings accepted,
+    # floats/bools/containers rejected — DuckDB's bare TRY_CAST would
+    # accept '5.0'
+    return (
+        "WITH e AS (SELECT event_type, CASE WHEN json_valid(props) AND "
+        "regexp_matches(COALESCE(json_extract_string(props, '$.k'), ''), '^-?\\d+$') "
+        "THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k FROM events) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(k) AS BIGINT) AS n_k, "
+        "CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k, "
+        "CAST(COALESCE(MIN(k), 0) AS BIGINT) AS min_k, "
+        "CAST(COALESCE(MAX(k), 0) AS BIGINT) AS max_k "
+        "FROM e GROUP BY event_type ORDER BY event_type"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -3276,6 +3361,7 @@ QUERIES: dict[str, Callable] = {
     "priority_status_pivot": q_priority_status_pivot,
     "nation_year_revenue": q_nation_year_revenue,
     "rollup_order_counts": q_rollup_order_counts,
+    "event_prop_stats": q_event_prop_stats,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -3349,6 +3435,7 @@ ORACLES: dict[str, str] = {
     "priority_status_pivot": _sql_priority_status_pivot(),
     "nation_year_revenue": _sql_nation_year_revenue(),
     "rollup_order_counts": _sql_rollup_order_counts(),
+    "event_prop_stats": _sql_event_prop_stats(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),

@@ -353,3 +353,55 @@ def tfidf_integer_scores(
         return pa.table({id_col: batch[id_col], "score": pa.array(scores, pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def json_int_field_row(text, field: str):
+    """Per-row reference for :func:`json_int_field` (kept for the
+    bit-exactness parity contract, CLAUDE.md). Contract: the top-level
+    JSON object's ``field`` yields an int iff its extracted value is an
+    integer LITERAL string — a JSON integer, or a JSON string of digits
+    (``"7"`` -> 7; quotes strip on extraction in every engine here:
+    polars ``json_path_match``, DuckDB ``json_extract_string``). Floats,
+    bools, nulls, containers, missing fields, and malformed JSON are all
+    ``None``."""
+    import json
+    import re
+
+    if text is None:
+        return None
+    try:
+        v = json.loads(text)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(v, dict):
+        return None
+    x = v.get(field)
+    if isinstance(x, bool):  # bools are ints in Python; JSON keeps them distinct
+        return None
+    if isinstance(x, int):
+        return x
+    if isinstance(x, str) and re.fullmatch(r"-?\d+", x):
+        return int(x)
+    return None
+
+
+def json_int_field(
+    batch: pa.Table, col: str, field: str, out_col: str
+) -> pa.Table:
+    """Vectorized integer field extraction from a JSON-string column
+    (event props, page metadata): one polars ``json_path_match`` pass +
+    strict-off int cast — malformed JSON, missing fields, and non-integer
+    values all become null, matching :func:`json_int_field_row` (parity
+    test in tests/test_ops_round3e.py). No per-row Python in the hot
+    path."""
+    import polars as pl
+
+    s = pl.from_arrow(batch[col])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    ex = s.str.json_path_match(f"$.{field}")
+    # reject JSON floats/strings-of-digits-with-dot etc: an integer field
+    # matches as a bare integer literal
+    ok = ex.str.contains(r"^-?\d+$")
+    vals = ex.set(~ok.fill_null(False), None).cast(pl.Int64, strict=False)
+    return batch.append_column(out_col, pa.array(vals.to_list(), pa.int64()))
