@@ -1687,6 +1687,164 @@ def _sql_event_prop_stats() -> str:
     )
 
 
+def q_active_customer_ids(sf_dir: str):
+    """SQL INTERSECT (``stages/joins.intersect_distinct``): ids present in
+    BOTH the events log (user_id) and the orders table (o_custkey). Each
+    side compacts to its distinct key set first; the finish broadcasts
+    the smaller set and filters the other compacted set — no row-level
+    shuffle on either side.
+
+    Output: one sorted ``user_id`` column."""
+    from gis_scripts_ray.stages.joins import intersect_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    out = intersect_distinct(ev, orders, on="user_id", right_on="o_custkey")
+    return out.sort("user_id")
+
+
+def _sql_active_customer_ids() -> str:
+    return (
+        "SELECT user_id FROM events INTERSECT "
+        "SELECT o_custkey FROM orders ORDER BY user_id"
+    )
+
+
+def q_qty_p75_cont_by_status(sf_dir: str):
+    """Interpolated per-group quantile (``stages/stats.grouped_quantile_cont``
+    at q = 3/4): the 0-based position q*(n-1) decomposes in INTEGER
+    arithmetic (idx = pos // 4, rem = pos % 4); the result is the one
+    float expression v_lo + (v_hi - v_lo) * (rem/4) over the two
+    bracketing ranks, evaluated in the same operation order as the SQL
+    twin — bit-identical IEEE (numpy-percentile-linear semantics).
+
+    Output: (l_linestatus, p75 float64, n)."""
+    from gis_scripts_ray.stages.stats import grouped_quantile_cont
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_linestatus", "l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_linestatus": batch["l_linestatus"],
+                "v": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            }
+        )
+
+    out = grouped_quantile_cont(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_linestatus"],
+        "v",
+        3,
+        4,
+        out_col="p75",
+    )
+    return out.sort("l_linestatus")
+
+
+def _sql_qty_p75_cont_by_status() -> str:
+    return (
+        "WITH s AS (SELECT l_linestatus, CAST(ROUND(l_quantity) AS BIGINT) AS v "
+        "FROM lineitem), "
+        "r AS (SELECT l_linestatus, v, "
+        "ROW_NUMBER() OVER (PARTITION BY l_linestatus ORDER BY v) AS rn, "
+        "COUNT(*) OVER (PARTITION BY l_linestatus) AS n FROM s), "
+        "p AS (SELECT l_linestatus, MAX(n) AS n, "
+        "MAX(CASE WHEN rn = (3*(n-1)) // 4 + 1 THEN v END) AS vlo, "
+        "MAX(CASE WHEN rn = (3*(n-1)) // 4 + 1 + "
+        "CASE WHEN (3*(n-1)) % 4 > 0 THEN 1 ELSE 0 END THEN v END) AS vhi "
+        "FROM r GROUP BY l_linestatus) "
+        "SELECT l_linestatus, "
+        "CAST(vlo AS DOUBLE) + (CAST(vhi AS DOUBLE) - CAST(vlo AS DOUBLE)) * "
+        "(CAST((3*(n-1)) % 4 AS DOUBLE) / 4.0) AS p75, "
+        "CAST(n AS BIGINT) AS n "
+        "FROM p ORDER BY l_linestatus"
+    )
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Percent-of-total (window over an aggregate): each nation's share of
+    global order revenue. The per-nation aggregate is the scale-safe
+    broadcast-dimension pipeline (``orders_nation_rollup``); the total is
+    an exact int64 fold of the TINY materialized aggregate (<= |nations|
+    rows), and share = one float64 division of exact inputs, same
+    operation order as the SQL window twin.
+
+    Output: (n_name, sum_total_cents, n, share)."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    lookup = dict(
+        zip(
+            cust["c_custkey"].to_numpy().tolist(),
+            (nmap[int(nk)] for nk in cust["c_nationkey"].to_numpy()),
+        )
+    )
+    lookup_ref = _ray.put(lookup)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def tag_nation(batch: pa.Table, ref=None) -> pa.Table:
+        lk = _worker_broadcast(ref)
+        names = [lk.get(c) for c in batch["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "total_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    agg = cell_sum_count(
+        ds.map_batches(tag_nation, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow"),
+        ["n_name"],
+        ["total_cents"],
+    ).materialize()
+    total = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        total += int(np.sum(b["sum_total_cents"].to_numpy()))
+    total_f = np.float64(total)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        share = batch["sum_total_cents"].to_numpy().astype(np.float64) / total_f
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "sum_total_cents": batch["sum_total_cents"],
+                "n": batch["n"],
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort("n_name")
+
+
+def _sql_nation_revenue_share() -> str:
+    return (
+        "WITH a AS (SELECT n_name, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_total_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) "
+        "SELECT n_name, sum_total_cents, n, "
+        "CAST(sum_total_cents AS DOUBLE) / CAST(SUM(sum_total_cents) OVER () AS DOUBLE) AS share "
+        "FROM a ORDER BY n_name"
+    )
+
+
 def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
@@ -3362,6 +3520,9 @@ QUERIES: dict[str, Callable] = {
     "nation_year_revenue": q_nation_year_revenue,
     "rollup_order_counts": q_rollup_order_counts,
     "event_prop_stats": q_event_prop_stats,
+    "active_customer_ids": q_active_customer_ids,
+    "qty_p75_cont_by_status": q_qty_p75_cont_by_status,
+    "nation_revenue_share": q_nation_revenue_share,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
@@ -3436,6 +3597,9 @@ ORACLES: dict[str, str] = {
     "nation_year_revenue": _sql_nation_year_revenue(),
     "rollup_order_counts": _sql_rollup_order_counts(),
     "event_prop_stats": _sql_event_prop_stats(),
+    "active_customer_ids": _sql_active_customer_ids(),
+    "qty_p75_cont_by_status": _sql_qty_p75_cont_by_status(),
+    "nation_revenue_share": _sql_nation_revenue_share(),
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),

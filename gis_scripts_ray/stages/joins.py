@@ -178,6 +178,80 @@ def hash_anti_join(
     )
 
 
+def intersect_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT``: the DISTINCT keys present in BOTH inputs — the
+    set-membership audit (users active in two systems, docs in two
+    crawls). Each side first reduces to its distinct key set via the
+    per-block-unique + adaptive-combine compaction (the all-to-all
+    carries each block's distinct keys once, never rows); the finish is
+    adaptive like :func:`hash_anti_join`: when the SMALLER key set fits
+    the driver, broadcast it and ``is_in``-filter the other compacted
+    set (no further shuffle), else an inner hash join of the two
+    compacted key tables.
+
+    Output: one column named ``on``. Contract: non-null keys.
+    """
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+    from gis_scripts_ray.state.broadcast import worker_broadcast
+
+    right_on = right_on or on
+
+    def distinct_of(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+        def partial(batch: pa.Table) -> pa.Table:
+            out = batch.select([col]).group_by([col]).aggregate([(col, "count")])
+            return out.rename_columns([col, "_n"])
+
+        return (
+            coalesce_shuffle_sum(
+                ds.map_batches(partial, batch_format="pyarrow"), [col], ["_n"]
+            )
+            .select_columns([col])
+            .materialize()
+        )
+
+    lkeys = distinct_of(left, on)
+    rkeys = distinct_of(right, right_on)
+    n_l, n_r = lkeys.count(), rkeys.count()
+    small, small_col, big, big_col = (
+        (lkeys, on, rkeys, right_on) if n_l <= n_r else (rkeys, right_on, lkeys, on)
+    )
+    if min(n_l, n_r) == 0:
+        return lkeys.limit(0)
+    if min(n_l, n_r) <= broadcast_limit:
+        keyset = pa.concat_arrays(
+            chunk
+            for b in small.iter_batches(batch_format="pyarrow")
+            for chunk in b[small_col].chunks
+        )
+        ref = _ray.put(keyset)
+
+        def member_filter(batch: pa.Table) -> pa.Table:
+            ks = worker_broadcast(ref)
+            out = batch.filter(pc.is_in(batch[big_col], value_set=ks))
+            return out.rename_columns([on])
+
+        return big.map_batches(member_filter, batch_format="pyarrow")
+    big = big.repartition(max(1, -(-max(n_l, n_r) // 4_000_000)))
+    small = small.repartition(max(1, -(-min(n_l, n_r) // 4_000_000)))
+    joined = hash_join(
+        big, small, on=big_col, right_on=small_col, num_partitions=num_partitions
+    )
+    return joined.map_batches(
+        lambda b: b.select([big_col]).rename_columns([on]), batch_format="pyarrow"
+    )
+
+
 def range_join_lookup(
     ds: ray.data.Dataset,
     ranges: pa.Table,

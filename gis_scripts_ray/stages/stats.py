@@ -219,6 +219,112 @@ def grouped_quantile_disc(
     )
 
 
+def grouped_quantile_cont(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    out_col: str = "quantile",
+    small_limit: int = 8_000_000,
+) -> ray.data.Dataset:
+    """Linear-interpolated quantile per group over integer values, with
+    the INTERPOLATION POSITION computed in exact integer arithmetic:
+    0-based position ``h = q*(n-1)`` decomposes into ``idx = pos //
+    q_den`` and ``rem = pos % q_den`` with ``pos = q_num*(n-1)``; the
+    result is the ONE float expression ``v_lo + (v_hi - v_lo) *
+    (rem/q_den)`` over the two bracketing ranks (``numpy.percentile
+    method='linear'`` / ``quantile_cont`` semantics). Evaluating the
+    expression in the same operation order as the SQL twin makes the
+    IEEE result bit-identical.
+
+    Same compaction + adaptive finish as :func:`grouped_quantile_disc`.
+    Output: (keys..., ``out_col`` float64, n)."""
+
+    if not (0 <= q_num <= q_den) or q_den <= 0:
+        raise ValueError("require 0 <= q_num <= q_den, q_den > 0")
+
+    compact = grouped_value_counts(ds, key_cols, value_col).materialize()
+
+    def interp(vlo, vhi, rem):
+        vlo = vlo.astype(np.float64)
+        vhi = vhi.astype(np.float64)
+        remf = rem.astype(np.float64)
+        return vlo + (vhi - vlo) * (remf / float(q_den))
+
+    def finish_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {k: batch[k] for k in key_cols}
+            cols[out_col] = pa.array([], pa.float64())
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        df = (
+            batch.to_pandas()
+            .sort_values(key_cols + [value_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = df["n"].to_numpy(dtype=np.int64)
+        new = np.zeros(len(df), dtype=bool)
+        new[0] = True
+        for k in key_cols:
+            a = df[k].to_numpy()
+            new[1:] |= a[1:] != a[:-1]
+        gid = np.cumsum(new) - 1
+        cum = np.cumsum(n)
+        start_total = np.where(new, cum - n, 0)
+        base = np.maximum.accumulate(start_total * new)
+        within = cum - base
+        totals = np.zeros(gid[-1] + 1, dtype=np.int64)
+        np.add.at(totals, gid, n)
+        pos = q_num * (totals - 1)
+        rem = pos % q_den
+        t_lo = pos // q_den + 1  # 1-based bracketing ranks
+        t_hi = t_lo + (rem > 0)
+        vals = df[value_col].to_numpy()
+        out_v = {}
+        for name, tgt in (("lo", t_lo), ("hi", t_hi)):
+            sel = (within >= tgt[gid]) & (within - n < tgt[gid])
+            out_v[name] = vals[sel]
+        out = {
+            k: pa.array(
+                df[k].to_numpy()[
+                    (within >= t_lo[gid]) & (within - n < t_lo[gid])
+                ]
+            )
+            for k in key_cols
+        }
+        out[out_col] = pa.array(interp(out_v["lo"], out_v["hi"], rem), pa.float64())
+        out["n"] = pa.array(totals, pa.int64())
+        return pa.table(out)
+
+    if compact.count() <= small_limit:
+        return compact.repartition(1).map_batches(
+            finish_block, batch_format="pyarrow", batch_size=None
+        )
+
+    def group_select(g):
+        g = g.sort_values(value_col, kind="mergesort")
+        n = g["n"].to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        pos = q_num * (total - 1)
+        rem = pos % q_den
+        t_lo = pos // q_den + 1
+        t_hi = t_lo + (1 if rem > 0 else 0)
+        cumn = np.cumsum(n)
+        vlo = g[value_col].iloc[int(np.searchsorted(cumn, t_lo))]
+        vhi = g[value_col].iloc[int(np.searchsorted(cumn, t_hi))]
+        row = {k: [g[k].iloc[0]] for k in key_cols}
+        row[out_col] = interp(
+            np.array([vlo]), np.array([vhi]), np.array([rem])
+        )
+        row["n"] = [total]
+        return type(g)(row)
+
+    return compact.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
+        group_select, batch_format="pandas"
+    )
+
+
 def exclude_negative_quantile(
     ds: ray.data.Dataset, col: str, q: float
 ) -> float:
