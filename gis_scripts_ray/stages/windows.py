@@ -272,6 +272,26 @@ def sliding_window_sum(
     )
 
 
+def _bucket_of(keys: pa.ChunkedArray, num_buckets: int) -> np.ndarray:
+    """Stable hash bucket per key value (any dtype, via polars xxhash)."""
+    import polars as pl
+
+    s = pl.from_arrow(keys)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    return (s.hash(seed=11).to_numpy() % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _segment_starts(df: pd.DataFrame, key_col: str) -> np.ndarray:
+    """Boolean new-segment mask over a frame pre-sorted by key."""
+    a = df[key_col].to_numpy()
+    new = np.zeros(len(a), dtype=bool)
+    if len(a):
+        new[0] = True
+        new[1:] = a[1:] != a[:-1]
+    return new
+
+
 def grouped_running_sum(
     ds: ray.data.Dataset,
     key_col: str,
@@ -279,6 +299,7 @@ def grouped_running_sum(
     id_col: str,
     value_col: str,
     out_col: str = "run_total",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Per-key cumulative sum ordered by (ts, id) — the running-total
     window (``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
@@ -287,27 +308,44 @@ def grouped_running_sum(
     in the exact int64 domain end to end (pandas would re-emit it as
     nanoseconds — the us/ns divergence CLAUDE.md flags).
 
-    Same partitioning contract as :func:`sessionize`: a prefix sum is
-    per-key-sequential, so each key's history lands on one ``map_groups``
-    task — fine for bounded-per-entity keys (customers, users, hosts);
-    a key whose history exceeds one worker should go through the
-    presplit pattern (per-(key, time-range) partials + carry fold, the
-    :func:`sessionize_presplit` shape). (ts, id) must be unique per key
-    for a deterministic order; value should be integer (cents/micros)
-    so the prefix sums are exact."""
+    Scale design: keys hash into ``num_buckets`` buckets and the shuffle
+    is ONE ``groupby(bucket).map_groups`` — inside a bucket the prefix
+    sums are fully vectorized (one mergesort by (key, ts, id), one
+    cumsum, one segment-base subtraction), so the per-group Python cost
+    is O(buckets), not O(keys) (the naive per-key ``map_groups`` paid
+    ~15k pandas round-trips for 15k customers — measured 20.6 s -> see
+    BASELINE.md ledger). A key's history still lands on one task
+    (prefix sums are per-key-sequential); a key whose history exceeds a
+    worker should use the presplit pattern (:func:`sessionize_presplit`
+    shape). (ts, id) must be unique per key for a deterministic order;
+    value should be integer (cents/micros) so the sums are exact."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bk", pa.array(_bucket_of(batch[key_col], num_buckets), pa.int64())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        v = g[value_col].to_numpy()
+        cs = np.cumsum(v)
+        new = _segment_starts(g, key_col)
+        gid = np.cumsum(new) - 1
+        start_base = (cs - v)[new]  # running total just before each key starts
         return pd.DataFrame(
             {
                 key_col: g[key_col].to_numpy(),
                 id_col: g[id_col].to_numpy(),
-                value_col: g[value_col].to_numpy(),
-                out_col: g[value_col].cumsum().to_numpy(),
+                value_col: v,
+                out_col: cs - start_base[gid],
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def grouped_gap_stats(
@@ -315,30 +353,52 @@ def grouped_gap_stats(
     key_col: str,
     ts_col: str,
     id_col: str,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Per-key inter-event-gap statistics: order each key's events by
     (ts, id), difference consecutive int64-us timestamps (the LAG window),
     and reduce to one exact row per key — (key, n_gaps, sum_gap_us,
     max_gap_us). Keys with a single event emit n_gaps = 0 with zero sums.
 
-    Gap statistics are per-key-sequential (same contract as
-    :func:`sessionize` / :func:`grouped_running_sum`): one ``map_groups``
-    task per key, bounded per-entity history. The sums are exact int64
-    microseconds, so the distributed result is order-independent and the
-    mean gap is a single float expression of exact inputs downstream.
-    """
+    Same bucketed-vectorized shape as :func:`grouped_running_sum`: one
+    ``groupby(bucket).map_groups`` with all keys of a bucket differenced
+    in one vectorized pass (gaps at key boundaries masked out), so the
+    per-group Python cost is O(buckets). The sums are exact int64
+    microseconds — order-independent, and the mean gap is a single float
+    expression of exact inputs downstream."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bk", pa.array(_bucket_of(batch[key_col], num_buckets), pa.int64())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         us = g[ts_col].to_numpy(dtype=np.int64)
+        new = _segment_starts(g, key_col)
+        gid = np.cumsum(new) - 1
+        n_groups = int(gid[-1]) + 1 if len(gid) else 0
         gaps = np.diff(us)
+        in_seg = ~new[1:]  # a diff crossing a key boundary is not a gap
+        seg_gid = gid[1:][in_seg]
+        seg_gaps = gaps[in_seg]
+        n_gaps = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(n_gaps, seg_gid, 1)
+        sum_gap = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(sum_gap, seg_gid, seg_gaps)
+        max_gap = np.zeros(n_groups, dtype=np.int64)
+        np.maximum.at(max_gap, seg_gid, seg_gaps)
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_gaps": np.array([len(gaps)], dtype=np.int64),
-                "sum_gap_us": np.array([gaps.sum() if len(gaps) else 0], dtype=np.int64),
-                "max_gap_us": np.array([gaps.max() if len(gaps) else 0], dtype=np.int64),
+                key_col: g[key_col].to_numpy()[new],
+                "n_gaps": n_gaps,
+                "sum_gap_us": sum_gap,
+                "max_gap_us": max_gap,
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
