@@ -55,39 +55,54 @@ def sessionize(
 
     Output: (key, session_id 1-based, n_events, start_us, end_us).
 
-    Skew note: sessionization is inherently per-key-sequential, so a hot
-    key's ENTIRE event history lands on one ``map_groups`` task. That is
-    acceptable for user/host keys (bounded per-entity history); for a key
-    whose history exceeds one worker's memory use
-    :func:`sessionize_presplit` — same output, but no task ever holds
-    more than one (key, time-range) slice.
+    Bucketed-vectorized (the :func:`grouped_running_sum` shape): keys
+    hash into 64 buckets, one ``groupby(bucket).map_groups`` labels and
+    aggregates EVERY key of a bucket in one pass (mergesort + masked
+    diff + segment reduce) — per-group Python cost is O(buckets), not
+    O(keys). Sessionization stays per-key-sequential, so a hot key's
+    ENTIRE event history still lands on one task. That is acceptable for
+    user/host keys (bounded per-entity history); for a key whose history
+    exceeds one worker's memory use :func:`sessionize_presplit` — same
+    output, but no task ever holds more than one (key, time-range)
+    slice.
     """
+    num_buckets = 64
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col], kind="mergesort")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bk", pa.array(_bucket_of(batch[key_col], num_buckets), pa.int64())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new = np.empty(len(us), dtype=np.int64)
-        new[0] = 1
-        new[1:] = (np.diff(us) > gap_us).astype(np.int64)
-        sid = np.cumsum(new)
-        out = pd.DataFrame(
+        new_key = _segment_starts(g, key_col)
+        brk = np.zeros(len(us), dtype=bool)
+        brk[0] = True
+        brk[1:] = (np.diff(us) > gap_us) | new_key[1:]
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [len(us)]])
+        # 1-based session ordinal within each key
+        sess_new_key = new_key[starts]
+        kgid = np.cumsum(sess_new_key) - 1
+        first_sess = np.zeros(int(kgid[-1]) + 1, dtype=np.int64)
+        first_sess[kgid[sess_new_key]] = np.nonzero(sess_new_key)[0]
+        sid = np.arange(len(starts), dtype=np.int64) - first_sess[kgid] + 1
+        return pd.DataFrame(
             {
-                key_col: g[key_col].to_numpy(),
+                key_col: g[key_col].to_numpy()[starts],
                 "session_id": sid,
-                "us": us,
+                "n_events": (ends - starts).astype(np.int64),
+                "start_us": us[starts],
+                "end_us": us[ends - 1],
             }
         )
-        agg = out.groupby("session_id", as_index=False).agg(
-            **{
-                key_col: (key_col, "first"),
-                "n_events": ("us", "size"),
-                "start_us": ("us", "min"),
-                "end_us": ("us", "max"),
-            }
-        )
-        return agg[[key_col, "session_id", "n_events", "start_us", "end_us"]]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def sessionize_presplit(
