@@ -602,29 +602,74 @@ def minhash_lsh_candidates(
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]
     )
 
-    def expand_pairs(group) -> pa.Table:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bk = (batch["combo"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
+            np.int64
+        )
+        return batch.append_column("_bk", pa.array(bk, pa.int64()))
+
+    def expand_bucket(group) -> pa.Table:
+        """Vectorized pair expansion for EVERY combo of one hash bucket
+        (one task per bucket, not per combo — the per-key-map_groups
+        O(keys) pandas overhead was the sf0.1 wall-time driver). Combos
+        factorize once; each combo's kept ids are contiguous after the
+        rank<max_group compaction, so segments of equal size k emit
+        their C(k,2) pairs in ONE gather per distinct k (k <= max_group,
+        so at most max_group-1 gathers per bucket)."""
         if isinstance(group, dict):
             group = pa.table(group)
         elif not isinstance(group, pa.Table):
             group = pa.Table.from_pandas(group, preserve_index=False)
+        combos = group["combo"].to_numpy()
+        ids = group[id_col].to_numpy()
         w = group["w"].to_numpy()
-        total = int(w.sum())
-        g = np.sort(group[id_col].to_numpy()[w == 0])[:max_group]
-        capped = total > max_group
-        if len(g) < 2:
+        uc, inv = np.unique(combos, return_inverse=True)
+        totals = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(totals, inv, w)
+        capped = (totals > max_group).astype(np.int64)
+        real = w == 0
+        order = np.lexsort((ids[real], inv[real]))
+        rg = inv[real][order]
+        ri = ids[real][order]
+        if len(rg) == 0:
             return pair_schema.empty_table()
-        ia, ib = np.triu_indices(len(g), k=1)
+        new = np.concatenate([[True], rg[1:] != rg[:-1]])
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(rg)) - starts[np.cumsum(new) - 1]
+        keep = rank < max_group
+        ri2 = ri[keep]
+        rg2 = rg[keep]
+        new2 = np.concatenate([[True], rg2[1:] != rg2[:-1]])
+        starts2 = np.nonzero(new2)[0]
+        sizes = np.diff(np.concatenate([starts2, [len(rg2)]]))
+        seg_combo = rg2[starts2]
+        out_a, out_b, out_c = [], [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = sizes == k
+            base = starts2[sel]
+            ia, ib = np.triu_indices(int(k), k=1)
+            a = ri2[base[:, None] + ia[None, :]].ravel()
+            b = ri2[base[:, None] + ib[None, :]].ravel()
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(np.repeat(capped[seg_combo[sel]], len(ia)))
+        if not out_a:
+            return pair_schema.empty_table()
         return pa.table(
             {
-                "id_a": pa.array(g[ia], pa.int64()),
-                "id_b": pa.array(g[ib], pa.int64()),
-                "capped_i": pa.array(
-                    np.full(len(ia), int(capped), dtype=np.int64), pa.int64()
-                ),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "capped_i": pa.array(np.concatenate(out_c), pa.int64()),
             }
         )
 
-    pairs = cand.groupby("combo").map_groups(expand_pairs, batch_format="pyarrow")
+    pairs = (
+        cand.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(expand_bucket, batch_format="pyarrow")
+    )
     # per-band pair rows are the same size class as the RESULT (<= bands x
     # candidate pairs), which is driver-bound by contract — finish the
     # (id_a, id_b) band count in pandas rather than paying another Ray
