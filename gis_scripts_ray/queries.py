@@ -3254,6 +3254,69 @@ def _sql_multimodal_thumbnails() -> str:
     )
 
 
+def q_video_frame_sample(sf_dir: str):
+    """REAL video-frame sampling end-to-end: each doc gets a deterministic
+    GVID container (3 + doc_id % 4 frames; frame f's 8x8 RGB pixel byte p
+    = (doc_id*7 + f*31 + p) % 256, encoded as real BMPs), the actor-pool
+    ``sample_frames`` stage parses the framing, keeps every 2nd frame,
+    decodes each with the pure-numpy BMP reader, and fans out one row per
+    sampled frame — the SQL twin recomputes the per-frame pixel sum in
+    closed form over the sampled frame indices, so any framing, stride,
+    or decode bug breaks the hash.
+
+    Output: (lang, sum_pixel_sum, n) with n = sampled frame count."""
+    from gis_scripts_ray.stages.multimodal import encode_bmp, encode_gvid, sample_frames
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def make_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        p = np.arange(192, dtype=np.int64)
+        blobs = []
+        for d in ids:
+            frames = [
+                encode_bmp(
+                    (((int(d) * 7 + f * 31 + p) % 256).astype(np.uint8)).reshape(8, 8, 3)
+                )
+                for f in range(3 + int(d) % 4)
+            ]
+            blobs.append(encode_gvid(frames))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "video": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_video, batch_format="pyarrow")
+    sampled = sample_frames(payloads, payload_col="video", stride=2, concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table({"lang": batch["lang"], "pixel_sum": batch["pixel_sum"]})
+
+    return cell_sum_count(
+        sampled.map_batches(slim, batch_format="pyarrow"), ["lang"], ["pixel_sum"]
+    )
+
+
+def _sql_video_frame_sample() -> str:
+    # per sampled frame fi in {0, 2, 4}, fi < 3 + doc_id % 4:
+    # b = (doc_id*7 + fi*31) % 256; sum_{p=0}^{191} (b+p) % 256 =
+    #   b <= 64 : 192*b + 18336 ; else (255+b)*(256-b)//2 + (b-65)*(b-64)//2
+    return (
+        "WITH d AS (SELECT doc_id, lang, 3 + doc_id % 4 AS nf FROM documents), "
+        "f AS (SELECT d.lang, (d.doc_id*7 + r.range*31) % 256 AS b "
+        "FROM d, range(0, 6, 2) r WHERE r.range < d.nf) "
+        "SELECT lang, CAST(SUM(CASE WHEN b <= 64 THEN 192*b + 18336 "
+        "ELSE (255+b)*(256-b)//2 + (b-65)*(b-64)//2 END) AS BIGINT) AS sum_pixel_sum, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY lang"
+    )
+
+
 def q_harmonize_params(sf_dir: str):
     """Mosaic harmonization with a DERIVED-INVARIANT oracle (round-2
     verdict #9): the lstsq gain/offset values themselves are not
@@ -3553,6 +3616,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_thumbnails": q_multimodal_thumbnails,
+    "video_frame_sample": q_video_frame_sample,
     "harmonize_params": q_harmonize_params,
     "checkpoint_resume": q_checkpoint_resume,
     "train_eval": q_train_eval,
@@ -3635,6 +3699,7 @@ ORACLES: dict[str, str] = {
     "idw_grid": _sql_idw_grid(),
     "segment_replace": _sql_segment_replace(),
     "multimodal_thumbnails": _sql_multimodal_thumbnails(),
+    "video_frame_sample": _sql_video_frame_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),
     "multimodal_decode": _sql_multimodal_decode(),
 }
