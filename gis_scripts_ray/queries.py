@@ -3317,6 +3317,72 @@ def _sql_video_frame_sample() -> str:
     )
 
 
+def q_audio_features(sf_dir: str):
+    """REAL audio parse end-to-end: each doc gets a deterministic mono
+    16-bit PCM WAV (64 samples, s_i = ((doc_id*13 + i*7) % 65536) -
+    32768) — PCM is not entropy-coded, so BOTH the writer and the
+    chunk-walking parser are real pure numpy (no stub). The actor-pool
+    ``audio_features`` stage extracts exact integer features (energy =
+    sum of squares, strict-sign zero crossings); the SQL twin RECOMPUTES
+    the samples with range(0, 64) and a LAG window, so any header,
+    byte-order, or feature bug breaks the hash.
+
+    Output: (lang, sum_sq, sum_zc, n) per language."""
+    from gis_scripts_ray.stages.multimodal import audio_features, encode_wav_pcm16
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def make_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        i = np.arange(64, dtype=np.int64)
+        blobs = [
+            encode_wav_pcm16(((int(d) * 13 + i * 7) % 65536 - 32768).astype(np.int16))
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "audio": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_audio, batch_format="pyarrow")
+    feats = audio_features(payloads, payload_col="audio", concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "sq": batch["sum_sq"],
+                "zc": batch["n_zero_cross"],
+            }
+        )
+
+    return cell_sum_count(
+        feats.map_batches(slim, batch_format="pyarrow"), ["lang"], ["sq", "zc"]
+    )
+
+
+def _sql_audio_features() -> str:
+    return (
+        "WITH s AS (SELECT doc_id, lang, r.range AS si, "
+        "((doc_id*13 + r.range*7) % 65536) - 32768 AS v "
+        "FROM documents, range(0, 64) r), "
+        "w AS (SELECT doc_id, lang, si, v, "
+        "LAG(v) OVER (PARTITION BY doc_id ORDER BY si) AS pv FROM s), "
+        "f AS (SELECT doc_id, lang, CAST(SUM(v*v) AS BIGINT) AS sq, "
+        "CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0)) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS zc FROM w GROUP BY doc_id, lang) "
+        "SELECT lang, CAST(SUM(sq) AS BIGINT) AS sum_sq, "
+        "CAST(SUM(zc) AS BIGINT) AS sum_zc, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY lang"
+    )
+
+
 def q_harmonize_params(sf_dir: str):
     """Mosaic harmonization with a DERIVED-INVARIANT oracle (round-2
     verdict #9): the lstsq gain/offset values themselves are not
@@ -3617,6 +3683,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "video_frame_sample": q_video_frame_sample,
+    "audio_features": q_audio_features,
     "harmonize_params": q_harmonize_params,
     "checkpoint_resume": q_checkpoint_resume,
     "train_eval": q_train_eval,
@@ -3700,6 +3767,7 @@ ORACLES: dict[str, str] = {
     "segment_replace": _sql_segment_replace(),
     "multimodal_thumbnails": _sql_multimodal_thumbnails(),
     "video_frame_sample": _sql_video_frame_sample(),
+    "audio_features": _sql_audio_features(),
     "langid_pred_counts": _sql_langid_pred_counts(),
     "multimodal_decode": _sql_multimodal_decode(),
 }

@@ -105,3 +105,66 @@ class TestFrameSampleStage:
             .reset_index(drop=True)
         )
         assert got.equals(want)
+
+
+class TestWavPcm16:
+    def _samples(self, seed=5, n=300):
+        rng = np.random.default_rng(seed)
+        return rng.integers(-32768, 32768, n).astype(np.int16)
+
+    def test_roundtrip(self):
+        from gis_scripts_ray.stages.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+        s = self._samples()
+        rate, out = decode_wav_pcm16(encode_wav_pcm16(s, rate=16000))
+        assert rate == 16000
+        assert (out == s).all()
+
+    def test_chunk_walk_tolerates_extra_chunks(self):
+        import struct
+
+        from gis_scripts_ray.stages.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+        s = self._samples(seed=9, n=17)  # odd data size exercises word alignment
+        payload = encode_wav_pcm16(s)
+        # splice a LIST chunk (odd body size -> pad byte) between fmt and data
+        hdr, fmt, rest = payload[:12], payload[12:36], payload[36:]
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        spliced = hdr + fmt + extra + rest
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        rate, out = decode_wav_pcm16(spliced)
+        assert (out == s).all()
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda p: b"RIFX" + p[4:],                       # bad magic
+            lambda p: p[:40],                                # truncated
+            lambda p: p.replace(b"\x01\x00\x01\x00", b"\x01\x00\x02\x00", 1),  # stereo
+        ],
+    )
+    def test_malformed_rejected(self, mutate):
+        from gis_scripts_ray.stages.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(mutate(encode_wav_pcm16(self._samples())))
+
+    def test_feature_stage_exact(self):
+        from gis_scripts_ray.stages.multimodal import AudioFeatureStage, encode_wav_pcm16
+
+        s = np.array([3, -2, 0, -1, 5], dtype=np.int16)
+        t = pa.table(
+            {
+                "doc": pa.array([1, 2], pa.int64()),
+                "audio": pa.array([encode_wav_pcm16(s), b"garbage"], pa.binary()),
+            }
+        )
+        df = AudioFeatureStage("audio")(t).to_pandas()
+        good = df[df["doc"] == 1].iloc[0]
+        assert good["n_samples"] == 5
+        assert good["sum_sq"] == 9 + 4 + 0 + 1 + 25
+        # sign flips: 3->-2, -2->0 (neg->nonneg), 0->-1, -1->5
+        assert good["n_zero_cross"] == 4
+        assert good["peak"] == 5
+        bad = df[df["doc"] == 2].iloc[0]
+        assert not bad["decoded_ok"] and bad["n_samples"] == 0
