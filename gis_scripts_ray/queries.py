@@ -400,19 +400,44 @@ def _sql_count_conditions() -> str:
     )
 
 
-def q_orders_nation_rollup(sf_dir: str):
-    """Broadcast dimension join: orders -> customer -> nation, no shuffle."""
+def _nation_name_index(sf_dir: str):
+    """Broadcastable vectorized custkey -> nation-name lookup: a dense
+    int32 index array (custkey -> slot in the name array; unknown keys
+    map to a trailing null slot) + the nation-name Arrow array. Replaces
+    the per-row dict ``lookup.get`` (a Python loop over every order) with
+    one numpy gather + one Arrow ``take`` per batch."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    nkeys = nation["n_nationkey"].to_numpy()
+    names = nation["n_name"].to_pylist()
+    slot_of_nat = np.full(int(nkeys.max()) + 1, len(names), dtype=np.int32)
+    slot_of_nat[nkeys] = np.arange(len(names), dtype=np.int32)
+    name_arr = pa.array(names + [None], pa.string())
     ckey = cust["c_custkey"].to_numpy()
     cnat = cust["c_nationkey"].to_numpy()
-    lookup = dict(zip(ckey.tolist(), (nmap[int(nk)] for nk in cnat)))
+    slot_of_cust = np.full(int(ckey.max()) + 1, len(names), dtype=np.int32)
+    slot_of_cust[ckey] = slot_of_nat[cnat]
     import ray
 
-    lookup_ref = ray.put(lookup)
+    return ray.put((slot_of_cust, name_arr))
+
+
+def _take_nation_names(custkeys: np.ndarray, ref) -> pa.Array:
+    slot_of_cust, name_arr = _worker_broadcast(ref)
+    ck = np.clip(custkeys, 0, len(slot_of_cust) - 1)
+    slots = slot_of_cust[ck]
+    slots = np.where((custkeys < 0) | (custkeys >= len(slot_of_cust)),
+                     np.int32(len(name_arr) - 1), slots)
+    return pc.take(name_arr, pa.array(slots, pa.int32()))
+
+
+def q_orders_nation_rollup(sf_dir: str):
+    """Broadcast dimension join: orders -> customer -> nation, no shuffle —
+    fully vectorized (numpy gather + Arrow take per batch, no per-row
+    Python; see :func:`_nation_name_index`)."""
+    lookup_ref = _nation_name_index(sf_dir)
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -420,12 +445,9 @@ def q_orders_nation_rollup(sf_dir: str):
 
     def tag_nation(batch: pa.Table, ref=None) -> pa.Table:
         # worker-cached broadcast lookup (task stage — fuses, no actor spawn)
-        lookup = _worker_broadcast(ref)
-        custs = batch["o_custkey"].to_pylist()
-        names = [lookup.get(c) for c in custs]
         return pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
+                "n_name": _take_nation_names(batch["o_custkey"].to_numpy(), ref),
                 "total_cents": _cents(batch["o_totalprice"]),
             }
         )
@@ -1773,37 +1795,18 @@ def q_nation_revenue_share(sf_dir: str):
     operation order as the SQL window twin.
 
     Output: (n_name, sum_total_cents, n, share)."""
-    import pyarrow.parquet as pq
-
-    import ray as _ray
-
     from gis_scripts_ray.stages.tile_agg import cell_sum_count
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    nation = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    )
-    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    lookup = dict(
-        zip(
-            cust["c_custkey"].to_numpy().tolist(),
-            (nmap[int(nk)] for nk in cust["c_nationkey"].to_numpy()),
-        )
-    )
-    lookup_ref = _ray.put(lookup)
+    lookup_ref = _nation_name_index(sf_dir)
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def tag_nation(batch: pa.Table, ref=None) -> pa.Table:
-        lk = _worker_broadcast(ref)
-        names = [lk.get(c) for c in batch["o_custkey"].to_pylist()]
         return pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
+                "n_name": _take_nation_names(batch["o_custkey"].to_numpy(), ref),
                 "total_cents": _cents(batch["o_totalprice"]),
             }
         )
