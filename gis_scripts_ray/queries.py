@@ -1513,16 +1513,20 @@ def q_nation_year_revenue(sf_dir: str):
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nmap_ref = _ray.put(
-        dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    )
+    nkeys = nation["n_nationkey"].to_numpy()
+    slot_of_nat = np.full(int(nkeys.max()) + 1, len(nkeys), dtype=np.int32)
+    slot_of_nat[nkeys] = np.arange(len(nkeys), dtype=np.int32)
+    name_arr = pa.array(nation["n_name"].to_pylist() + [None], pa.string())
+    nmap_ref = _ray.put((slot_of_nat, name_arr))
 
     def tag_and_partial(batch: pa.Table, ref=None) -> pa.Table:
-        nmap = _worker_broadcast(ref)
-        names = [nmap[int(k)] for k in batch["c_nationkey"].to_pylist()]
+        # vectorized nation tag: numpy gather + Arrow take, no per-row loop
+        slot_of, names_pa = _worker_broadcast(ref)
+        nk = batch["c_nationkey"].to_numpy()
+        slots = slot_of[np.clip(nk, 0, len(slot_of) - 1)]
         t = pa.table(
             {
-                "n_name": pa.array(names, pa.string()),
+                "n_name": pc.take(names_pa, pa.array(slots, pa.int32())),
                 "year": batch["year"],
                 "sum_rev_microcents": batch["sum_rev_microcents"],
                 "n": batch["n"],
