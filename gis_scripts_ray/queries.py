@@ -3390,6 +3390,37 @@ def _sql_audio_features() -> str:
     )
 
 
+_STRAT_RATES_BP = {"en": 2500, "de": 7500, "fr": 10000, "es": 500, "zh": 0}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling (``sampling.sample_stratified``):
+    per-language keep rates in basis points — the class-balancing
+    resample (downsample the dominant class, keep rare classes whole,
+    drop one entirely). Row-exact, order-free, RNG-free: the SQL twin
+    spells the identical wrapping HUGEINT arithmetic, so the surviving
+    ROW SET (not just counts) must match.
+
+    Output: every surviving (doc_id, lang) row."""
+    from gis_scripts_ray.stages.sampling import sample_stratified
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = sample_stratified(ds, "lang", _STRAT_RATES_BP, id_col="doc_id")
+    return out.sort("doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from gis_scripts_ray.stages.sampling import stratified_sql_predicate
+
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + stratified_sql_predicate("lang", _STRAT_RATES_BP, "doc_id")
+        + " ORDER BY doc_id"
+    )
+
+
 def q_harmonize_params(sf_dir: str):
     """Mosaic harmonization with a DERIVED-INVARIANT oracle (round-2
     verdict #9): the lstsq gain/offset values themselves are not
@@ -3691,6 +3722,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
+    "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
     "checkpoint_resume": q_checkpoint_resume,
     "train_eval": q_train_eval,
@@ -3775,6 +3807,7 @@ ORACLES: dict[str, str] = {
     "multimodal_thumbnails": _sql_multimodal_thumbnails(),
     "video_frame_sample": _sql_video_frame_sample(),
     "audio_features": _sql_audio_features(),
+    "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),
     "multimodal_decode": _sql_multimodal_decode(),
 }

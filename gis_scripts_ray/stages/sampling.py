@@ -70,3 +70,55 @@ def split_sql_predicate(id_col: str, val_pct: int = 20, val_side: bool = True) -
         f"(((CAST({id_col} AS HUGEINT)*{_SPLIT_SALT})%18446744073709551616)%100)"
         f" {cmp} {100 - val_pct}"
     )
+
+
+def sample_stratified(
+    ds: ray.data.Dataset,
+    group_col: str,
+    rates_bp: "dict[str, int]",
+    id_col: str = "doc_id",
+    default_bp: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic stratified (per-group) sampling: row r of group g
+    survives iff ``(id * SALT) mod 2^64 mod 10000 < rates_bp[g]`` —
+    per-group rates in basis points (1 bp = 0.01%). The class-balancing
+    resample every training-data pipeline needs (downsample the dominant
+    language / boilerplate class, keep the rare ones whole): order-free,
+    RNG-free, stable under repartitioning and resume, and a row keeps or
+    drops IDENTICALLY across runs and block structures.
+
+    The rate table broadcasts inside the closure (driver-sized by
+    contract: one entry per class label); groups not listed get
+    ``default_bp``. Same uint64 wrap + non-negative-id contract as
+    :func:`split_train_val`; the SQL twin spells the identical HUGEINT
+    arithmetic (see :func:`stratified_sql_predicate`)."""
+
+    items = sorted(rates_bp.items())
+    labels = [k for k, _ in items]
+    bps = np.array([v for _, v in items], dtype=np.uint64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch[id_col].to_numpy().astype(np.uint64)
+        r = (ids * np.uint64(_SPLIT_SALT)) % np.uint64(10000)
+        thresh = np.full(len(ids), np.uint64(default_bp), dtype=np.uint64)
+        g = batch[group_col]
+        for lab, bp in zip(labels, bps):
+            thresh[pc.equal(g, lab).to_numpy(zero_copy_only=False)] = bp
+        return batch.filter(pa.array(r < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sql_predicate(
+    group_col: str, rates_bp: "dict[str, int]", id_col: str, default_bp: int = 0
+) -> str:
+    """DuckDB twin of the stratified-sample predicate."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(rates_bp.items())
+    )
+    return (
+        f"(((CAST({id_col} AS HUGEINT)*{_SPLIT_SALT})%18446744073709551616)%10000)"
+        f" < (CASE {group_col} {cases} ELSE {default_bp} END)"
+    )

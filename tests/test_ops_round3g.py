@@ -168,3 +168,58 @@ class TestWavPcm16:
         assert good["peak"] == 5
         bad = df[df["doc"] == 2].iloc[0]
         assert not bad["decoded_ok"] and bad["n_samples"] == 0
+
+
+class TestStratifiedSample:
+    def test_rates_respected_and_block_invariant(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.sampling import sample_stratified
+
+        rng = np.random.default_rng(12)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(20000, dtype=np.int64)),
+                "lang": pa.array(rng.choice(["a", "b", "c"], 20000)),
+            }
+        )
+        rates = {"a": 1000, "b": 10000, "c": 0}
+        outs = []
+        for nb in (1, 7):
+            ds = ray.data.from_arrow(t).repartition(nb)
+            got = (
+                sample_stratified(ds, "lang", rates, id_col="doc_id")
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            outs.append(got)
+        assert outs[0].equals(outs[1])  # block-structure invariant
+        df = outs[0]
+        langs = t.to_pandas()
+        n_a = (langs["lang"] == "a").sum()
+        kept_a = (df["lang"] == "a").sum()
+        assert abs(kept_a / n_a - 0.10) < 0.02  # ~10% of class a
+        assert (df["lang"] == "c").sum() == 0  # class c dropped entirely
+        n_b = (langs["lang"] == "b").sum()
+        assert (df["lang"] == "b").sum() == n_b  # class b kept whole
+
+    def test_default_rate_applies_to_unlisted_groups(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.sampling import sample_stratified
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+                "lang": pa.array(["x"] * 1000),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        assert sample_stratified(ds, "lang", {"y": 10000}, id_col="doc_id").count() == 0
+        assert (
+            sample_stratified(
+                ds, "lang", {"y": 10000}, id_col="doc_id", default_bp=10000
+            ).count()
+            == 1000
+        )
