@@ -2002,6 +2002,40 @@ def _sql_token_counts() -> str:
     )
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (``textstages.bpe_token_counts``): the
+    granularity LLM token budgets are quoted in — contractions, word
+    pieces, digit runs, punctuation runs — via ONE vectorized polars
+    ``count_matches`` per batch with a deliberately engine-portable
+    (lookahead-free) pattern; the SQL twin runs the IDENTICAL regex
+    through DuckDB's ``regexp_extract_all``, so the two engines' regex
+    semantics are part of the pinned contract.
+
+    Output: (lang, sum_bpe_tokens, n)."""
+    from gis_scripts_ray.stages.textstages import bpe_token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        b = bpe_token_counts(batch, "text")
+        return pa.table({"lang": b["lang"], "bpe_tokens": b["bpe_tokens"]})
+
+    return cell_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"), ["lang"], ["bpe_tokens"]
+    )
+
+
+def _sql_bpe_token_counts() -> str:
+    from gis_scripts_ray.stages.textstages import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return (
+        f"SELECT lang, CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) "
+        "AS sum_bpe_tokens, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY lang"
+    )
+
+
 def q_embedding_topk(sf_dir: str):
     """Brute-force cosine top-k against a broadcast query vector."""
     from gis_scripts_ray.stages.similarity import cosine_topk, query_vector
@@ -3693,6 +3727,7 @@ QUERIES: dict[str, Callable] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
     "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
     "embedding_topk": q_embedding_topk,
     "sessionize": q_sessionize,
     "sliding_value_sum": q_sliding_value_sum,
@@ -3773,6 +3808,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": _sql_ngram_jaccard(),
     "embedding_neardup": _sql_embedding_neardup(),
     "token_counts": _sql_token_counts(),
+    "bpe_token_counts": _sql_bpe_token_counts(),
     "embedding_topk": _sql_embedding_topk(),
     "sessionize": _sql_sessionize(),
     "sliding_value_sum": _sql_sliding_value_sum(),

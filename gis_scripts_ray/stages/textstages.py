@@ -405,3 +405,29 @@ def json_int_field(
     ok = ex.str.contains(r"^-?\d+$")
     vals = ex.set(~ok.fill_null(False), None).cast(pl.Int64, strict=False)
     return batch.append_column(out_col, pa.array(vals.to_list(), pa.int64()))
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2 style, lookahead-free so the SAME
+# pattern runs identically in polars (Rust regex) and DuckDB (RE2) — the
+# original GPT-2 pattern's trailing negative lookahead is unsupported in
+# both, and dropping it only changes how runs of trailing whitespace
+# group, which the cross-engine parity test pins anyway).
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_counts(batch: pa.Table, text_col: str, out_col: str = "bpe_tokens") -> pa.Table:
+    """Per-doc BPE-ish token counts: ONE vectorized polars
+    ``count_matches`` pass over the batch with :data:`BPE_PATTERN` — the
+    pre-tokenization granularity LLM training budgets are quoted in
+    (word-ish pieces + contractions + digit runs + punctuation runs),
+    deliberately engine-portable so the DuckDB twin runs the IDENTICAL
+    pattern (cross-engine parity pinned in tests)."""
+    import polars as pl
+
+    s = pl.from_arrow(batch[text_col])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    counts = s.fill_null("").str.count_matches(BPE_PATTERN)
+    return batch.append_column(
+        out_col, pa.array(counts.to_numpy().astype(np.int64), pa.int64())
+    )

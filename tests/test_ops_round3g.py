@@ -223,3 +223,50 @@ class TestStratifiedSample:
             ).count()
             == 1000
         )
+
+
+class TestBpeTokenCounts:
+    HOSTILE = [
+        "Hello world, it's 2026! café 北京 foo_bar  double  space",
+        "", "   ", "a'd b's c'll d've e're f'm g't",
+        "e=mc2; §ümlaut-test", "tab\tand\nnewline", "1234 56.78 9,10",
+        "!!!???...", "ALLCAPS lowercase MiXeD", "trailing spaces   ",
+        None,
+    ]
+
+    def test_cross_engine_regex_parity(self):
+        import duckdb
+
+        from gis_scripts_ray.stages.textstages import BPE_PATTERN, bpe_token_counts
+
+        t = pa.table({"text": pa.array(self.HOSTILE, pa.string())})
+        got = bpe_token_counts(t, "text")["bpe_tokens"].to_pylist()
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        con.register("t", t)
+        want = con.execute(
+            "SELECT len(regexp_extract_all(COALESCE(text, ''), ?)) FROM t",
+            [BPE_PATTERN],
+        ).df().iloc[:, 0].astype(int).tolist()
+        assert got == want
+
+    def test_random_ascii_fuzz_parity(self):
+        import duckdb
+
+        from gis_scripts_ray.stages.textstages import BPE_PATTERN, bpe_token_counts
+
+        rng = np.random.default_rng(44)
+        alphabet = list("abz AB09.,'!-_\t\n")
+        texts = [
+            "".join(rng.choice(alphabet, rng.integers(0, 80)))
+            for _ in range(300)
+        ]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        got = bpe_token_counts(t, "text")["bpe_tokens"].to_pylist()
+        con = duckdb.connect()
+        con.execute("SET threads=1")
+        con.register("t", t)
+        want = con.execute(
+            "SELECT len(regexp_extract_all(text, ?)) FROM t", [BPE_PATTERN]
+        ).df().iloc[:, 0].astype(int).tolist()
+        assert got == want
