@@ -807,12 +807,15 @@ _ASOF_BASE_US = 1_704_067_200_000_000
 def q_events_asof_orders(sf_dir: str):
     """Distributed backward AS-OF join (``stages/asof.py``): each event is
     matched to the latest order at-or-before its timestamp within its key
-    group. Order dates (1995-2001) are deterministically remapped into
-    the 30-day event window, with the orderkey folded into the
-    microseconds so (key, ts) is unique on the right side (the operator's
-    tie contract); key = o_custkey % 150 aligns the custkey domain with
-    events.user_id. Engine: range-bucketed shuffle + per-key carry seeds
-    + per-bucket sorted merge — oracle: DuckDB ``ASOF JOIN``, row-exact.
+    group. Each order is deterministically remapped into the 30-day event
+    window at ``(o_orderkey * 1000003) % window_us`` — the multiplier is
+    coprime to the window size, so ts2 is INJECTIVE in orderkey for any
+    orderkey < 2.592e12 and (key, ts2) uniqueness (the operator's tie
+    contract) holds at every scale factor (a ``% 1e6`` fold collided past
+    1e6 orderkeys — round-3 advice); key = o_custkey % 150 aligns the
+    custkey domain with events.user_id. Engine: range-bucketed shuffle +
+    per-key carry seeds + per-bucket sorted merge — oracle: DuckDB
+    ``ASOF JOIN``, row-exact.
 
     Output: (event_id, o_orderkey) for every matched event."""
     from gis_scripts_ray.stages.asof import asof_join_backward, timestamp_to_us
@@ -822,7 +825,7 @@ def q_events_asof_orders(sf_dir: str):
     )
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        columns=["o_orderkey", "o_custkey"],
     )
 
     def prep_e(batch: pa.Table) -> pa.Table:
@@ -836,12 +839,7 @@ def q_events_asof_orders(sf_dir: str):
 
     def prep_o(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"].to_numpy()
-        od_us = np.asarray(timestamp_to_us(batch["o_orderdate"]))
-        ts2 = (
-            _ASOF_BASE_US
-            + ((od_us // 1_000_000) % 2_592_000) * 1_000_000
-            + ok % 1_000_000
-        )
+        ts2 = _ASOF_BASE_US + (ok * 1_000_003) % 2_592_000_000_000
         return pa.table(
             {
                 "o_orderkey": batch["o_orderkey"],
@@ -1856,8 +1854,7 @@ def _sql_events_asof_orders() -> str:
     return (
         "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
         "TIMESTAMP '2024-01-01 00:00:00' + to_microseconds("
-        "((epoch_us(o_orderdate) // 1000000) % 2592000) * 1000000 "
-        "+ o_orderkey % 1000000) AS ts2 FROM orders) "
+        "(o_orderkey * 1000003) % 2592000000000) AS ts2 FROM orders) "
         "SELECT e.event_id, o2.o_orderkey FROM events e "
         "ASOF JOIN o2 ON e.user_id = o2.key AND e.ts >= o2.ts2 "
         "ORDER BY e.event_id"

@@ -424,13 +424,19 @@ class MinHasher:
         r = self.rows_per_band
         out_id = np.repeat(ids, self.bands)
         combos = np.empty((n, self.bands), dtype=np.uint64)
-        mult = np.uint64(0x9E3779B97F4A7C15)
+        # Python-int modular offsets, like minhash_band_counts — a scalar
+        # np.uint64 multiply wraps too but raises RuntimeWarning per call
+        # in every worker (round-3 advice)
+        offsets = [
+            np.uint64((b * 0x9E3779B97F4A7C15) % (1 << 64))
+            for b in range(self.bands)
+        ]
         for b in range(self.bands):
             blk = sigs[:, b * r : (b + 1) * r]
             acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
             for j in range(r):
                 acc = (acc ^ blk[:, j]) * np.uint64(0x100000001B3)
-            combos[:, b] = np.uint64(b) * mult + acc
+            combos[:, b] = offsets[b] + acc
         return pa.table(
             {
                 self.id_col: pa.array(out_id, pa.int64()),

@@ -88,13 +88,17 @@ _DRIVER_INDEX_CACHE_MAX = 8
 
 
 def _polygon_index_ref(polygons: pa.Table):
-    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
-    key = (id(polygons), job)
-    hit = _DRIVER_INDEX_CACHE.get(key)
-    if hit is not None:
-        _DRIVER_INDEX_CACHE.move_to_end(key)
-        return hit[1]
+    if ray.is_initialized():
+        key = (id(polygons), ray.get_runtime_context().get_job_id())
+        hit = _DRIVER_INDEX_CACHE.get(key)
+        if hit is not None:
+            _DRIVER_INDEX_CACHE.move_to_end(key)
+            return hit[1]
     ref = ray.put(PolygonIndex(polygons))
+    # resolve the job id AFTER ray.put (which auto-inits Ray), so two
+    # pre-init calls in successive Ray sessions of one process can never
+    # share a (id, None) key and hand out a dead ObjectRef (r3 advice)
+    key = (id(polygons), ray.get_runtime_context().get_job_id())
     _DRIVER_INDEX_CACHE[key] = (polygons, ref)
     while len(_DRIVER_INDEX_CACHE) > _DRIVER_INDEX_CACHE_MAX:
         _DRIVER_INDEX_CACHE.popitem(last=False)

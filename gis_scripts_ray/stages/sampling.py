@@ -105,7 +105,11 @@ def sample_stratified(
         thresh = np.full(len(ids), np.uint64(default_bp), dtype=np.uint64)
         g = batch[group_col]
         for lab, bp in zip(labels, bps):
-            thresh[pc.equal(g, lab).to_numpy(zero_copy_only=False)] = bp
+            # fill_null(False): a null group label gets default_bp instead
+            # of surfacing a None mask element into the fancy assignment
+            # (r3 advice — non-null labels were implied, now guarded)
+            mask = pc.fill_null(pc.equal(g, lab), False)
+            thresh[mask.to_numpy(zero_copy_only=False)] = bp
         return batch.filter(pa.array(r < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")

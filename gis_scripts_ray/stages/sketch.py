@@ -367,13 +367,18 @@ def exact_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text") -> int:
     BEFORE the shuffle, so the all-to-all carries each block's vocabulary
     once, not every occurrence), then the adaptive combine + a count.
     Tokenization matches :func:`_hash_tokens` / DuckDB
-    ``string_split(text, ' ')`` exactly (empties kept)."""
+    ``string_split(text, ' ')`` exactly (empties kept; null text is
+    normalized to '' FIRST, yielding the one empty token — the same
+    null contract as ``_hash_tokens``'s ``fill_null('')``, so the exact
+    count and the HLL sketch tokenize identically)."""
     import pyarrow.compute as pc
 
     from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.split_pattern(batch[text_col], " "))
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+        )
         t = pa.table({"token": toks})
         out = t.group_by(["token"]).aggregate([([], "count_all")])
         return pa.table(
