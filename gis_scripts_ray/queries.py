@@ -3244,12 +3244,14 @@ def q_multimodal_decode(sf_dir: str):
 
 
 def q_multimodal_thumbnails(sf_dir: str):
-    """REAL image decode end-to-end: deterministic 8x8 RGB BMPs (pixel
-    byte p of doc d = (d*7 + p) % 256) are encoded, shipped through the
-    binary column, decoded by the pure-numpy BMP reader in the decode
-    stage, and checksummed — the SQL twin recomputes the per-doc pixel
-    sum in closed form, so any encode/decode bug breaks the hash."""
-    from gis_scripts_ray.stages.multimodal import decode_media, encode_bmp
+    """REAL image decode end-to-end: deterministic 8x8 RGB images (pixel
+    byte p of doc d = (d*7 + p) % 256) are encoded — EVEN doc_ids as
+    uncompressed BMP, ODD doc_ids as zlib-compressed PNG with the row
+    filters cycling 0-4 — shipped through the binary column, decoded by
+    the pure-numpy BMP/PNG readers in the decode stage, and checksummed.
+    The SQL twin recomputes the per-doc pixel sum in closed form, so any
+    encode/decode/unfilter bug in EITHER codec breaks the hash."""
+    from gis_scripts_ray.stages.multimodal import decode_media, encode_bmp, encode_png
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
@@ -3257,7 +3259,9 @@ def q_multimodal_thumbnails(sf_dir: str):
         ids = batch["doc_id"].to_numpy()
         p = np.arange(192, dtype=np.int64)
         blobs = [
-            encode_bmp((((int(d) * 7 + p) % 256).astype(np.uint8)).reshape(8, 8, 3))
+            (encode_bmp if int(d) % 2 == 0 else encode_png)(
+                (((int(d) * 7 + p) % 256).astype(np.uint8)).reshape(8, 8, 3)
+            )
             for d in ids
         ]
         return pa.table(

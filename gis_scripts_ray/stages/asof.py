@@ -16,12 +16,12 @@ Partitioning scheme (the documented assumption of this operator):
   right row that can cross a bucket boundary forward is, per key, the
   LATEST one at or before that boundary — so the carry state is the
   per-(bucket, key) latest-row table: reduced per block (vectorized
-  lexsort take-last), folded at the driver, forward-filled per key, and
-  re-emitted as seed rows into each later bucket. The operator assumes
-  #distinct-keys x n_buckets is driver-sized (thousands of
-  instruments/sensors x tens-hundreds of time ranges — the standard
-  as-of regime). Bucket contents stream; only the carry table
-  materializes.
+  lexsort take-last), then finished DISTRIBUTED (round-3 verdict task
+  #5): keys hash into groups, one ``groupby(key-hash).map_groups``
+  take-lasts per (key, bucket) and forward-fill-expands each key's
+  carry rows into seed rows for later buckets — all vectorized (sort +
+  ``np.repeat`` range expansion), O(groups) Python, no keys x buckets
+  table ever at the driver. Bucket contents stream throughout.
 * Each bucket group runs a local sorted backward merge
   (``pandas.merge_asof``) over its left rows + in-bucket right rows +
   seeds — exact, because every potential predecessor of a left row is

@@ -5,11 +5,12 @@ metadata, processed by actor-pool ``map_batches`` stages — the DCNN
 sliding-window classifier pattern (``seagrass_lib.py:696-761``: model
 loaded once, 256-px blocks, ``batch_size=256``) grafted onto web payloads.
 
-The decode libraries (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode kernel is STUBBED: ``DecodeStage`` does real Ray-side plumbing
-(schema, batching, actor state, output layout) with a deterministic fake
-decoder; swap ``_decode_payload`` for a real one in production. Payload
-sniffing (magic bytes) and byte-level features are real.
+Decoders: REAL pure-numpy/stdlib codecs for BMP, PPM and PNG (zlib
+inflate + vectorized unfiltering — entropy-coded, the web's dominant
+lossless format); only JPEG/GIF/video codecs remain an explicit
+``NotImplementedError`` boundary (they need external entropy decoders
+not present in this container; production swaps ``_decode_thumb_and_sum``).
+Payload sniffing (magic bytes) and byte-level features are real.
 """
 
 from __future__ import annotations
@@ -152,6 +153,235 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL pure-stdlib PNG codec (round-3 verdict task #4): zlib inflate +
+# numpy unfiltering — converts the largest documented decode stub into a
+# real decoder with zero new dependencies. The reference's raster domain
+# is real imagery (seagrass_lib.py:244-314 reads GeoTIFFs via GDAL); PNG
+# is the library-free web analog, and unlike BMP/PPM it is entropy-coded,
+# so this closes the "no real compressed-image decode" gap. JPEG remains
+# the one genuinely-external-codec boundary.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(
+    img: np.ndarray,
+    filters: "list[int] | int | None" = None,
+    palette: "np.ndarray | None" = None,
+) -> bytes:
+    """Minimal PNG writer (bit depth 8, non-interlaced) — fixture
+    generator + round-trip test partner for :func:`decode_png`.
+
+    ``img`` shape picks the color type: (h, w) -> grayscale (type 0), or
+    palette indices (type 3) when ``palette`` (n, 3 uint8) is given;
+    (h, w, 3) -> RGB (type 2); (h, w, 4) -> RGBA (type 6). ``filters``
+    selects the per-row filter (one id, a per-row list, or the default
+    0-4 cycle so every unfilter path is exercised by round-trip tests).
+    """
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, chans = (3, 1) if palette is not None else (0, 1)
+        pix = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, chans = 2, 3
+        pix = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, chans = 6, 4
+        pix = img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = pix.shape[:2]
+    if filters is None:
+        row_filters = [i % 5 for i in range(h)]
+    elif isinstance(filters, int):
+        row_filters = [filters] * h
+    else:
+        row_filters = list(filters)
+        assert len(row_filters) == h
+
+    flat = pix.reshape(h, w * chans).astype(np.int16)
+    prev = np.zeros(w * chans, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        row = flat[y]
+        left = np.zeros_like(row)
+        left[chans:] = row[:-chans]
+        up_left = np.zeros_like(row)
+        up_left[chans:] = prev[:-chans]
+        f = row_filters[y]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        elif f == 4:
+            filt = row - _paeth(left, prev, up_left)
+        else:
+            raise ValueError(f"bad filter id {f}")
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    chunks = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        chunks.append(
+            _png_chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        )
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(bytes(out), 6)))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return b"".join(chunks)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (RFC 2083 §6.6) over int16 lanes."""
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB, pure stdlib-zlib + numpy.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha is dropped; gray is
+    replicated to RGB. Chunk CRCs are verified. Raises ``ValueError`` on
+    anything else (bad magic/CRC, truncation, interlace, 16-bit) —
+    quarantine-able, never silent.
+
+    Unfiltering: Up is row-vectorized; Sub is a per-byte-lane cumsum
+    (recon[x] = raw[x] + recon[x-bpp] mod 256 telescopes to a running
+    sum); Average/Paeth carry an intra-row pixel dependency, so those
+    rows walk pixels with lane-vectorized numpy ops — O(w) Python per
+    such row, inherent to the filter's data dependency.
+    """
+    import zlib
+
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : end]
+        crc = int.from_bytes(payload[end : end + 4], "big")
+        if (zlib.crc32(typ + data) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos = end + 4
+    if ihdr is None or len(ihdr) != 13 or not seen_iend or not idat:
+        raise ValueError("malformed PNG chunk structure")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, comp, filt_method, interlace = ihdr[8:13]
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    chans = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if chans is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * chans
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    row_filters = data[:, 0]
+    rows = data[:, 1:].astype(np.int64)
+    recon = np.empty((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(row_filters[y])
+        row = rows[y]
+        if f == 0:
+            r = row
+        elif f == 1:  # Sub: telescoping per-lane running sum
+            r = row.reshape(w, chans).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            r = (row + prev) % 256
+        elif f == 3:  # Average: intra-row pixel dependency
+            r = np.empty(stride, dtype=np.int64)
+            left = np.zeros(chans, dtype=np.int64)
+            for x in range(w):
+                s = slice(x * chans, (x + 1) * chans)
+                left = (row[s] + (left + prev[s]) // 2) % 256
+                r[s] = left
+        elif f == 4:  # Paeth: intra-row pixel dependency
+            r = np.empty(stride, dtype=np.int64)
+            left = np.zeros(chans, dtype=np.int64)
+            ul = np.zeros(chans, dtype=np.int64)
+            for x in range(w):
+                s = slice(x * chans, (x + 1) * chans)
+                left = (row[s] + _paeth(left, prev[s], ul)) % 256
+                r[s] = left
+                ul = prev[s]
+        else:
+            raise ValueError(f"bad PNG row filter {f}")
+        recon[y] = r
+        prev = r
+    px = recon.astype(np.uint8).reshape(h, w, chans)
+    if color_type == 2:
+        return np.ascontiguousarray(px)
+    if color_type == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if color_type in (0, 4):
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    # color_type 3: palette lookup
+    if plte is None or len(plte) % 3 != 0:
+        raise ValueError("palette PNG missing/malformed PLTE")
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("PNG palette index out of range")
+    return np.ascontiguousarray(pal[idx])
+
+
 def _subsample_gray(rgb: np.ndarray, target_size: tuple[int, int]) -> np.ndarray:
     """Deterministic nearest-pixel resize of the integer-mean grayscale."""
     h, w = target_size
@@ -170,18 +400,19 @@ def _decode_thumb_and_sum(
 ) -> tuple[np.ndarray, int]:
     """Decode ONCE to ((h, w) grayscale thumbnail, pixel-byte checksum).
 
-    REAL decode for bmp/ppm (pure numpy, see above); the checksum is the
-    int64 sum of the decoded RGB bytes (-1 when no real decoder ran).
-    png/jpeg/gif/riff/pdf raise ``NotImplementedError`` — those formats
-    need entropy decoders not available in this environment; production
-    swaps this function. html/unknown payloads produce a deterministic
-    byte-derived 'thumbnail' so plumbing is exercised with real shapes.
+    REAL decode for bmp/ppm/png (pure numpy + stdlib zlib, see above);
+    the checksum is the int64 sum of the decoded RGB bytes (-1 when no
+    real decoder ran). jpeg/gif/riff/pdf raise ``NotImplementedError`` —
+    those formats need entropy decoders not available in this
+    environment; production swaps this function. html/unknown payloads
+    produce a deterministic byte-derived 'thumbnail' so plumbing is
+    exercised with real shapes.
     """
     kind = sniff_type(payload)
-    if kind in ("bmp", "ppm"):
-        rgb = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
+    if kind in ("bmp", "ppm", "png"):
+        rgb = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[kind](payload)
         return _subsample_gray(rgb, target_size), int(rgb.sum(dtype=np.int64))
-    if kind in ("png", "jpeg", "gif", "riff", "pdf"):
+    if kind in ("jpeg", "gif", "riff", "pdf"):
         raise NotImplementedError(
             f"real {kind} decode requires an image library not present in "
             "this environment — production swaps _decode_thumb_and_sum"
@@ -220,7 +451,7 @@ class DecodeStage:
                 thumb, psum = _decode_thumb_and_sum(p or b"", self.target_size)
                 thumbs[i] = thumb.ravel()
                 sums[i] = psum
-                ok[i] = kinds[i] in ("bmp", "ppm", "html", "unknown", "empty")
+                ok[i] = kinds[i] in ("bmp", "ppm", "png", "html", "unknown", "empty")
             except NotImplementedError:
                 pass  # entropy-coded media: stub leaves zeros until prod swap
             except ValueError:

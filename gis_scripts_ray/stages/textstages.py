@@ -300,7 +300,10 @@ def token_df_counts(
 
 
 def tfidf_integer_scores(
-    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Per-document relevance mass with INTEGER-EXACT idf weights:
     ``score(d) = sum_t tf(t, d) * (N // df(t))`` — the TF-IDF shape
@@ -309,17 +312,90 @@ def tfidf_integer_scores(
     and bit-exact (a float idf would make the score hash depend on FP
     addition order — the divergence class the oracle rules forbid).
 
-    Two streaming passes: (1) df table via :func:`token_df_counts`
-    (vocabulary assumed driver-sized — stopword/controlled vocab; at
-    open-web scale route the weights through a token hash-join instead);
-    (2) a broadcast weight map applied per batch (polars explode + join +
-    group-sum). N is the corpus document count."""
+    Adaptive weight delivery (round-3 verdict task #3 — the scale path
+    the round-2 docstring only promised): the df table's MEASURED row
+    count picks the plan.
+
+    * vocab <= ``broadcast_limit`` rows (stopword/controlled vocab, most
+      corpora after normalization): broadcast weight map applied per
+      batch (polars explode + join + group-sum) — one ``ray.put``, no
+      extra shuffle. Output preserves input row order.
+    * bigger (open-web vocabularies are billions of distinct tokens):
+      TOKEN HASH-JOIN — per-batch (doc, token, tf) partials join the
+      distributed weight table on ``token`` and per-doc scores finish
+      through the adaptive combine. No vocabulary row ever lands on the
+      driver. Output order is unspecified (both paths' rows are
+      identical; forced-low-limit equivalence test pins it).
+
+    N is the corpus document count."""
     import ray
 
     import polars as pl
 
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
     n_docs = ds.count()
-    df_pd = token_df_counts(ds, text_col).to_pandas()
+    df_ds = token_df_counts(ds, text_col).materialize()
+    n_vocab = df_ds.count()
+
+    if n_vocab > broadcast_limit:
+        # ---- token hash-join path ------------------------------------
+        import pyarrow.compute as pc
+
+        from gis_scripts_ray.stages.joins import hash_join
+
+        def to_weights(batch: pa.Table) -> pa.Table:
+            w = pc.divide(pa.scalar(n_docs, pa.int64()), batch["df"])
+            return pa.table({"token": batch["token"], "w": pc.cast(w, pa.int64())})
+
+        # repartition-compact: the adaptive combine can emit empty
+        # shuffle-partition blocks, which Ray 2.49's native join rejects
+        # on the right side (CLAUDE.md)
+        weights = df_ds.map_batches(to_weights, batch_format="pyarrow").repartition(
+            max(1, min(64, n_vocab // 2_000_000 + 1))
+        )
+
+        def explode_tf(batch: pa.Table) -> pa.Table:
+            s = pl.from_arrow(batch[text_col])
+            if isinstance(s, pl.DataFrame):
+                s = s.to_series()
+            ids = pl.from_arrow(batch[id_col])
+            if isinstance(ids, pl.DataFrame):
+                ids = ids.to_series()
+            d = (
+                pl.DataFrame({"__doc": ids, "text": s})
+                .with_columns(pl.col("text").fill_null("").str.split(" ").alias("tok"))
+                .drop("text")
+                .explode("tok")
+                .group_by(["__doc", "tok"])
+                .len(name="tf")
+            )
+            return pa.table(
+                {
+                    id_col: pa.array(d["__doc"].to_numpy(), pa.int64()),
+                    "token": pa.array(d["tok"].to_list(), pa.string()),
+                    "tf": pa.array(d["tf"].to_numpy().astype(np.int64), pa.int64()),
+                }
+            )
+
+        joined = hash_join(
+            ds.map_batches(explode_tf, batch_format="pyarrow"), weights, on="token"
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            part = pc.multiply(batch["tf"], batch["w"])
+            t = pa.table({id_col: batch[id_col], "score": part})
+            out = t.group_by([id_col]).aggregate([("score", "sum")])
+            return out.rename_columns(
+                ["score" if c == "score_sum" else c for c in out.column_names]
+            )
+
+        return coalesce_shuffle_sum(
+            joined.map_batches(contrib, batch_format="pyarrow"), [id_col], ["score"]
+        )
+
+    # ---- broadcast path (vocab measured driver-sized) -------------------
+    df_pd = df_ds.to_pandas()
     wmap = pl.DataFrame(
         {
             "tok": df_pd["token"].astype(str),

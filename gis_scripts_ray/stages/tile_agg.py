@@ -133,6 +133,7 @@ def coalesce_shuffle_agg(
     ops: dict[str, str],
     group_factor: int = 8,
     small_limit: int = 8_000_000,
+    tiny_limit: int = 512_000,
 ) -> ray.data.Dataset:
     """Combine per-block partial aggregates (``ops``: col -> sum|min|max)
     over an arbitrarily large key space, memory-bounded at every step.
@@ -173,11 +174,13 @@ def coalesce_shuffle_agg(
     # materialized first for the same reason as tree_aggregate: in-stream
     # repartition is a pathological barrier at low parallelism
     partials = partials.materialize()
-    if partials.count() <= 512_000:
+    if partials.count() <= tiny_limit:
         # tiny jobs: single coalesce+combine, no intermediate level (each
         # execution round costs fixed driver/scheduler time that dominates
         # small aggregations; 512k rows group_by in one task is ~100 ms,
-        # far below one round's overhead)
+        # far below one round's overhead). ``tiny_limit`` is overridable
+        # so forced-low-guard tests can drive the hash-shuffle path on
+        # small fixtures.
         return partials.repartition(1).map_batches(
             combine, batch_format="pyarrow", batch_size=None
         )
@@ -201,10 +204,16 @@ def coalesce_shuffle_sum(
     sum_cols: list[str],
     group_factor: int = 8,
     small_limit: int = 8_000_000,
+    tiny_limit: int = 512_000,
 ) -> ray.data.Dataset:
     """All-sum convenience wrapper over :func:`coalesce_shuffle_agg`."""
     return coalesce_shuffle_agg(
-        partials, key_cols, {c: "sum" for c in sum_cols}, group_factor, small_limit
+        partials,
+        key_cols,
+        {c: "sum" for c in sum_cols},
+        group_factor,
+        small_limit,
+        tiny_limit,
     )
 
 
