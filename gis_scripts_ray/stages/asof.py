@@ -84,6 +84,7 @@ def asof_join_backward(
     right_by: str,
     carry_cols: list[str],
     n_buckets: int = 64,
+    n_key_groups: int = 64,
 ) -> ray.data.Dataset:
     """Backward as-of inner join; see module docstring for the scheme.
 
@@ -122,31 +123,53 @@ def asof_join_backward(
             "__bucket", pa.array(bk[sel], pa.int64())
         )
 
-    latest = (
-        right.map_batches(latest_partial, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values([right_by, "__bucket", right_ts], kind="mergesort")
-        .drop_duplicates([right_by, "__bucket"], keep="last")
-    )
+    # DISTRIBUTED carry finish + forward-fill (round-3 verdict task #5):
+    # keys hash into groups; each group take-lasts per (key, bucket) and
+    # expands every carry row into seed rows for the buckets it answers —
+    # the seed for bucket t is the key's latest right row in any bucket
+    # < t, i.e. occupied bucket b_i seeds t in [b_i+1, next occupied
+    # bucket] (or [b_i+1, n_buckets-1] for the key's last carry row).
+    # Fully vectorized: one mergesort + np.repeat range expansion, O(key
+    # groups) Python — no keys x buckets table at the driver.
+    def add_kb(batch: pa.Table) -> pa.Table:
+        col = batch[right_by]
+        if pa.types.is_integer(col.type):
+            kb = (
+                col.to_numpy().astype(np.int64, copy=False) * np.int64(2654435761)
+            ) % n_key_groups
+        else:
+            import polars as pl
 
-    # forward-fill per key: the seed for bucket b is the latest right row
-    # in any bucket < b (buckets ascend in time, so the row from the
-    # greatest earlier bucket IS the latest-so-far)
-    seed_rows: list[dict] = []
-    for _, g in latest.groupby(right_by, sort=False):
-        by_bucket = {r["__bucket"]: r for r in g.to_dict("records")}
-        carried = None
-        for b in range(-1, n_buckets - 1):
-            if b in by_bucket:
-                carried = by_bucket[b]
-            if carried is not None:
-                seed = dict(carried)
-                seed["__bucket"] = b + 1
-                seed_rows.append(seed)
-    seeds = (
-        pd.DataFrame(seed_rows)
-        if seed_rows
-        else pd.DataFrame({c: [] for c in r_cols + ["__bucket"]})
+            s = pl.from_arrow(col)
+            if isinstance(s, pl.DataFrame):
+                s = s.to_series()
+            kb = (s.hash(seed=3).to_numpy() % n_key_groups).astype(np.int64)
+        return batch.append_column("_kb", pa.array(np.abs(kb), pa.int64()))
+
+    def ffill_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [right_by, "__bucket", right_ts], kind="mergesort"
+        ).drop_duplicates([right_by, "__bucket"], keep="last")
+        key = g[right_by].to_numpy()
+        bk = g["__bucket"].to_numpy()
+        n = len(g)
+        hi = np.empty(n, dtype=np.int64)
+        if n:
+            hi[:-1] = np.where(key[1:] == key[:-1], bk[1:], n_buckets - 1)
+            hi[-1] = n_buckets - 1
+        counts = np.maximum(hi - bk, 0)
+        idx = np.repeat(np.arange(n), counts)
+        csum = np.concatenate([[0], np.cumsum(counts)])
+        offs = np.arange(csum[-1]) - np.repeat(csum[:-1], counts) + 1
+        out = g.iloc[idx][r_cols].copy()
+        out["__bucket"] = bk[idx] + offs
+        return out
+
+    seeds_ds = (
+        right.map_batches(latest_partial, batch_format="pyarrow")
+        .map_batches(add_kb, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(ffill_group, batch_format="pandas")
     )
 
     # ---- shuffle both sides into bucket groups --------------------------
@@ -178,19 +201,28 @@ def asof_join_backward(
     rt = right.map_batches(tag_right, batch_format="pyarrow").select_columns(col_order)
 
     r_type_map = dict(zip(r_cols, r_types))
-    seeds = seeds.assign(__side="r")
-    seed_tbl = pa.table(
-        {
-            c: pa.array(
-                seeds[c] if c in seeds.columns else [None] * len(seeds),
-                pa.int64()
-                if c == "__bucket"
-                else r_type_map.get(c) or l_types.get(c) or pa.string(),
-            )
-            for c in col_order
-        }
-    )
-    both = lt.union(rt).union(ray.data.from_arrow(seed_tbl))
+
+    def tag_seeds(batch: pa.Table) -> pa.Table:
+        """Align seed rows to the union schema with EXACT types (the
+        pandas round-trip in ``ffill_group`` loses arrow types — casts
+        restore them; absent left columns pad with typed nulls)."""
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        cols = {}
+        for c in col_order:
+            if c == "__bucket":
+                cols[c] = pc.cast(batch["__bucket"], pa.int64())
+            elif c == "__side":
+                cols[c] = pa.array(np.full(n, "r"), pa.string())
+            elif c in r_type_map:
+                cols[c] = pc.cast(batch[c], r_type_map[c])
+            else:
+                cols[c] = pa.nulls(n, l_types[c])
+        return pa.table(cols)
+
+    st = seeds_ds.map_batches(tag_seeds, batch_format="pyarrow")
+    both = lt.union(rt).union(st)
 
     out_cols = l_names + list(carry_cols)
 
