@@ -23,21 +23,28 @@ import ray.data
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    on: str,
-    right_on: str | None = None,
+    on: "str | tuple[str, ...]",
+    right_on: "str | tuple[str, ...] | None" = None,
     num_partitions: int = 16,
     join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Hash-partitioned equi-join (native when the Ray version ships one)."""
+    """Hash-partitioned equi-join (native when the Ray version ships one).
+    ``on`` may be a single column or a composite-key tuple."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    right_on_t = on_t if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
     if hasattr(left, "join"):
         return left.join(
             right,
             join_type=join_type,
             num_partitions=num_partitions,
-            on=(on,),
-            right_on=(right_on or on,),
+            on=on_t,
+            right_on=right_on_t,
         )
-    return bucketed_join(left, right, on, right_on, num_partitions)
+    if len(on_t) > 1:
+        raise NotImplementedError("composite-key bucketed_join fallback")
+    return bucketed_join(left, right, on_t[0], right_on_t[0], num_partitions)
 
 
 def bloom_semi_join(

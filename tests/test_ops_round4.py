@@ -81,6 +81,124 @@ class TestPairFinishEquivalence:
         assert got == want
 
 
+class TestHotKeyPresplit:
+    """Round-4 verdict task #6: hot keys route through time-range
+    presplit plans that never put a key's whole history on one task;
+    equivalence pinned against the plain bucketed plan on a fixture
+    whose hot key spans >= 3 time ranges."""
+
+    @staticmethod
+    def _events():
+        rng = np.random.default_rng(23)
+        rows = []
+        # hot key 7: 300 events across the full span (>= 3 of 8 ranges)
+        ts = np.sort(rng.choice(np.arange(1_000_000, dtype=np.int64), 300, False))
+        rows.append((np.full(300, 7, np.int64), ts))
+        # normal keys: a handful of events each, clustered
+        for k in range(3):
+            n = 5 + k
+            t = np.sort(rng.choice(np.arange(50_000, dtype=np.int64), n, False))
+            rows.append((np.full(n, 100 + k, np.int64), t + k * 400_000))
+        key = np.concatenate([r[0] for r in rows])
+        us = np.concatenate([r[1] for r in rows])
+        eid = np.arange(len(key), dtype=np.int64)
+        val = (eid * 13 % 97).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(key),
+                "us": pa.array(us),
+                "eid": pa.array(eid),
+                "v": pa.array(val),
+            }
+        )
+
+    def test_running_sum_presplit_equivalent(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.windows import (
+            grouped_running_sum,
+            grouped_running_sum_presplit,
+        )
+
+        ds = ray.data.from_arrow(self._events()).repartition(5)
+        kw = dict(key_col="k", ts_col="us", id_col="eid", value_col="v")
+        plain = (
+            grouped_running_sum(ds, **kw, hot_key_limit=None)
+            .to_pandas()
+            .sort_values(["k", "eid"])
+            .reset_index(drop=True)
+        )
+        pre = (
+            grouped_running_sum_presplit(ds, **kw, n_ranges=8)
+            .to_pandas()
+            .sort_values(["k", "eid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(pre, plain)
+        # the measured auto-dispatch takes the presplit plan when a key
+        # exceeds the limit, and must agree too
+        auto = (
+            grouped_running_sum(ds, **kw, hot_key_limit=10, n_ranges=8)
+            .to_pandas()
+            .sort_values(["k", "eid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(auto, plain)
+
+    def test_running_sum_join_delivery_equivalent(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.windows import grouped_running_sum_presplit
+
+        ds = ray.data.from_arrow(self._events()).repartition(5)
+        kw = dict(key_col="k", ts_col="us", id_col="eid", value_col="v")
+        bc = (
+            grouped_running_sum_presplit(ds, **kw, n_ranges=8)
+            .to_pandas()
+            .sort_values(["k", "eid"])
+            .reset_index(drop=True)
+        )
+        # broadcast_limit=0 forces the composite-key hash-join delivery
+        hj = (
+            grouped_running_sum_presplit(ds, **kw, n_ranges=8, broadcast_limit=0)
+            .to_pandas()
+            .sort_values(["k", "eid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(hj, bc)
+
+    def test_gap_stats_presplit_equivalent(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.windows import (
+            grouped_gap_stats,
+            grouped_gap_stats_presplit,
+        )
+
+        ds = ray.data.from_arrow(self._events()).repartition(5)
+        kw = dict(key_col="k", ts_col="us", id_col="eid")
+        plain = (
+            grouped_gap_stats(ds, **kw, hot_key_limit=None)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pre = (
+            grouped_gap_stats_presplit(ds, **kw, n_ranges=8)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(pre, plain)
+        auto = (
+            grouped_gap_stats(ds, **kw, hot_key_limit=10, n_ranges=8)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(auto, plain)
+
+
 class TestTfidfWeightDelivery:
     def test_token_hash_join_equals_broadcast(self, ray_session):
         import ray.data
