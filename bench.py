@@ -256,18 +256,24 @@ def run_bench() -> dict:
 
     from gis_scripts_ray.queries import QUERIES
 
+    # per-query best-of-3 WITH a per-query load probe (round-3 verdict
+    # task #8): the probe taken right before each query's reps makes an
+    # apparent regression adjudicable from the artifact alone — a query
+    # whose probe sat 1.5x nominal was measured on a loaded machine, not
+    # a slower engine. The first rep doubles as the query's warm-up.
     qtimes = {}
+    qdetail = {}
     for name in QUERY_SUBSET:
-        # best-of-2: the first rep doubles as the query's warm-up (machine
-        # background load drifts ~2x on a minutes scale — BASELINE.md)
+        qprobe = _load_probe(1)
         times = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             res = QUERIES[name](SF_DIR)
             if hasattr(res, "count"):
                 res.count()
-            times.append(time.time() - t0)
-        qtimes[name] = round(min(times), 3)
+            times.append(round(time.time() - t0, 3))
+        qtimes[name] = min(times)
+        qdetail[name] = {"reps": times, "probe": qprobe}
 
     ray.shutdown()
     return {
@@ -275,6 +281,7 @@ def run_bench() -> dict:
         "value": round(sec, 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_detail": qdetail,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "docs": n_docs,
