@@ -1,54 +1,34 @@
-"""Scratch: decompose the scaling job's dedup stage at one CPU level."""
-import json
-import os
-import sys
-import time
-
+"""A/B the old k-perm vs new OPH minhash kernel in ONE Ray session."""
+import os, sys, time
 os.environ.setdefault("POLARS_MAX_THREADS", "1")
 NCPU = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-
 import ray
-
 ray.init(address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
-
 ctx = DataContext.get_current()
 ctx.enable_progress_bars = False
 ctx.decoding_size_estimation = False
-
 os.environ["GRAFT_BENCH_REPLICATE"] = os.environ.get("GRAFT_BENCH_REPLICATE", "1600")
 import bench
-
 input_dir, n_docs = bench.prepare_input()
-print("docs:", n_docs, "cpus:", NCPU)
+print("docs:", n_docs, "cpus:", NCPU, "probe:", bench._load_probe(), flush=True)
 
-import pyarrow.compute as pc
 import ray.data
-from gis_scripts_ray.stages.dedup import minhash_band_counts
-from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+from _oldmod.old_dedup import minhash_band_counts as old_kernel
+from gis_scripts_ray.stages.dedup import minhash_band_counts as new_kernel
 
-# warm-up (full)
-bench.dedup_stage(input_dir)
-
-for rep in range(3):
-    t0 = time.time()
+def run(kernel):
     ds = ray.data.read_parquet(input_dir, columns=["text"], override_num_blocks=64)
-    partials = ds.map_batches(
-        minhash_band_counts, fn_kwargs={"text_col": "text"}, batch_format="pyarrow"
-    )
-    t_mid0 = time.time()
-    clusters = coalesce_shuffle_sum(partials, ["combo"], ["n"])
-    t_mid = time.time()
-    filt = clusters.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
-    )
-    n_multi = filt.count()
-    t1 = time.time()
-    print(
-        f"rep{rep}: total={t1-t0:.2f} plan+combine_build={t_mid-t0:.2f} "
-        f"final_count={t1-t_mid:.2f} n_multi={n_multi}"
-    )
-    if rep == 2:
-        st = filt.stats()
-        print(st[-6000:])
+    t0 = time.time()
+    ds.map_batches(kernel, fn_kwargs={"text_col": "text"}, batch_format="pyarrow").count()
+    return round(time.time() - t0, 3)
+
+run(new_kernel)  # warm-up
+res = {"old": [], "new": []}
+for _ in range(4):  # ABBA-ish interleave
+    res["old"].append(run(old_kernel))
+    res["new"].append(run(new_kernel))
+print("old k-perm:", res["old"], "best", min(res["old"]))
+print("new OPH   :", res["new"], "best", min(res["new"]))
+print("probe after:", bench._load_probe())
 ray.shutdown()

@@ -379,43 +379,140 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.shingle_w = shingle_w
 
+    # densification step constant (wrapping uint64 walk, odd -> bijective)
+    _DENSE_C = np.uint64(0x9E3779B97F4A7C15)
+
     def minhash(self, text: str) -> np.ndarray:
+        """Per-row ONE-PERMUTATION-HASHING signature — the bit-exactness
+        parity oracle for :meth:`signatures` (CLAUDE.md kernel rule).
+
+        OPH (Li/Owen/Zhang, NIPS 2012) with rotation densification
+        (Shrivastava & Li, ICML 2014): ONE universal hash pass
+        ``v = a0*sh + b0`` (wrapping), the top ``log2(num_perm)`` bits of
+        ``v`` pick the signature slot, the remaining bits (truncated to
+        the slot payload width) take the slot's min, and empty slots copy
+        circularly from the next occupied slot j+c with ``+ c*C`` to stay
+        distinct. Identical shingle sets give identical signatures; slot
+        agreement estimates Jaccard unbiasedly, like ``num_perm``
+        independent permutations, at 1/num_perm of the hash work."""
         sh = _shingle_hashes(text, self.shingle_w)
-        m = self.a[:, None] * sh[None, :] + self.b[:, None]  # wrapping
-        return m.min(axis=1)
+        k = self.num_perm
+        bin_bits = int(k).bit_length() - 1
+        v = self.a[0] * sh + self.b[0]  # wrapping
+        bins = (v >> np.uint64(64 - bin_bits)).astype(np.int64)
+        payload = (v << np.uint64(bin_bits)) >> np.uint64(64 - self._payload_bits)
+        sig = np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+        occ = np.zeros(k, dtype=bool)
+        for b, p in zip(bins, payload):
+            if p < sig[b] or not occ[b]:
+                sig[b] = p
+            occ[b] = True
+        out = np.empty(k, dtype=np.uint64)
+        for j in range(k):
+            c = 0
+            while not occ[(j + c) % k]:
+                c += 1
+            # Python-int modular multiply (a scalar np.uint64 multiply
+            # wraps too but raises RuntimeWarning — round-3 advice rule)
+            step = np.uint64((c * 0x9E3779B97F4A7C15) % (1 << 64))
+            out[j] = sig[(j + c) % k] + step
+        return out
 
-    def signatures(self, texts, tile: int = 16384) -> np.ndarray:
-        """(n_docs, num_perm) minhash signatures — fully vectorized: one
-        batch-global shingle pass, then per-permutation segment-min
-        (``np.minimum.reduceat``) over cache-resident SHINGLE TILES.
+    # slot payload width: 64 - doc-index bits (chunk <= 2048 docs in the
+    # batch kernel) - bin bits; fixed so the per-row reference and the
+    # batch kernel truncate identically regardless of actual chunk size
+    _DOC_BITS = 11
 
-        Tiling keeps the ~128 KB shingle slice resident across all
-        ``num_perm`` passes instead of streaming the whole shingle array
-        from DRAM 64 times — the wrapping multiply-add is a
-        2-universal-style hash family (odd multiplier), and tile-fragment
-        minima fold exactly (min is associative)."""
+    @property
+    def _payload_bits(self) -> int:
+        return 64 - self._DOC_BITS - (int(self.num_perm).bit_length() - 1)
+
+    def signatures(self, texts, chunk_cap: int = 2048) -> np.ndarray:
+        """(n_docs, num_perm) OPH signatures (see :meth:`minhash` for the
+        scheme) — fully vectorized and ONE pass over the shingles:
+
+        * one wrapping multiply-add hashes every shingle (vs ``num_perm``
+          passes for classic k-perm minhash — the round-3 scaling
+          limiter: 64 permutation planes streaming the shingle buffer
+          through a DRAM-saturated socket at 16-way);
+        * slot minima come from ONE ``np.sort`` of a packed
+          (doc, slot, payload) key per <=2048-doc chunk — after the sort,
+          each (doc, slot) run's FIRST element is its min, so run starts
+          are the whole reduction (no ufunc.at scatter);
+        * rotation densification is three vectorized passes over the
+          (docs, 2*num_perm) position matrix (suffix-min of occupied
+          positions on the doubled columns).
+
+        num_perm must be a power of two (slot = top bits)."""
         n = len(texts)
+        k = self.num_perm
         if n == 0:
-            return np.empty((0, self.num_perm), dtype=np.uint64)
-        sh, off = _batch_shingle_hashes(texts, self.shingle_w)
-        sigsT = np.full((self.num_perm, n), np.iinfo(np.uint64).max, dtype=np.uint64)
-        for t0 in range(0, len(sh), tile):
-            t1 = min(t0 + tile, len(sh))
-            sh_t = sh[t0:t1]
-            d_lo = int(np.searchsorted(off, t0, "right")) - 1
-            d_hi = int(np.searchsorted(off, t1, "left"))
-            frag_starts = np.maximum(off[d_lo:d_hi], t0) - t0
-            for p in range(self.num_perm):
-                vals = self.a[p] * sh_t + self.b[p]
-                mins = np.minimum.reduceat(vals, frag_starts)
-                np.minimum(sigsT[p, d_lo:d_hi], mins, out=sigsT[p, d_lo:d_hi])
-        return np.ascontiguousarray(sigsT.T)
+            return np.empty((0, k), dtype=np.uint64)
+        assert k & (k - 1) == 0, "OPH signatures need power-of-two num_perm"
+        bin_bits = int(k).bit_length() - 1
+        pay_bits = self._payload_bits
+        sh_all, off = _batch_shingle_hashes(texts, self.shingle_w)
+        out = np.empty((n, k), dtype=np.uint64)
+        cols = np.arange(k, dtype=np.int16)
+        for d0 in range(0, n, chunk_cap):
+            d1 = min(d0 + chunk_cap, n)
+            nd = d1 - d0
+            s0, s1 = int(off[d0]), int(off[d1])
+            sh = sh_all[s0:s1]
+            doc_local = np.repeat(
+                np.arange(nd, dtype=np.uint64), np.diff(off[d0 : d1 + 1])
+            )
+            v = self.a[0] * sh + self.b[0]  # wrapping
+            payload = (v << np.uint64(bin_bits)) >> np.uint64(64 - pay_bits)
+            key = (
+                (doc_local << np.uint64(64 - self._DOC_BITS))
+                | ((v >> np.uint64(64 - bin_bits)) << np.uint64(pay_bits))
+                | payload
+            )
+            key.sort()
+            head = key >> np.uint64(pay_bits)  # (doc, slot) run id
+            first = np.empty(len(key), dtype=bool)
+            first[0] = True
+            np.not_equal(head[1:], head[:-1], out=first[1:])
+            firsts = key[first]
+            doc_of = (firsts >> np.uint64(64 - self._DOC_BITS)).astype(np.int64)
+            slot_of = (
+                (firsts >> np.uint64(pay_bits)) & np.uint64(k - 1)
+            ).astype(np.int64)
+            # sentinel-empty slot matrix (payloads are < 2^pay_bits, so
+            # uint64 max can never be a real min — occupancy needs no
+            # second scatter)
+            M = np.full((nd, k), np.iinfo(np.uint64).max, dtype=np.uint64)
+            M[doc_of, slot_of] = firsts & np.uint64((1 << pay_bits) - 1)
+            # next occupied slot at or after j, circular — int16 lanes
+            # (column positions <= 2k) keep the scan matrices 4x smaller
+            # than int64 at 16/32-way concurrency: suffix-min of occupied
+            # positions, then wrap unresolved tails to first_occ + k
+            pos = np.where(M != np.iinfo(np.uint64).max, cols[None, :], np.int16(2 * k))
+            nxt = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1]
+            first_occ = pos.min(axis=1)  # smallest occupied column per doc
+            np.minimum(nxt, first_occ[:, None] + np.int16(k), out=nxt)
+            dist = (nxt - cols[None, :]).astype(np.uint64)
+            flat_src = (
+                np.arange(nd, dtype=np.int64)[:, None] * k + (nxt % np.int16(k))
+            ).ravel()
+            out[d0:d1] = (
+                M.ravel()[flat_src].reshape(nd, k) + dist * self._DENSE_C
+            )
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
         texts = batch[self.text_col]
         n = len(ids)
-        sigs = self.signatures(texts)
+        # in-batch exact-text dedup: sign each DISTINCT text once and
+        # gather per row (same trick as minhash_band_counts — identical
+        # texts have identical signatures by construction)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        denc = texts.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = self.signatures(denc.dictionary)[idx]
         # band keys: FNV-combine each band's rows, then fold (band, key)
         # into ONE wrapping-uint64 combo — identical fold to
         # minhash_band_counts so the two paths bucket identically. Rows
@@ -814,12 +911,27 @@ def minhash_band_counts(
     combine hash a single int64 column (round-3 scaling-tail work; the
     dedup stage is the memory-bandwidth-bound limiter at 16-way).
     """
+    import pyarrow.compute as pc
+
     key = ("", text_col, num_perm, bands, shingle_w, seed)
     mh = _WORKER_MINHASHERS.get(key)
     if mh is None:
         mh = MinHasher("", text_col, num_perm, bands, shingle_w, seed)
         _WORKER_MINHASHERS[key] = mh
+    # in-batch exact-text dedup (round-4 scaling work): web corpora are
+    # boilerplate-heavy, and identical texts have identical signatures by
+    # construction — dictionary-encode the block (exact byte equality,
+    # one C pass) and shingle/sign each DISTINCT text once, weighting the
+    # combo counts by multiplicity. All-unique blocks pay one cheap
+    # encode pass; duplicate-heavy blocks cut the dominant shingle+hash
+    # phase by the duplication factor.
     texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    denc = texts.dictionary_encode()
+    uniq = denc.dictionary
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    mult = np.bincount(idx, minlength=len(uniq)).astype(np.int64)
     r = mh.rows_per_band
     # per-band fold offsets precomputed in Python ints (wrapping uint64
     # scalar multiply in numpy emits a RuntimeWarning)
@@ -827,8 +939,8 @@ def minhash_band_counts(
         np.uint64((b * 0x9E3779B97F4A7C15) % (1 << 64)) for b in range(bands)
     ]
     all_keys = []
-    for s in range(0, len(texts), chunk):
-        sigs = mh.signatures(texts.slice(s, chunk))
+    for s in range(0, len(uniq), chunk):
+        sigs = mh.signatures(uniq.slice(s, chunk))
         keys = np.zeros((len(sigs), bands), dtype=np.uint64)
         for b in range(bands):
             blk = sigs[:, b * r : (b + 1) * r]
@@ -837,12 +949,17 @@ def minhash_band_counts(
                 acc = (acc ^ blk[:, j]) * np.uint64(0x100000001B3)
             keys[:, b] = acc + band_off[b]
         all_keys.append(keys)
-    keys = np.concatenate(all_keys) if all_keys else np.zeros((0, bands), dtype=np.uint64)
-    t = pa.table({"combo": pa.array(keys.ravel().astype(np.int64), pa.int64())})
-    out = t.group_by(["combo"]).aggregate([([], "count_all")])
-    return out.rename_columns(
-        ["n" if c == "count_all" else c for c in out.column_names]
+    keys = (
+        np.concatenate(all_keys) if all_keys else np.zeros((0, bands), dtype=np.uint64)
     )
+    t = pa.table(
+        {
+            "combo": pa.array(keys.ravel().astype(np.int64), pa.int64()),
+            "w": pa.array(np.repeat(mult, bands), pa.int64()),
+        }
+    )
+    out = t.group_by(["combo"]).aggregate([("w", "sum")])
+    return out.rename_columns(["n" if c == "w_sum" else c for c in out.column_names])
 
 
 # ---------------------------------------------------------------------------
