@@ -3586,6 +3586,95 @@ def _sql_train_eval() -> str:
     )
 
 
+def q_train_eval_conv(sf_dir: str):
+    """T1 with the REAL conv architecture (round-4 closure of the last
+    partial): deterministic 8x8 uint8 images (bright 2x2 blob in
+    quadrant ``doc_id % 4`` over integer-hash noise — no RNG anywhere)
+    -> deterministic split -> distributed full-batch GD on the
+    pure-numpy 2-conv + GAP + softmax net (``pipelines/convnet.py``;
+    per-epoch gradient partials x blocks, flat parameter vector
+    broadcast back) -> per-class val confusion counts.
+
+    Same DERIVED-INVARIANT oracle shape as ``train_eval``: trained
+    ``n_correct`` is iterative-GD state (gradient exactness + planted-
+    pattern generalization proven in tests/test_convnet.py); the
+    per-label VAL TOTALS are the SQL-provable hash-residue split over
+    ``doc_id % 4`` labels. Output: (label, n_total, correct_in_range)."""
+    from gis_scripts_ray.pipelines.convnet import predict_convnet, train_convnet
+    from gis_scripts_ray.stages.sampling import split_train_val
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        p = np.arange(64, dtype=np.int64)
+        noise = ((ids[:, None] * 2654435761 + p[None, :] * 40503) % 97) * 51 // 97
+        imgs = noise.astype(np.uint8).reshape(n, 8, 8)
+        labels = (ids % 4).astype(np.int64)
+        r = (labels >= 2) * 4
+        c = (labels % 2) * 4
+        rows = np.arange(n)
+        for dr in (1, 2):
+            for dc in (1, 2):
+                imgs[rows, r + dr, c + dc] = 230
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "thumb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(imgs.reshape(-1), pa.uint8()), 64
+                ),
+                "label": pa.array(labels, pa.int64()),
+            }
+        )
+
+    imgs = ds.map_batches(make_images, batch_format="pyarrow")
+    train, val = split_train_val(imgs, "doc_id", val_pct=20)
+    _, flat = train_convnet(
+        train.materialize(), epochs=12, n_classes=4, seed=7
+    )
+    scored = predict_convnet(val, {"n_classes": 4, "seed": 7}, flat)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy().astype(np.int64)
+        pred = batch["pred"].to_numpy()
+        return pa.table(
+            {
+                "label": pa.array(lab, pa.int64()),
+                "correct": pa.array((lab == pred).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = cell_sum_count(
+        scored.map_batches(prep, batch_format="pyarrow"), ["label"], ["correct"]
+    )
+    df = out.to_pandas()
+    ok = (df["sum_correct"].to_numpy() >= 0) & (
+        df["sum_correct"].to_numpy() <= df["n"].to_numpy()
+    )
+    return pa.table(
+        {
+            "label": pa.array(df["label"].to_numpy(), pa.int64()),
+            "n_total": pa.array(df["n"].to_numpy(), pa.int64()),
+            "correct_in_range": pa.array(ok.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _sql_train_eval_conv() -> str:
+    """Twin of the derived invariant: per-(doc_id % 4) val-split counts
+    via the proven hash-residue predicate; a correct trainer's confusion
+    counts are always in range (flag 1)."""
+    from gis_scripts_ray.stages.sampling import split_sql_predicate
+
+    return (
+        "SELECT doc_id % 4 AS label, CAST(COUNT(*) AS BIGINT) AS n_total, "
+        "CAST(1 AS BIGINT) AS correct_in_range FROM documents "
+        f"WHERE {split_sql_predicate('doc_id', 20, val_side=True)} GROUP BY doc_id % 4"
+    )
+
+
 def q_checkpoint_resume(sf_dir: str):
     """Resumable partitioned write: writes, drops one partition, resumes;
     returns per-partition manifest rows (n partitions x n_rows)."""
@@ -3762,6 +3851,7 @@ QUERIES: dict[str, Callable] = {
     "harmonize_params": q_harmonize_params,
     "checkpoint_resume": q_checkpoint_resume,
     "train_eval": q_train_eval,
+    "train_eval_conv": q_train_eval_conv,
     "text_fingerprints": q_text_fingerprints,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
@@ -3829,6 +3919,7 @@ ORACLES: dict[str, str] = {
     # round-3 derived-invariant promotions (see each query's docstring)
     "harmonize_params": _sql_harmonize_params(),
     "train_eval": _sql_train_eval(),
+    "train_eval_conv": _sql_train_eval_conv(),
     "minhash_clusters": _sql_minhash_clusters(),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "text_fingerprints": _sql_text_fingerprints(),
