@@ -185,6 +185,18 @@ def coalesce_shuffle_agg(
             combine, batch_format="pyarrow", batch_size=None
         )
     n_blocks = max(partials.num_blocks(), 1)
+    n_part = partials.count()
+    if n_part <= small_limit:
+        # partials.count() upper-bounds the reduced size, so the decision
+        # needs no second materialize: one FUSED lazy chain (bounded
+        # coalesce level + single-block finish — the tree_aggregate
+        # shape) saves a whole execution round of fixed driver time
+        lvl1 = partials.repartition(
+            max(1, (n_blocks + group_factor - 1) // group_factor)
+        ).map_batches(combine, batch_format="pyarrow", batch_size=None)
+        return lvl1.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
     lvl1 = partials.repartition(max(1, (n_blocks + group_factor - 1) // group_factor))
     lvl1 = lvl1.map_batches(
         combine, batch_format="pyarrow", batch_size=None
