@@ -159,8 +159,12 @@ def dedup_stage(input_dir: str) -> float:
     from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
 
     t0 = time.time()
+    # 128 blocks, not 64: the fused read -> dict-encode -> sign -> partial
+    # task is the heavyweight stage, and halving the task size halved the
+    # stage at BOTH 4 and 16 CPUs (measured round 4: 16.2 -> 8.5 s at 4,
+    # 5.0 -> 2.5 s at 16 on 8M docs) — big fused tasks pipeline poorly
     ds = ray.data.read_parquet(
-        input_dir, columns=["text"], override_num_blocks=64
+        input_dir, columns=["text"], override_num_blocks=128
     )
     # one fused task per block: signatures (cache-resident chunks) -> band
     # keys -> per-block partial counts; LSH rows never materialize
