@@ -3675,6 +3675,101 @@ def _sql_train_eval_conv() -> str:
     )
 
 
+def _pii_planted(sf_dir: str):
+    """Documents with a deterministic planted-PII suffix (the synthetic
+    corpus contains none): doc d gains one email, one phone and one IPv4
+    derived from doc_id — reproduced verbatim by string concat in SQL."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        d = pc.cast(batch["doc_id"], pa.string())
+        oct_ = pa.array((ids % 256).astype(str), pa.string())
+        suffix_parts = [
+            pa.array(np.full(len(ids), " reach user"), pa.string()), d,
+            pa.array(np.full(len(ids), "@example.com or 555-123-4567 via 10.0."), pa.string()),
+            oct_, pa.array(np.full(len(ids), "."), pa.string()), oct_,
+        ]
+        text = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""), *suffix_parts, ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "lang": batch["lang"], "text": text})
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+_PII_SUFFIX_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 555-123-4567 via 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+def q_pii_scan_counts(sf_dir: str):
+    """PII scan (stages/pii.py): per-lang totals of email/phone/IPv4
+    matches over the planted-PII corpus — one fused vectorized-regex
+    pass, partial pre-agg, adaptive combine. Output: (lang, sum_n_email,
+    sum_n_phone, sum_n_ipv4, n)."""
+    from gis_scripts_ray.stages.pii import pii_scan
+
+    counts = pii_scan(_pii_planted(sf_dir))
+    return cell_sum_count(
+        counts.select_columns(["lang", "n_email", "n_phone", "n_ipv4"]),
+        ["lang"],
+        ["n_email", "n_phone", "n_ipv4"],
+    )
+
+
+def _sql_pii_scan_counts() -> str:
+    from gis_scripts_ray.stages.pii import PII_PATTERNS
+
+    cols = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(t, '{pat}'))) AS BIGINT) AS sum_n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    return (
+        f"WITH p AS (SELECT lang, {_PII_SUFFIX_SQL} AS t FROM documents) "
+        f"SELECT lang, {cols}, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY lang"
+    )
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (stages/pii.py): the redacted TEXT itself is the
+    oracle payload — the SQL twin applies the identical patterns in the
+    identical order via nested regexp_replace, so the value hash covers
+    every byte of every scrubbed document. Output: (doc_id, text)."""
+    from gis_scripts_ray.stages.pii import pii_redact
+
+    out = pii_redact(_pii_planted(sf_dir))
+    return out.select_columns(["doc_id", "text"])
+
+
+def _sql_pii_redact() -> str:
+    from gis_scripts_ray.stages.pii import PII_PATTERNS
+
+    expr = _PII_SUFFIX_SQL
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def q_doc_chunks(sf_dir: str):
+    """Document chunking (stages/chunking.py): 64-word windows every 48
+    words, one row per chunk, chunk TEXT itself oracle-hashed (the SQL
+    twin rebuilds every chunk with generate_series x array_slice).
+    Output: (doc_id, chunk_idx, n_words, chunk_text)."""
+    from gis_scripts_ray.stages.chunking import chunk_documents
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_size=64, stride=48)
+
+
+def _sql_doc_chunks() -> str:
+    from gis_scripts_ray.stages.chunking import chunk_sql_twin
+
+    return chunk_sql_twin(chunk_size=64, stride=48)
+
+
 def q_checkpoint_resume(sf_dir: str):
     """Resumable partitioned write: writes, drops one partition, resumes;
     returns per-partition manifest rows (n partitions x n_rows)."""
@@ -3852,6 +3947,9 @@ QUERIES: dict[str, Callable] = {
     "checkpoint_resume": q_checkpoint_resume,
     "train_eval": q_train_eval,
     "train_eval_conv": q_train_eval_conv,
+    "pii_scan_counts": q_pii_scan_counts,
+    "pii_redact": q_pii_redact,
+    "doc_chunks": q_doc_chunks,
     "text_fingerprints": q_text_fingerprints,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
@@ -3920,6 +4018,9 @@ ORACLES: dict[str, str] = {
     "harmonize_params": _sql_harmonize_params(),
     "train_eval": _sql_train_eval(),
     "train_eval_conv": _sql_train_eval_conv(),
+    "pii_scan_counts": _sql_pii_scan_counts(),
+    "pii_redact": _sql_pii_redact(),
+    "doc_chunks": _sql_doc_chunks(),
     "minhash_clusters": _sql_minhash_clusters(),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "text_fingerprints": _sql_text_fingerprints(),
