@@ -3770,6 +3770,40 @@ def _sql_doc_chunks() -> str:
     return chunk_sql_twin(chunk_size=64, stride=48)
 
 
+def q_quantized_topk(sf_dir: str):
+    """Int8-quantized retrieval (stages/quantize.py): per-vector
+    symmetric quantization with a cross-engine bit-exact rule
+    (float64 ``floor((v*127)/max|v|)``), then top-10 by INTEGER dot
+    product against vec 0's quantized vector — per-block partial top-k
+    with (score DESC, id ASC) ties, integer domain end to end. The SQL
+    twin quantizes identically (list_transform + floor) and scores with
+    list_dot_product (exact: |dot| <= 64 * 127^2 << 2^53).
+    Output: (vec_id, score)."""
+    import pyarrow.parquet as pq
+
+    from gis_scripts_ray.stages.quantize import quantize_row, quantized_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    row0 = pq.read_table(path, columns=["vec_id", "embedding"], filters=[("vec_id", "=", 0)])
+    q0 = np.array(quantize_row(row0["embedding"][0].as_py()), dtype=np.int32)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return quantized_topk(ds, q0, k=10)
+
+
+def _sql_quantized_topk() -> str:
+    from gis_scripts_ray.stages.quantize import quantize_sql_expr
+
+    expr = quantize_sql_expr("embedding")
+    return (
+        f"WITH qt AS (SELECT vec_id, {expr} AS qv FROM embeddings), "
+        "q0 AS (SELECT qv AS q FROM qt WHERE vec_id = 0) "
+        "SELECT qt.vec_id, CAST(list_dot_product("
+        "list_transform(qt.qv, x -> CAST(x AS DOUBLE)), "
+        "list_transform(q0.q, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score "
+        "FROM qt, q0 ORDER BY score DESC, vec_id LIMIT 10"
+    )
+
+
 def q_checkpoint_resume(sf_dir: str):
     """Resumable partitioned write: writes, drops one partition, resumes;
     returns per-partition manifest rows (n partitions x n_rows)."""
@@ -3950,6 +3984,7 @@ QUERIES: dict[str, Callable] = {
     "pii_scan_counts": q_pii_scan_counts,
     "pii_redact": q_pii_redact,
     "doc_chunks": q_doc_chunks,
+    "quantized_topk": q_quantized_topk,
     "text_fingerprints": q_text_fingerprints,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
@@ -4021,6 +4056,7 @@ ORACLES: dict[str, str] = {
     "pii_scan_counts": _sql_pii_scan_counts(),
     "pii_redact": _sql_pii_redact(),
     "doc_chunks": _sql_doc_chunks(),
+    "quantized_topk": _sql_quantized_topk(),
     "minhash_clusters": _sql_minhash_clusters(),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "text_fingerprints": _sql_text_fingerprints(),

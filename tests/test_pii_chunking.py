@@ -162,3 +162,71 @@ class TestChunking:
                 .reset_index(drop=True)
             )
             assert len(out) == 10
+
+
+class TestQuantize:
+    def test_batch_matches_per_row_and_duckdb(self):
+        import duckdb
+
+        from gis_scripts_ray.stages.quantize import (
+            quantize_matrix,
+            quantize_row,
+            quantize_sql_expr,
+        )
+
+        rng = np.random.default_rng(3)
+        vs = [rng.standard_normal(8).astype(np.float32) for _ in range(30)]
+        vs.append(np.zeros(8, np.float32))  # zero vector -> all-zero qvec
+        m = np.stack(vs)
+        q, scale = quantize_matrix(m)
+        for i, v in enumerate(vs):
+            assert list(q[i].astype(int)) == quantize_row(list(v)), i
+        assert (q[-1] == 0).all() and scale[-1] == 0.0
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vs)), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vs], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+        )
+        ref = con.execute(
+            f"SELECT {quantize_sql_expr('embedding')} FROM embeddings ORDER BY vec_id"
+        ).fetchall()
+        for i, (qv,) in enumerate(ref):
+            assert [int(x) for x in qv] == list(q[i].astype(int)), i
+
+    def test_topk_tie_break_and_block_invariance(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.quantize import quantized_topk
+
+        # planted: vectors 5 and 7 are IDENTICAL (tie) and closest to the
+        # query; ids break the tie ascending
+        base = np.array([1.0, 2.0, -3.0, 4.0], np.float64)
+        rows = []
+        for i in range(20):
+            v = base + (0.0 if i in (5, 7) else 0.5 + i * 0.05) * np.array([1, -1, 1, -1.0])
+            rows.append(list(v))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(rows, pa.list_(pa.float64())),
+            }
+        )
+        from gis_scripts_ray.stages.quantize import quantize_row
+
+        q0 = np.array(quantize_row(list(base)), np.int32)
+        outs = []
+        for nb in (1, 5):
+            ds = ray.data.from_arrow(t).repartition(nb)
+            out = quantized_topk(ds, q0, k=3)
+            outs.append(
+                list(zip(out["vec_id"].to_pylist(), out["score"].to_pylist()))
+            )
+        assert outs[0] == outs[1]
+        assert [i for i, _ in outs[0][:2]] == [5, 7]  # tie broken by id
