@@ -3804,6 +3804,57 @@ def _sql_quantized_topk() -> str:
     )
 
 
+def q_smoothed_grid(sf_dir: str):
+    """Distributed nodata-aware grid smoothing (stages/smoothing.py —
+    M13 at grid scale): events hash into a sparse 89x97 cell grid
+    (collisions pre-aggregated by cell_sum_count), then ONE
+    halo-replicated stripe shuffle runs the separable binomial
+    [1,4,6,4,1] convolution of value and mask per stripe. Integer
+    kernel keeps (num, den) exact int64, so the SQL twin (present-cell
+    neighbor join against the weight VALUES table) hash-matches.
+    Output: (y, x, num, den) per present cell."""
+    from gis_scripts_ray.stages.smoothing import smooth_grid_distributed
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "y": pa.array((eid // 97) % 89, pa.int64()),
+                "x": pa.array(eid % 97, pa.int64()),
+                "v": pa.array(
+                    batch["user_id"].to_numpy().astype(np.int64) % 1000, pa.int64()
+                ),
+            }
+        )
+
+    cells = cell_sum_count(ds.map_batches(to_cells, batch_format="pyarrow"), ["y", "x"], ["v"])
+    return smooth_grid_distributed(
+        cells,
+        np.array([1, 4, 6, 4, 1], dtype=np.int64),
+        height=89,
+        width=97,
+        stripe=16,
+        value_col="sum_v",
+    )
+
+
+def _sql_smoothed_grid() -> str:
+    return (
+        "WITH cells AS (SELECT (event_id // 97) % 89 AS y, event_id % 97 AS x, "
+        "SUM(user_id % 1000) AS v FROM events GROUP BY 1, 2), "
+        "w(d, wt) AS (SELECT * FROM (VALUES (-2, 1), (-1, 4), (0, 6), (1, 4), (2, 1)) t) "
+        "SELECT a.y, a.x, CAST(SUM(wy.wt * wx.wt * b.v) AS BIGINT) AS num, "
+        "CAST(SUM(wy.wt * wx.wt) AS BIGINT) AS den "
+        "FROM cells a CROSS JOIN w wy CROSS JOIN w wx "
+        "JOIN cells b ON b.y = a.y + wy.d AND b.x = a.x + wx.d "
+        "GROUP BY a.y, a.x"
+    )
+
+
 def q_checkpoint_resume(sf_dir: str):
     """Resumable partitioned write: writes, drops one partition, resumes;
     returns per-partition manifest rows (n partitions x n_rows)."""
@@ -3985,6 +4036,7 @@ QUERIES: dict[str, Callable] = {
     "pii_redact": q_pii_redact,
     "doc_chunks": q_doc_chunks,
     "quantized_topk": q_quantized_topk,
+    "smoothed_grid": q_smoothed_grid,
     "text_fingerprints": q_text_fingerprints,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
@@ -4057,6 +4109,7 @@ ORACLES: dict[str, str] = {
     "pii_redact": _sql_pii_redact(),
     "doc_chunks": _sql_doc_chunks(),
     "quantized_topk": _sql_quantized_topk(),
+    "smoothed_grid": _sql_smoothed_grid(),
     "minhash_clusters": _sql_minhash_clusters(),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "text_fingerprints": _sql_text_fingerprints(),
