@@ -3855,6 +3855,50 @@ def _sql_smoothed_grid() -> str:
     )
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py): docs with
+    doc_id % 101 == 0 form the benchmark set; the corpus is documents
+    UNION a shifted copy (doc_id + 1e6, same text — so contamination
+    includes true CROSS-doc n-gram sharing, not just self-hits); every
+    corpus doc sharing >= 1 word 8-gram with the benchmark is flagged
+    with its distinct-shared-ngram count. Ray matches 64-bit rolling
+    n-gram hashes (the scale path); the SQL twin matches the n-gram
+    STRINGS (equal strings <=> equal word sequences <=> equal hashes,
+    collision odds ~1e-12 here). Output: (doc_id, n_hits)."""
+    from gis_scripts_ray.stages.decontam import decontaminate_hits
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.add(batch["doc_id"], 1_000_000), "text": batch["text"]}
+        )
+
+    corpus = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % 101 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return decontaminate_hits(corpus, bench, n=8)
+
+
+def _sql_decontaminate() -> str:
+    return (
+        "WITH corp AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents), "
+        "ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corp), "
+        "cg AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g "
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ws)), "
+        "bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 101 = 0 AND doc_id < 1000000) "
+        "SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_hits "
+        "FROM cg c JOIN bg ON c.g = bg.g GROUP BY c.doc_id"
+    )
+
+
 def q_checkpoint_resume(sf_dir: str):
     """Resumable partitioned write: writes, drops one partition, resumes;
     returns per-partition manifest rows (n partitions x n_rows)."""
@@ -4037,6 +4081,7 @@ QUERIES: dict[str, Callable] = {
     "doc_chunks": q_doc_chunks,
     "quantized_topk": q_quantized_topk,
     "smoothed_grid": q_smoothed_grid,
+    "decontaminate": q_decontaminate,
     "text_fingerprints": q_text_fingerprints,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
@@ -4110,6 +4155,7 @@ ORACLES: dict[str, str] = {
     "doc_chunks": _sql_doc_chunks(),
     "quantized_topk": _sql_quantized_topk(),
     "smoothed_grid": _sql_smoothed_grid(),
+    "decontaminate": _sql_decontaminate(),
     "minhash_clusters": _sql_minhash_clusters(),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "text_fingerprints": _sql_text_fingerprints(),
