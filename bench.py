@@ -41,7 +41,7 @@ def prepare_input() -> tuple[str, int]:
     from gis_scripts_ray.sources.webpages import urls_for_doc_ids
 
     tag = SF_DIR.strip("/").replace("/", "_")
-    out_dir = f"/tmp/graft_bench/{tag}_x{REPLICATE}_v2"
+    out_dir = f"/tmp/graft_bench/{tag}_x{REPLICATE}_v3"
     done_flag = os.path.join(out_dir, "_DONE")
     if os.path.exists(done_flag):
         n = sum(
@@ -86,7 +86,15 @@ def prepare_input() -> tuple[str, int]:
             r += 1
         if chunks:
             t = pa.concat_tables(chunks)
-            pq.write_table(t, os.path.join(out_dir, f"part-{f:04d}.parquet"))
+            # 31250-row row groups (8 per file): ray's read splits at
+            # row-group granularity, so one monolithic group per file
+            # caps real read parallelism at n_files and leaves the
+            # 16-way read straggler-bound — measured read+slim
+            # 2.39 -> 1.23 s at 16 CPUs, 6.43 -> 5.25 s at 4 (8M docs)
+            pq.write_table(
+                t, os.path.join(out_dir, f"part-{f:04d}.parquet"),
+                row_group_size=31_250,
+            )
     with open(done_flag, "w") as fh:
         fh.write(str(total))
     return out_dir, total
