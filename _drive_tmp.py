@@ -1,34 +1,30 @@
-"""A/B the old k-perm vs new OPH minhash kernel in ONE Ray session."""
-import os, sys, time
+"""Single-process A/B: old dense vs new searchsorted STRtree query."""
+import os, time
 os.environ.setdefault("POLARS_MAX_THREADS", "1")
-NCPU = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-import ray
-ray.init(address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR")
-from ray.data import DataContext
-ctx = DataContext.get_current()
-ctx.enable_progress_bars = False
-ctx.decoding_size_estimation = False
-os.environ["GRAFT_BENCH_REPLICATE"] = os.environ.get("GRAFT_BENCH_REPLICATE", "1600")
-import bench
-input_dir, n_docs = bench.prepare_input()
-print("docs:", n_docs, "cpus:", NCPU, "probe:", bench._load_probe(), flush=True)
+import numpy as np
+import sys; sys.path.insert(0, "/root/repo")
+from gis_scripts_ray.sources.polygons import synthesize_polygons
+from gis_scripts_ray.state.strtree import PolygonIndex as NewIdx
+from _oldmod.old_strtree import PolygonIndex as OldIdx
 
-import ray.data
-from _oldmod.old_dedup import minhash_band_counts as old_kernel
-from gis_scripts_ray.stages.dedup import minhash_band_counts as new_kernel
+table = synthesize_polygons(n_extra_rects=2000)
+new = NewIdx(table); old = OldIdx(table)
+rng = np.random.default_rng(0)
+# bench-like points: lats/lons in the fixture range
+lon = rng.uniform(-170, 170, 125_000)
+lat = rng.uniform(-80, 80, 125_000)
 
-def run(kernel):
-    ds = ray.data.read_parquet(input_dir, columns=["text"], override_num_blocks=64)
+def run(idx):
     t0 = time.time()
-    ds.map_batches(kernel, fn_kwargs={"text_col": "text"}, batch_format="pyarrow").count()
-    return round(time.time() - t0, 3)
+    for _ in range(5):
+        pt, part = idx.pip(lon, lat)
+    return round((time.time()-t0)/5, 4), len(pt)
 
-run(new_kernel)  # warm-up
-res = {"old": [], "new": []}
-for _ in range(4):  # ABBA-ish interleave
-    res["old"].append(run(old_kernel))
-    res["new"].append(run(new_kernel))
-print("old k-perm:", res["old"], "best", min(res["old"]))
-print("new OPH   :", res["new"], "best", min(res["new"]))
-print("probe after:", bench._load_probe())
-ray.shutdown()
+run(new); run(old)  # warm
+for name, idx in (("old", old), ("new", new), ("old", old), ("new", new)):
+    t, n = run(idx)
+    print(name, t, "pairs", n)
+# parity: identical (pt, polygon_id) result sets AND identical final outputs
+p1 = new.pip(lon, lat); p0 = old.pip(lon, lat)
+print("pt equal:", np.array_equal(p0[0], p1[0]),
+      "pid equal:", np.array_equal(old.part_polygon_id[p0[1]], new.part_polygon_id[p1[1]]))

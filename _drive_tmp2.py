@@ -1,48 +1,48 @@
-import os, sys, time, glob
+import os, sys, time
 os.environ.setdefault("POLARS_MAX_THREADS", "1")
-import pyarrow.parquet as pq, pyarrow as pa
-
-src = "/tmp/graft_bench/root_testdata_sf0.1_x1600_v2"
-dst = "/tmp/graft_bench/root_testdata_sf0.1_x1600_v3rg"
-if not os.path.exists(os.path.join(dst, "_DONE")):
-    os.makedirs(dst, exist_ok=True)
-    for f in sorted(glob.glob(src + "/*.parquet")):
-        t = pq.read_table(f)
-        pq.write_table(t, os.path.join(dst, os.path.basename(f)), row_group_size=31250)
-    open(os.path.join(dst, "_DONE"), "w").write("ok")
-    print("v3rg cache built")
-
-NCPU = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+NCPU = int(sys.argv[1]) if len(sys.argv)>1 else 16
 import ray
 ray.init(address="local", num_cpus=NCPU, include_dashboard=False, logging_level="ERROR")
 import ray.data
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
+os.environ["GRAFT_BENCH_REPLICATE"] = "1600"
 import bench
 bench._pin_kernel_threads()
-print("probe", bench._load_probe(), flush=True)
-import pyarrow.compute as pc
+input_dir, n_docs = bench.prepare_input()
+print("dir", input_dir, "docs", n_docs, "probe", bench._load_probe(), flush=True)
+
+import pyarrow as pa, pyarrow.compute as pc
+from gis_scripts_ray.pipelines.flagship import geocode
+from gis_scripts_ray.sources.polygons import synthesize_polygons
+from gis_scripts_ray.stages.encode import EncodeConfig, encode_cells
+from gis_scripts_ray.stages.pip_join import pip_join
+from gis_scripts_ray.stages.tile_agg import partial_cell_agg
 
 def slim(batch):
     return pa.table({"url": batch["url"], "lang": batch["lang"],
                      "text_len": pc.cast(pc.binary_length(batch["text"]), pa.int64())})
 
-def read_slim(d):
-    t0=time.time()
-    ray.data.read_parquet(d, columns=["url","text","lang"], override_num_blocks=64)\
-        .map_batches(slim, batch_format="pyarrow").materialize()
-    return round(time.time()-t0,3)
+def chain(upto):
+    ds = ray.data.read_parquet(input_dir, columns=["url","text","lang"], override_num_blocks=64)
+    ds = ds.map_batches(slim, batch_format="pyarrow")
+    if upto >= 1:
+        ds = geocode(ds).select_columns(["lang","text_len","lat","lon"])
+    if upto >= 2:
+        ds = encode_cells(ds, EncodeConfig())
+    if upto >= 3:
+        ds = pip_join(ds, synthesize_polygons(n_extra_rects=2000),
+                      carry_cols=["lang","tile_x","tile_y","text_len"])
+    if upto >= 4:
+        ds = ds.map_batches(partial_cell_agg(["text_len"], ["tile_x","tile_y","class"]), batch_format="pyarrow")
+    return ds
 
-def headline(d):
-    return bench.headline(d)
-
-read_slim(src)  # warm both page caches
-read_slim(dst)
-res = {"v2_read": [], "v3_read": [], "v2_head": [], "v3_head": []}
-for _ in range(3):
-    res["v2_read"].append(read_slim(src)); res["v3_read"].append(read_slim(dst))
-for _ in range(3):
-    res["v2_head"].append(round(headline(src),3)); res["v3_head"].append(round(headline(dst),3))
-for k,v in res.items(): print(k, v, "best", min(v))
+names = ["read+slim", "+geocode", "+encode", "+pip", "+partial"]
+chain(4).materialize()  # warm
+for upto in range(5):
+    ts = []
+    for _ in range(3):
+        t0=time.time(); chain(upto).materialize(); ts.append(round(time.time()-t0,3))
+    print(names[upto], ts, "best", min(ts), flush=True)
 print("probe after", bench._load_probe())
 ray.shutdown()

@@ -83,37 +83,26 @@ class STRtree:
         self.leaf_bounds = leaves
 
     def query_points(self, x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Candidate (point_idx, item_idx) pairs whose item bbox contains
-        the point. Pair ORDER is unspecified (callers dedup/sort); the
-        pair SET is what is tested.
-
-        Kernel: points are argsorted by x once per batch, each leaf's
-        x-interval becomes a contiguous slice via two vectorized
-        ``searchsorted`` calls, and only that slice gets the y test —
-        work scales with actual candidates instead of the dense
-        (n_pts x n_leaves) matrix the round-1 kernel materialized
-        (8 x 63 MB of boolean temporaries per 125k-point batch at the
-        bench layer; this cut the 16-way headline PIP stage ~2x).
-        """
+        """Candidate (point_idx, item_idx) pairs whose item bbox contains the point."""
         x = np.asarray(x, dtype=np.float64)
         y = np.asarray(y, dtype=np.float64)
         lb = self.leaf_bounds
-        order_pts = np.argsort(x)
-        xs = x[order_pts]
-        i0 = np.searchsorted(xs, lb[:, 0], side="left")
-        i1 = np.searchsorted(xs, lb[:, 2], side="right")
-        out_pts: list[np.ndarray] = []
-        out_items: list[np.ndarray] = []
+        # points x leaves containment (n_pts, n_leaves)
+        hit = (
+            (x[:, None] >= lb[None, :, 0])
+            & (x[:, None] <= lb[None, :, 2])
+            & (y[:, None] >= lb[None, :, 1])
+            & (y[:, None] <= lb[None, :, 3])
+        )
+        pt_idx, leaf_idx = np.nonzero(hit)
+        if len(pt_idx) == 0:
+            return pt_idx, leaf_idx
+        # expand each (point, leaf) to the leaf's items, exact bbox test
+        out_pts = []
+        out_items = []
         ls = self.leaf_size
-        empty = np.empty(0, dtype=np.int64)
-        for li in range(len(lb)):
-            if i1[li] <= i0[li]:
-                continue
-            pts = order_pts[i0[li] : i1[li]]
-            ym = (y[pts] >= lb[li, 1]) & (y[pts] <= lb[li, 3])
-            if not ym.any():
-                continue
-            pts = pts[ym]
+        for li in np.unique(leaf_idx):
+            pts = pt_idx[leaf_idx == li]
             lo, hi = li * ls, min((li + 1) * ls, len(self.bounds))
             blk = self.bounds[lo:hi]
             sub = (
@@ -125,8 +114,6 @@ class STRtree:
             pi, bi = np.nonzero(sub)
             out_pts.append(pts[pi])
             out_items.append(self.order[lo + bi])
-        if not out_pts:
-            return empty, empty
         return np.concatenate(out_pts), np.concatenate(out_items)
 
 
