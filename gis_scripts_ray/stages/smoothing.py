@@ -169,7 +169,10 @@ def smooth_cells_reference(
 ) -> "tuple[np.ndarray, np.ndarray]":
     """Per-cell brute-force reference for the INT kernel mode (parity
     contract): for each present cell, (num, den) = sums of
-    ``w[dy] * w[dx] * v`` / ``w[dy] * w[dx]`` over PRESENT neighbors."""
+    ``w(dy) * w(dx) * v`` / ``w(dy) * w(dx)`` over PRESENT neighbors,
+    with CONVOLUTION orientation ``w(d) = kernel[r - d]`` (np.convolve
+    flips the kernel; identical for symmetric kernels, and the property
+    test fuzzes asymmetric ones)."""
     kernel = np.asarray(kernel, dtype=np.int64)
     r = len(kernel) // 2
     present = {(int(a), int(b)): int(c) for a, b, c in zip(y, x, v)}
@@ -180,7 +183,7 @@ def smooth_cells_reference(
             for dx in range(-r, r + 1):
                 nb = present.get((int(a) + dy, int(b) + dx))
                 if nb is not None:
-                    w = int(kernel[dy + r]) * int(kernel[dx + r])
+                    w = int(kernel[r - dy]) * int(kernel[r - dx])
                     num += w * nb
                     den += w
         nums.append(num)
