@@ -149,7 +149,11 @@ def _images(batch: pa.Table, image_col: str, h: int, w: int) -> np.ndarray:
         col = col.combine_chunks()
     flat = col.flatten()
     m = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=np.float64)
-    if m.max(initial=0.0) > 1.5:
+    # scale by the SCHEMA (integer payload = pixel bytes), never by the
+    # data — a data-dependent max() would scale an all-dark block
+    # differently from its neighbors, making gradients depend on Ray
+    # block boundaries
+    if pa.types.is_integer(flat.type):
         m = m / 255.0
     return m.reshape(len(batch), h, w, 1)
 

@@ -3699,7 +3699,7 @@ def _pii_planted(sf_dir: str):
 
 
 _PII_SUFFIX_SQL = (
-    "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+    "COALESCE(text, '') || ' reach user' || CAST(doc_id AS VARCHAR) || "
     "'@example.com or 555-123-4567 via 10.0.' || "
     "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR)"
 )
@@ -3858,22 +3858,33 @@ def _sql_smoothed_grid() -> str:
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.py): docs with
     doc_id % 101 == 0 form the benchmark set; the corpus is documents
-    UNION a shifted copy (doc_id + 1e6, same text — so contamination
-    includes true CROSS-doc n-gram sharing, not just self-hits); every
+    UNION a shifted copy (doc_id + max(doc_id)+1, same text — so
+    contamination includes true CROSS-doc n-gram sharing, not just
+    self-hits, and shifted ids can never collide with originals at ANY
+    scale — a hard-coded shift would); every
     corpus doc sharing >= 1 word 8-gram with the benchmark is flagged
     with its distinct-shared-ngram count. Ray matches 64-bit rolling
     n-gram hashes (the scale path); the SQL twin matches the n-gram
     STRINGS (equal strings <=> equal word sequences <=> equal hashes,
     collision odds ~1e-12 here). Output: (doc_id, n_hits)."""
+    from ray.data.aggregate import Max
+
     from gis_scripts_ray.stages.decontam import decontaminate_hits
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    # shift = max(doc_id)+1, derived from the data exactly like the SQL
+    # twin's scalar subquery (id-column-only scan, driver gets one int)
+    id_shift = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .aggregate(Max("doc_id"))["max(doc_id)"]
+        + 1
+    )
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"doc_id": pc.add(batch["doc_id"], 1_000_000), "text": batch["text"]}
+            {"doc_id": pc.add(batch["doc_id"], id_shift), "text": batch["text"]}
         )
 
     corpus = docs.union(docs.map_batches(shift, batch_format="pyarrow"))
@@ -3888,12 +3899,14 @@ def q_decontaminate(sf_dir: str):
 
 def _sql_decontaminate() -> str:
     return (
-        "WITH corp AS (SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents), "
+        "WITH sh AS (SELECT MAX(doc_id) + 1 AS s FROM documents), "
+        "corp AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + (SELECT s FROM sh), text FROM documents), "
         "ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corp), "
         "cg AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g "
         "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ws)), "
-        "bg AS (SELECT DISTINCT g FROM cg WHERE doc_id % 101 = 0 AND doc_id < 1000000) "
+        "bg AS (SELECT DISTINCT g FROM cg "
+        "WHERE doc_id % 101 = 0 AND doc_id < (SELECT s FROM sh)) "
         "SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_hits "
         "FROM cg c JOIN bg ON c.g = bg.g GROUP BY c.doc_id"
     )

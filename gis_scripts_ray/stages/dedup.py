@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _MERSENNE = (1 << 61) - 1
@@ -449,6 +450,12 @@ class MinHasher:
         if n == 0:
             return np.empty((0, k), dtype=np.uint64)
         assert k & (k - 1) == 0, "OPH signatures need power-of-two num_perm"
+        # the packed sort key gives the doc index _DOC_BITS bits; a larger
+        # chunk would silently alias doc j with doc j + 2**_DOC_BITS
+        assert chunk_cap <= 1 << self._DOC_BITS, (
+            f"chunk_cap {chunk_cap} overflows the {self._DOC_BITS}-bit "
+            "doc field of the packed sort key"
+        )
         bin_bits = int(k).bit_length() - 1
         pay_bits = self._payload_bits
         sh_all, off = _batch_shingle_hashes(texts, self.shingle_w)
@@ -510,6 +517,9 @@ class MinHasher:
         # texts have identical signatures by construction)
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        # null texts sign like "" (the contract _batch_shingle_hashes had);
+        # without this, null dictionary indices turn into INT64_MIN below
+        texts = pc.fill_null(texts, "")
         denc = texts.dictionary_encode()
         idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         sigs = self.signatures(denc.dictionary)[idx]
@@ -928,6 +938,9 @@ def minhash_band_counts(
     texts = batch[text_col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    # null texts sign like "" — a null index would otherwise become
+    # INT64_MIN and blow up np.bincount
+    texts = pc.fill_null(texts, "")
     denc = texts.dictionary_encode()
     uniq = denc.dictionary
     idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

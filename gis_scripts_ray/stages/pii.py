@@ -6,9 +6,12 @@ regex kernels (compiled once per worker by polars' expression cache) —
 no shuffle, no state. The reference has no text-PII analog (its data is
 imagery); the patterns and replace semantics here follow the common
 open-web scrub recipes (email / NANP-style phone / IPv4), kept simple
-enough that the SAME pattern strings run identically in polars (Rust
-regex) and DuckDB (RE2), which is what makes the full SQL oracle twin
-possible (``q_pii_redact`` hash-compares the redacted TEXT itself).
+enough that all three engines — polars (Rust regex), DuckDB (RE2) and
+Python ``re`` — apply IDENTICAL semantics on any input: ASCII character
+classes and ASCII word boundaries everywhere, with the boundary spelled
+per engine (see ``PII_PATTERNS``). That equivalence is what makes the
+full SQL oracle twin possible (``q_pii_redact`` hash-compares the
+redacted TEXT itself).
 
 Per CLAUDE.md's kernel rule the per-row Python ``re`` reference
 implementations are kept (`*_row`) with bit-exactness parity tests.
@@ -22,13 +25,28 @@ import polars as pl
 import pyarrow as pa
 import ray.data
 
-# Pattern strings valid and EQUIVALENT in Rust regex (polars), RE2
-# (DuckDB) and Python re — ASCII classes only, no lookaround.
+# Canonical spelling = the RE2/DuckDB one: explicit [0-9] (RE2's \d is
+# ASCII-only; polars/Python \d is Unicode — full-width '１２３' would
+# diverge) and a plain \b, which RE2 evaluates with ASCII word-char
+# semantics. The OTHER engines must be forced to the same ASCII
+# semantics — Rust regex via the inline (?-u:\b) group, Python re via
+# the global (?a) flag — or text with non-ASCII word characters
+# adjacent to PII matches in some engines and not others. No
+# lookaround anywhere (RE2 has none).
 PII_PATTERNS: "list[tuple[str, str, str]]" = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IPV4]"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IPV4]"),
 ]
+
+# Rust-regex (polars) spelling: ASCII word boundary
+_POLARS_PATTERNS = [
+    (kind, pat.replace(r"\b", r"(?-u:\b)"), repl)
+    for kind, pat, repl in PII_PATTERNS
+]
+
+# Python-re spelling: (?a) makes \b (and \w used by it) ASCII
+_RE_PATTERNS = [("(?a)" + pat) for _, pat, _ in PII_PATTERNS]
 
 
 def _series(batch: pa.Table, text_col: str) -> pl.Series:
@@ -45,7 +63,7 @@ def pii_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     the fixture/tests pin non-overlapping matches, same as the SQL twin)."""
     s = _series(batch, text_col)
     out = batch.drop_columns([text_col])
-    for kind, pat, _ in PII_PATTERNS:
+    for kind, pat, _ in _POLARS_PATTERNS:
         n = s.str.count_matches(pat).to_numpy().astype(np.int64)
         out = out.append_column("n_" + kind, pa.array(n, pa.int64()))
     return out
@@ -57,7 +75,8 @@ def pii_counts_row(text: "str | None") -> "dict[str, int]":
 
     t = text or ""
     return {
-        "n_" + kind: len(re.findall(pat, t)) for kind, pat, _ in PII_PATTERNS
+        "n_" + kind: len(re.findall(pat, t))
+        for (kind, _, _), pat in zip(PII_PATTERNS, _RE_PATTERNS)
     }
 
 
@@ -67,7 +86,7 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
     destroy later matches — the fixed order IS the contract, mirrored in
     the SQL twin's nested ``regexp_replace`` calls)."""
     s = _series(batch, text_col)
-    for _, pat, repl in PII_PATTERNS:
+    for _, pat, repl in _POLARS_PATTERNS:
         s = s.str.replace_all(pat, repl)
     cols = {c: batch[c] for c in batch.column_names}
     cols[text_col] = s.to_arrow().cast(pa.string())
@@ -79,7 +98,7 @@ def redact_pii_row(text: "str | None") -> str:
     import re
 
     t = text or ""
-    for _, pat, repl in PII_PATTERNS:
+    for (_, _, repl), pat in zip(PII_PATTERNS, _RE_PATTERNS):
         t = re.sub(pat, repl, t)
     return t
 

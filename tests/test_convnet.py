@@ -68,6 +68,34 @@ class TestConvGradients:
         np.testing.assert_allclose(g_a + g_b, g_all, rtol=1e-12, atol=1e-12)
 
 
+class TestImageScaling:
+    def test_scale_is_schema_not_data_dependent(self):
+        """An all-near-black uint8 block must scale by 255 exactly like
+        any other block — scaling may depend only on the payload TYPE,
+        never on block contents (block-structure-dependence bug class)."""
+        from gis_scripts_ray.pipelines.convnet import _images
+
+        dark = np.ones(64, dtype=np.uint8)  # max()==1 -> old code skipped /255
+        t = pa.table(
+            {
+                "thumb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(dark, pa.uint8()), 64
+                )
+            }
+        )
+        out = _images(t, "thumb", 8, 8)
+        np.testing.assert_allclose(out, 1.0 / 255.0)
+        # float payloads in [0,1] pass through untouched
+        tf = pa.table(
+            {
+                "thumb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.full(64, 0.5), pa.float64()), 64
+                )
+            }
+        )
+        np.testing.assert_allclose(_images(tf, "thumb", 8, 8), 0.5)
+
+
 class TestConvDistributed:
     def test_distributed_equals_single_process(self, ray_session):
         import ray.data

@@ -221,6 +221,33 @@ class TestDedup:
         assert sim12 > 0.5
         assert sim13 < 0.2
 
+    def test_null_text_signs_like_empty(self):
+        # regression: the dictionary_encode fast paths crashed on null
+        # text (null index -> INT64_MIN) where _batch_shingle_hashes had
+        # treated nulls as ""
+        from gis_scripts_ray.stages.dedup import MinHasher, minhash_band_counts
+
+        with_null = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["a b c d", None, "x y z w"], pa.string()),
+            }
+        )
+        as_empty = with_null.set_column(
+            1, "text", pa.array(["a b c d", "", "x y z w"], pa.string())
+        )
+        mh = MinHasher("doc_id", "text")
+        assert mh(with_null).equals(mh(as_empty))
+        got = minhash_band_counts(with_null, "text")
+        assert got.equals(minhash_band_counts(as_empty, "text"))
+
+    def test_signatures_rejects_oversized_chunk_cap(self):
+        from gis_scripts_ray.stages.dedup import MinHasher
+
+        mh = MinHasher("doc_id", "text")
+        with pytest.raises(AssertionError, match="doc field"):
+            mh.signatures(pa.array(["a b c"]), chunk_cap=4096)
+
     def test_jaccard_verify(self):
         from gis_scripts_ray.stages.dedup import jaccard_verify
 

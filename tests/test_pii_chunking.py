@@ -29,6 +29,10 @@ PII_TEXTS = [
     "two mails a@b.co c.d@e-f.org and ip 10.0.0.255 phone 800.555.0100",
     "edge 999.999.999.999 still matches ipv4; a@b@c.com partial",
     "adjacent x@y.io,555-000-1111.end",
+    # non-ASCII word chars abutting matches: ASCII \b semantics must
+    # hold in ALL engines (unicode \b would kill both matches here)
+    "５555-123-4567 and café192.168.1.1ü plus №10.0.0.1",
+    "digits stay ascii: １２３-４５６-７８９０ must NOT count as phone",
 ]
 
 
