@@ -132,19 +132,13 @@ def asof_join_backward(
     # Fully vectorized: one mergesort + np.repeat range expansion, O(key
     # groups) Python — no keys x buckets table at the driver.
     def add_kb(batch: pa.Table) -> pa.Table:
-        col = batch[right_by]
-        if pa.types.is_integer(col.type):
-            kb = (
-                col.to_numpy().astype(np.int64, copy=False) * np.int64(2654435761)
-            ) % n_key_groups
-        else:
-            import polars as pl
+        # the same any-dtype stable key-hash bucketing every other
+        # bucketed stage uses (one polars xxhash line — no bespoke
+        # integer multiply/overflow dance to maintain)
+        from gis_scripts_ray.stages.windows import _bucket_of
 
-            s = pl.from_arrow(col)
-            if isinstance(s, pl.DataFrame):
-                s = s.to_series()
-            kb = (s.hash(seed=3).to_numpy() % n_key_groups).astype(np.int64)
-        return batch.append_column("_kb", pa.array(np.abs(kb), pa.int64()))
+        kb = _bucket_of(batch[right_by], n_key_groups)
+        return batch.append_column("_kb", pa.array(kb, pa.int64()))
 
     def ffill_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

@@ -610,14 +610,17 @@ def lsh_neardup_pairs(
     uniq = uniq.repartition(max(1, min(64, n_pairs // 1_000_000 + 1)))
 
     # exact-cosine verify AS A RAY STAGE (round-3 verdict task #2): two
-    # hash-joins fetch each pair's vectors from the corpus — embeddings
-    # move only for candidate ids, co-shuffled with their pairs — and each
-    # block verifies vectorized. No candidate vector ever lands on the
-    # driver; only the verified pair table (the result) is collected.
-    # Vectors travel as fixed_size_binary(dim*8): Acero's hash join
-    # rejects nested payload types (list<double>) but carries fixed-width
-    # binary, and the pack/unpack is a zero-copy buffer view each way.
-    from gis_scripts_ray.stages.joins import hash_join
+    # Bloom-prefiltered hash-joins fetch each pair's vectors from the
+    # corpus — a Bloom filter of the pair table's ids (broadcast once)
+    # drops non-candidate corpus rows INSIDE the fused read stage, so
+    # embeddings move only for candidate ids (+ the ~1-2% FP tail), never
+    # the whole corpus, and each block verifies vectorized. No candidate
+    # vector ever lands on the driver; only the verified pair table (the
+    # result) is collected. Vectors travel as fixed_size_binary(dim*8):
+    # Acero's hash join rejects nested payload types (list<double>) but
+    # carries fixed-width binary, and the pack/unpack is a zero-copy
+    # buffer view each way.
+    from gis_scripts_ray.stages.joins import bloom_semi_join
 
     def emb_side(side_col: str) -> ray.data.Dataset:
         def rename(batch: pa.Table) -> pa.Table:
@@ -636,12 +639,14 @@ def lsh_neardup_pairs(
 
     # one join per execution: two JoinOperators in a single streaming plan
     # each reserve hash-shuffle aggregator CPUs, which deadlocks on small
-    # cpu budgets (measured at 4 CPUs); the barrier costs one materialized
-    # pair+vector table, still never the corpus. Partition count follows
-    # the MEASURED pair count — aggregator spawn is the fixed cost.
+    # cpu budgets (measured at 4 CPUs); bloom_semi_join's internal
+    # right-side materialize is that barrier — each execution carries one
+    # join, and the materialized table is pairs(+vectors), never the
+    # corpus. Partition count follows the MEASURED pair count —
+    # aggregator spawn is the fixed cost.
     npart = int(max(2, min(64, n_pairs // 2_000_000 + 2)))
-    j = hash_join(uniq, emb_side("id_a"), on="id_a", num_partitions=npart).materialize()
-    j = hash_join(j, emb_side("id_b"), on="id_b", num_partitions=npart)
+    j = bloom_semi_join(emb_side("id_a"), uniq, on="id_a", num_partitions=npart)
+    j = bloom_semi_join(emb_side("id_b"), j, on="id_b", num_partitions=npart)
 
     def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
         arr = col.combine_chunks()

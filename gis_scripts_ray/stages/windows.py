@@ -372,9 +372,15 @@ def grouped_running_sum(
     limit the plan routes through :func:`grouped_running_sum_presplit`
     (the :func:`sessionize_presplit` shape: time-range slices + slice
     totals + distributed prefix bases), so no single task ever holds a
-    hot key's whole history. ``hot_key_limit=None`` skips the measuring
-    pass (callers with a known per-key bound)."""
+    hot key's whole history. The measuring pass runs over a MATERIALIZED
+    copy of the (caller-projected, narrow) input so storage is scanned
+    exactly once — the chosen plan then consumes the same blocks
+    zero-copy from the object store (spilling bounds memory for giant
+    inputs). ``hot_key_limit=None`` skips the measuring pass AND the
+    materialize (callers with a known per-key bound keep full
+    streaming)."""
     if hot_key_limit is not None:
+        ds = ds.materialize()
         stats = _hot_key_stats(ds, key_col, ts_col)
         if stats is not None and stats[0] > hot_key_limit:
             return grouped_running_sum_presplit(
@@ -599,8 +605,12 @@ def grouped_gap_stats(
     — above ``hot_key_limit`` rows for any single key the plan routes
     through :func:`grouped_gap_stats_presplit` (time-range slices whose
     boundary facts merge associatively), so no task holds a hot key's
-    whole history. ``hot_key_limit=None`` skips the measuring pass."""
+    whole history. As in :func:`grouped_running_sum`, measuring runs on
+    a materialized copy of the narrow input so storage is scanned once;
+    ``hot_key_limit=None`` skips both the measuring pass and the
+    materialize."""
     if hot_key_limit is not None:
+        ds = ds.materialize()
         stats = _hot_key_stats(ds, key_col, ts_col)
         if stats is not None and stats[0] > hot_key_limit:
             return grouped_gap_stats_presplit(
