@@ -98,7 +98,17 @@ def local_histogram_match(
             g = np.nan_to_num(smooth_grid(g, m, smooth_sigma), nan=0.0)
         loc_grids[s] = (g, m, sx0, sy0)
 
-    state_ref = ray.put((ref_grid, ref_mask, x0, y0, loc_grids))
+    # the gamma offset-shift must come from the GLOBAL value min, not a
+    # batch-local one (data-dependent per-batch shift made the output
+    # block-structure-dependent when values <= 0 — the convnet _images
+    # bug class); one narrow-column aggregate computes it
+    from ray.data.aggregate import Min
+
+    vmin_val = ds.aggregate(Min(value_col))[f"min({value_col})"]
+    vmin = float(vmin_val) if vmin_val is not None else 0.0
+    gshift = 1.0 - vmin if vmin <= 0 else 0.0
+
+    state_ref = ray.put((ref_grid, ref_mask, x0, y0, loc_grids, gshift))
 
     class Matcher:
         def __init__(self, ref):
@@ -108,6 +118,7 @@ def local_histogram_match(
                 self.x0,
                 self.y0,
                 self.loc_grids,
+                self.gshift,
             ) = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
@@ -130,7 +141,9 @@ def local_histogram_match(
             ok = np.isfinite(m_ref) & np.isfinite(m_in) & (m_in > 0) & (m_ref > 0)
             out = v.copy()
             if ok.any():
-                out[ok] = gamma_correct(v[ok], m_ref[ok], m_in[ok])
+                out[ok] = gamma_correct(
+                    v[ok], m_ref[ok], m_in[ok], shift=self.gshift
+                )
             return batch.append_column(
                 f"{value_col}_matched", pa.array(out, pa.float64())
             )

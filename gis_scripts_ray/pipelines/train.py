@@ -33,8 +33,13 @@ import ray.data
 from gis_scripts_ray.state.broadcast import worker_broadcast
 
 
-def _features(batch: pa.Table, feature_col: str) -> np.ndarray:
-    m = np.array(batch[feature_col].to_pylist(), dtype=np.float64)
+def _features(batch: pa.Table, feature_col: str, dim: "int | None" = None) -> np.ndarray:
+    # zero-copy flatten, not to_pylist: this runs per block per EPOCH in
+    # the gradient hot path, and materializing every embedding as Python
+    # lists is O(rows*dim) interpreter work
+    from gis_scripts_ray.stages.similarity import _emb_matrix
+
+    m = _emb_matrix(batch[feature_col], len(batch), dim=dim)
     # bias column
     return np.concatenate([m, np.ones((len(m), 1))], axis=1)
 
@@ -69,7 +74,7 @@ def train_logreg(
 
         def grad_partial(batch: pa.Table, ref=None) -> pa.Table:
             ww = worker_broadcast(ref)
-            x = _features(batch, feature_col)
+            x = _features(batch, feature_col, dim=ww.shape[0] - 1)
             y = batch[label_col].to_numpy().astype(np.int64)
             p = _softmax(x @ ww)
             p[np.arange(len(y)), y] -= 1.0
@@ -104,7 +109,7 @@ def predict(
 
     def infer(batch: pa.Table, ref=None) -> pa.Table:
         ww = worker_broadcast(ref)
-        x = _features(batch, feature_col)
+        x = _features(batch, feature_col, dim=ww.shape[0] - 1)
         pred = np.argmax(x @ ww, axis=1).astype(np.int64)
         cols = {"pred": pa.array(pred, pa.int64())}
         if label_col:

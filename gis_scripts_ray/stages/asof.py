@@ -229,26 +229,32 @@ def asof_join_backward(
             return np.bool_
         return object
 
-    # the union pads each side with nulls, so pandas group frames arrive
-    # with int64 columns promoted to float64 (NaN) — every output column
-    # must be cast back to its true dtype, and EMPTY group frames must be
-    # typed too (schema-mismatched empty pandas blocks was a real bug —
-    # see the sessionize relabel fix)
+    # groups are taken as ARROW tables and each side selects its OWN
+    # columns (null-free) before the pandas conversion: converting the
+    # union frame (null-padded other-side columns) to pandas promotes
+    # int64 to float64, which silently rounds values above 2^53 — the
+    # dtype maps below keep the conversion honest and type empty frames
+    # (schema-mismatched empty pandas blocks was a real bug — see the
+    # sessionize relabel fix)
     out_dtypes = {
         c: _np_dtype(l_types[c] if c in l_types else r_type_map[c])
         for c in out_cols
     }
 
-    # within its own side no column is null, so each frame can be cast
-    # back to its true dtypes (the union's null-padding promotes whichever
-    # side is absent from a group to float64 — merge_asof requires the
-    # on/by dtypes to MATCH between frames, not merely be numeric)
+    # within its own side no column is null, so each side converts to
+    # pandas with true dtypes intact (merge_asof requires the on/by
+    # dtypes to MATCH between frames, not merely be numeric)
     l_dtypes = {c: _np_dtype(l_types[c]) for c in l_names}
     r_dtypes = {c: _np_dtype(r_type_map[c]) for c in r_cols}
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(g["__side"], "l")
         lg = (
-            g[g["__side"] == "l"][l_names]
+            g.filter(lmask)
+            .select(l_names)
+            .to_pandas()
             .astype(l_dtypes, copy=False)
             .sort_values(left_ts, kind="mergesort")
         )
@@ -257,22 +263,36 @@ def asof_join_backward(
                 {c: pd.Series([], dtype=dt) for c, dt in out_dtypes.items()}
             )
         rg = (
-            g[g["__side"] == "r"][r_cols]
+            g.filter(pc.invert(lmask))
+            .select(r_cols)
+            .to_pandas()
             .astype(r_dtypes, copy=False)
             .drop_duplicates()  # a seed can coincide with an in-bucket row
             .sort_values(right_ts, kind="mergesort")
+            .reset_index(drop=True)
         )
+        # merge a right-row POSITION, not the carry values: merge_asof
+        # NaN-promotes attached right columns to float64 for unmatched
+        # left rows, and the astype back would silently round int64
+        # carry values above 2^53 — positions are always float64-exact,
+        # and the real values are gathered from rg untouched
+        probe = rg[[right_by, right_ts]].copy()
+        probe["__rpos"] = np.arange(len(rg), dtype=np.int64)
         merged = pd.merge_asof(
             lg,
-            rg,
+            probe,
             left_on=left_ts,
             right_on=right_ts,
             left_by=left_by,
             right_by=right_by,
             direction="backward",
         )
-        merged = merged.dropna(subset=[right_ts])  # inner semantics
-        out = merged[out_cols]
-        return out.astype(out_dtypes, copy=False)
+        pos = merged["__rpos"].to_numpy(dtype=np.float64)
+        keep = ~np.isnan(pos)  # inner semantics
+        out = merged.loc[keep, l_names].reset_index(drop=True)
+        idx = pos[keep].astype(np.int64)
+        for c in carry_cols:
+            out[c] = rg[c].to_numpy()[idx]
+        return out[out_cols].astype(out_dtypes, copy=False)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -552,6 +552,95 @@ class MinHasher:
         )
 
 
+def bucketed_pair_expansion(
+    cand: ray.data.Dataset,
+    id_col: str,
+    max_group: int,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """(combo, id, w) candidate rows -> (id_a, id_b, capped_i) pairs,
+    expanded ONE TASK PER HASH BUCKET of combos, not per combo (the
+    per-key ``map_groups`` O(keys) pandas overhead was the measured
+    sf0.1 wall-time driver — shared by the text-minhash and
+    embedding-LSH pipelines, which emit the identical candidate shape).
+
+    Input contract (what ``truncate_local`` in both pipelines emits):
+    ``w == 0`` rows are real (combo, id) members already block-locally
+    truncated to rank < ``max_group``; ``w > 0`` rows are per-block
+    sentinel counts whose sum is the combo's TRUE member total (sets
+    ``capped_i`` when it exceeds ``max_group``).
+
+    Inside a bucket, combos factorize once; each combo's kept ids are
+    contiguous after the global rank < ``max_group`` compaction, so
+    segments of equal size k emit their C(k,2) pairs in ONE gather per
+    distinct k (k <= max_group, so at most max_group-1 gathers)."""
+    pair_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bk = (
+            batch["combo"].to_numpy().astype(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return batch.append_column("_bk", pa.array(bk, pa.int64()))
+
+    def expand_bucket(group) -> pa.Table:
+        if isinstance(group, dict):
+            group = pa.table(group)
+        elif not isinstance(group, pa.Table):
+            group = pa.Table.from_pandas(group, preserve_index=False)
+        combos = group["combo"].to_numpy()
+        ids = group[id_col].to_numpy()
+        w = group["w"].to_numpy()
+        uc, inv = np.unique(combos, return_inverse=True)
+        totals = np.zeros(len(uc), dtype=np.int64)
+        np.add.at(totals, inv, w)
+        capped = (totals > max_group).astype(np.int64)
+        real = w == 0
+        order = np.lexsort((ids[real], inv[real]))
+        rg = inv[real][order]
+        ri = ids[real][order]
+        if len(rg) == 0:
+            return pair_schema.empty_table()
+        new = np.concatenate([[True], rg[1:] != rg[:-1]])
+        starts = np.nonzero(new)[0]
+        rank = np.arange(len(rg)) - starts[np.cumsum(new) - 1]
+        keep = rank < max_group
+        ri2 = ri[keep]
+        rg2 = rg[keep]
+        new2 = np.concatenate([[True], rg2[1:] != rg2[:-1]])
+        starts2 = np.nonzero(new2)[0]
+        sizes = np.diff(np.concatenate([starts2, [len(rg2)]]))
+        seg_combo = rg2[starts2]
+        out_a, out_b, out_c = [], [], []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            sel = sizes == k
+            base = starts2[sel]
+            ia, ib = np.triu_indices(int(k), k=1)
+            a = ri2[base[:, None] + ia[None, :]].ravel()
+            b = ri2[base[:, None] + ib[None, :]].ravel()
+            out_a.append(a)
+            out_b.append(b)
+            out_c.append(np.repeat(capped[seg_combo[sel]], len(ia)))
+        if not out_a:
+            return pair_schema.empty_table()
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "capped_i": pa.array(np.concatenate(out_c), pa.int64()),
+            }
+        )
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(expand_bucket, batch_format="pyarrow")
+    )
+
+
 def minhash_lsh_candidates(
     ds: ray.data.Dataset,
     id_col: str,
@@ -719,79 +808,7 @@ def minhash_lsh_candidates(
             num_partitions=16,
         )
     cand = cand_src.map_batches(truncate_local, batch_format="pyarrow")
-
-    pair_schema = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]
-    )
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        bk = (batch["combo"].to_numpy().astype(np.uint64) % np.uint64(64)).astype(
-            np.int64
-        )
-        return batch.append_column("_bk", pa.array(bk, pa.int64()))
-
-    def expand_bucket(group) -> pa.Table:
-        """Vectorized pair expansion for EVERY combo of one hash bucket
-        (one task per bucket, not per combo — the per-key-map_groups
-        O(keys) pandas overhead was the sf0.1 wall-time driver). Combos
-        factorize once; each combo's kept ids are contiguous after the
-        rank<max_group compaction, so segments of equal size k emit
-        their C(k,2) pairs in ONE gather per distinct k (k <= max_group,
-        so at most max_group-1 gathers per bucket)."""
-        if isinstance(group, dict):
-            group = pa.table(group)
-        elif not isinstance(group, pa.Table):
-            group = pa.Table.from_pandas(group, preserve_index=False)
-        combos = group["combo"].to_numpy()
-        ids = group[id_col].to_numpy()
-        w = group["w"].to_numpy()
-        uc, inv = np.unique(combos, return_inverse=True)
-        totals = np.zeros(len(uc), dtype=np.int64)
-        np.add.at(totals, inv, w)
-        capped = (totals > max_group).astype(np.int64)
-        real = w == 0
-        order = np.lexsort((ids[real], inv[real]))
-        rg = inv[real][order]
-        ri = ids[real][order]
-        if len(rg) == 0:
-            return pair_schema.empty_table()
-        new = np.concatenate([[True], rg[1:] != rg[:-1]])
-        starts = np.nonzero(new)[0]
-        rank = np.arange(len(rg)) - starts[np.cumsum(new) - 1]
-        keep = rank < max_group
-        ri2 = ri[keep]
-        rg2 = rg[keep]
-        new2 = np.concatenate([[True], rg2[1:] != rg2[:-1]])
-        starts2 = np.nonzero(new2)[0]
-        sizes = np.diff(np.concatenate([starts2, [len(rg2)]]))
-        seg_combo = rg2[starts2]
-        out_a, out_b, out_c = [], [], []
-        for k in np.unique(sizes):
-            if k < 2:
-                continue
-            sel = sizes == k
-            base = starts2[sel]
-            ia, ib = np.triu_indices(int(k), k=1)
-            a = ri2[base[:, None] + ia[None, :]].ravel()
-            b = ri2[base[:, None] + ib[None, :]].ravel()
-            out_a.append(a)
-            out_b.append(b)
-            out_c.append(np.repeat(capped[seg_combo[sel]], len(ia)))
-        if not out_a:
-            return pair_schema.empty_table()
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
-                "capped_i": pa.array(np.concatenate(out_c), pa.int64()),
-            }
-        )
-
-    pairs = (
-        cand.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bk")
-        .map_groups(expand_bucket, batch_format="pyarrow")
-    )
+    pairs = bucketed_pair_expansion(cand, id_col, max_group)
     # DISTRIBUTED (id_a, id_b) band-count finish (round-3 verdict weak #1):
     # per-band pair rows at 100 TB of near-dup-heavy web data are routinely
     # 1e9-1e10 rows — never a driver set. In-batch partial group_by, then

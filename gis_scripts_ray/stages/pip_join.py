@@ -50,7 +50,8 @@ class PipJoiner:
         n = len(batch)
         best_part = np.full(n, -1, dtype=np.int64)
         # rank encodes (priority, polygon_id) — unique per polygon, so the
-        # arg-max part is recoverable by a second vectorized pass
+        # arg-max part is recoverable by a second vectorized pass (bounds
+        # asserted at PolygonIndex build: id < 2^32, |priority| < 2^30)
         rank = idx.part_priority[part] * np.int64(1 << 32) + idx.part_polygon_id[part]
         best_rank = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(best_rank, pt, rank)
@@ -59,13 +60,11 @@ class PipJoiner:
         matched = best_part >= 0
         safe = np.clip(best_part, 0, None)
         pid = np.where(matched, idx.part_polygon_id[safe], -1)
-        cls = [
-            str(idx.part_class[p]) if m else None
-            for p, m in zip(safe, matched)
-        ]
+        cls_np = idx.part_class[safe].astype(object)  # vectorized gather
+        cls_np[~matched] = None
         return batch.select(self.carry_cols).append_column(
             "polygon_id", pa.array(pid, pa.int64())
-        ).append_column("class", pa.array(cls, pa.string()))
+        ).append_column("class", pa.array(cls_np, pa.string()))
 
 
 # worker-process cache for task-based PIP stages (see geocoder.geocode_batch

@@ -114,17 +114,28 @@ def resolve_breakpoint_spec(
 
 
 def gamma_correct(
-    values: np.ndarray, m_ref: np.ndarray, m_in: np.ndarray, alpha: float = 1.0
+    values: np.ndarray,
+    m_ref: np.ndarray,
+    m_in: np.ndarray,
+    alpha: float = 1.0,
+    shift: "float | None" = None,
 ) -> np.ndarray:
     """``out = alpha * v ** (log(m_ref)/log(m_in))`` with the reference's
     offset-shift when the minimum is <= 0 (shift into positive domain,
     correct, shift back) — ``local_match.py:544-573, 945-953``.
+
+    ``shift=None`` derives the shift from THIS array's min (the
+    reference's whole-image semantics — correct only when ``values`` is
+    the full dataset). Distributed callers running per batch MUST pass a
+    precomputed global shift, or the output becomes block-structure-
+    dependent (each block would shift by its own local min).
     """
     values = np.asarray(values, dtype=np.float64)
     m_ref = np.asarray(m_ref, dtype=np.float64)
     m_in = np.asarray(m_in, dtype=np.float64)
-    vmin = np.nanmin(values) if len(values) else 0.0
-    shift = 1.0 - vmin if vmin <= 0 else 0.0
+    if shift is None:
+        vmin = np.nanmin(values) if len(values) else 0.0
+        shift = 1.0 - vmin if vmin <= 0 else 0.0
     v = values + shift
     mr = m_ref + shift
     mi = m_in + shift

@@ -20,9 +20,23 @@ def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
 
 
+def _emb_matrix(col, n: int, dim: "int | None" = None) -> np.ndarray:
+    """(n, dim) float64 matrix from a list/fixed_size_list embedding
+    column — ZERO-ROW SAFE: ``reshape(n, -1)`` cannot infer a dimension
+    from a size-0 array (numpy raises), and 0-row batches reach these
+    UDFs routinely (e.g. bucket-filtered ANN probes drop most blocks)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if n == 0:
+        d = dim
+        if d is None and pa.types.is_fixed_size_list(arr.type):
+            d = arr.type.list_size
+        return np.empty((0, d or 0), dtype=np.float64)
+    flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    return flat.reshape(n, -1)
+
+
 def _batch_cosine(batch: pa.Table, q: np.ndarray, emb_col: str) -> np.ndarray:
-    emb = np.asarray(batch[emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64)
-    m = emb.reshape(len(batch), -1)
+    m = _emb_matrix(batch[emb_col], len(batch), dim=len(q))
     dots = m @ q
     norms = np.linalg.norm(m, axis=1) * np.linalg.norm(q)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -83,9 +97,7 @@ class LshBucketer:
         return (bits.astype(np.int64) << np.arange(bits.shape[1], dtype=np.int64)).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(
-            batch[self.emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64
-        ).reshape(len(batch), -1)
+        emb = _emb_matrix(batch[self.emb_col], len(batch), dim=self.planes.shape[0])
         return batch.append_column("bucket", pa.array(self.bucket_of(emb), pa.int64()))
 
 
@@ -299,9 +311,7 @@ def kmeans_fit(
 
         def partial(batch: pa.Table, ref=None) -> pa.Table:
             cc = worker_broadcast(ref)
-            v = np.asarray(
-                batch[emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64
-            ).reshape(len(batch), -1)
+            v = _emb_matrix(batch[emb_col], len(batch), dim=cc.shape[1])
             vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
             assign = np.argmax(vn @ cc.T, axis=1)
             sums = np.zeros_like(cc)
@@ -354,9 +364,7 @@ def build_ivf_index(
 
     def assign(batch: pa.Table, ref=None) -> pa.Table:
         cc = worker_broadcast(ref)
-        v = np.asarray(
-            batch[emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64
-        ).reshape(len(batch), -1)
+        v = _emb_matrix(batch[emb_col], len(batch), dim=cc.shape[1])
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
         b = np.argmax(vn @ cc.T, axis=1).astype(np.int64)
         return batch.append_column("ivf_bucket", pa.array(b, pa.int64()))
@@ -463,9 +471,7 @@ def lsh_neardup_pairs(
             rng = np.random.default_rng(seed)
             planes = rng.standard_normal((dim, bands * r))
             _WORKER_BUCKETERS[key] = planes
-        v = np.asarray(
-            batch[emb_col].combine_chunks().flatten().to_numpy(), dtype=np.float64
-        ).reshape(len(batch), -1)
+        v = _emb_matrix(batch[emb_col], len(batch), dim=dim)
         bits = (v @ planes) > 0  # sign-invariant to normalization
         weights = 1 << np.arange(r, dtype=np.int64)
         combos = np.empty((len(batch), bands), dtype=np.int64)
@@ -556,36 +562,16 @@ def lsh_neardup_pairs(
             num_partitions=16,
         )
     cand = cand_src.map_batches(truncate_local, batch_format="pyarrow")
-    pair_schema = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()), ("capped_i", pa.int64())]
-    )
-
-    def expand_pairs(group) -> pa.Table:
-        if isinstance(group, dict):
-            group = pa.table(group)
-        elif not isinstance(group, pa.Table):
-            group = pa.Table.from_pandas(group, preserve_index=False)
-        w = group["w"].to_numpy()
-        total = int(w.sum())
-        g = np.sort(group[id_col].to_numpy()[w == 0])[:max_group]
-        if len(g) < 2:
-            return pair_schema.empty_table()
-        ia, ib = np.triu_indices(len(g), k=1)
-        return pa.table(
-            {
-                "id_a": pa.array(g[ia], pa.int64()),
-                "id_b": pa.array(g[ib], pa.int64()),
-                "capped_i": pa.array(
-                    np.full(len(ia), int(total > max_group), dtype=np.int64), pa.int64()
-                ),
-            }
-        )
-
+    # bucketed expansion — one task per combo-hash bucket, not per combo
+    # (the per-key map_groups O(keys) pandas overhead the text-minhash
+    # pipeline already eliminated; same candidate shape, same kernel).
     # DISTRIBUTED pair dedup (round-3 verdict weak #2): candidate pairs at
     # 100 TB are 1e9-1e10 rows, never a driver set — in-batch partial
     # group_by + the adaptive combine (measured-size guard =
     # ``pair_small_limit``), exactly the dedup stage's pair finish.
-    pairs = cand.groupby("combo").map_groups(expand_pairs, batch_format="pyarrow")
+    from gis_scripts_ray.stages.dedup import bucketed_pair_expansion
+
+    pairs = bucketed_pair_expansion(cand, id_col, max_group)
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["id_a", "id_b"]).aggregate([("capped_i", "max")])

@@ -24,10 +24,11 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 
 def partial_cell_agg(value_cols: list[str], key_cols: list[str]):
@@ -266,10 +267,29 @@ def two_level_mean(
     block regardless of how many of its pixels land there.
     """
     per_source = cell_mean(ds, [cell_col, source_col], [value_col])
-    # level 2: unweighted mean of the per-source means (tiny table)
-    lvl2 = per_source.groupby(cell_col).aggregate(
-        Sum("mean_" + value_col, alias_name="_sum_means"),
-        Count(alias_name="n_sources"),
+
+    # level 2: unweighted mean of the per-source means — in-batch partial
+    # + adaptive combine, NOT a raw Dataset.groupby().aggregate() (whose
+    # hash-shuffle aggregator spawn costs multi-second fixed time per
+    # execution — the CLAUDE.md rule every other aggregation follows)
+    def lvl2_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                cell_col: batch[cell_col],
+                "_sum_means": pc.cast(batch["mean_" + value_col], pa.float64()),
+                "n_sources": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        out = t.group_by([cell_col]).aggregate(
+            [("_sum_means", "sum"), ("n_sources", "sum")]
+        )
+        ren = {"_sum_means_sum": "_sum_means", "n_sources_sum": "n_sources"}
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
+
+    lvl2 = coalesce_shuffle_agg(
+        per_source.map_batches(lvl2_partial, batch_format="pyarrow"),
+        [cell_col],
+        {"_sum_means": "sum", "n_sources": "sum"},
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -315,9 +335,14 @@ def salted_sum_count(
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow")
     phase1 = cell_sum_count(salted, [*key_cols, "_salt"], value_cols)
-    aggs = [Sum("sum_" + c, alias_name="sum_" + c) for c in value_cols]
-    aggs.append(Sum("n", alias_name="n"))
-    return phase1.groupby(key_cols).aggregate(*aggs)
+    # phase-2 merge through the adaptive combine (int sums, exact in any
+    # order) — a raw groupby().aggregate() would pay the hash-shuffle
+    # aggregator spawn per execution for a tiny salted-partials table
+    return coalesce_shuffle_sum(
+        phase1.drop_columns(["_salt"]),
+        key_cols,
+        ["sum_" + c for c in value_cols] + ["n"],
+    )
 
 
 def cell_stats(

@@ -625,6 +625,15 @@ def grouped_gap_stats(
             )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        # normalize ts to int64 MICROS in the Arrow domain (CLAUDE.md
+        # rule): a pandas-origin timestamp[ns] column would otherwise
+        # reach per_bucket as raw nanosecond int64 — 1000x off vs the
+        # presplit twin, and the hot-key dispatch flips between the two
+        # paths on measured data volume
+        us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        batch = batch.set_column(
+            batch.column_names.index(ts_col), ts_col, us
+        )
         return batch.append_column(
             "_bk", pa.array(_bucket_of(batch[key_col], num_buckets), pa.int64())
         )

@@ -107,18 +107,25 @@ def hash_host(host: str) -> int:
 # pipelined task per block, no object-store round trip between them).
 # Prefer this for small state (lookup tables); keep the actor pool for
 # heavy state (models) where one copy per worker would blow memory.
-_WORKER_GEOCODER: Geocoder | None = None
+# keyed by the broadcast ref's identity (like _WORKER_MINHASHERS keys by
+# constructor params) — a bare singleton would silently hand a SECOND
+# pipeline with a different host-geo table the first pipeline's geocoder
+_WORKER_GEOCODERS: "dict[str | None, Geocoder]" = {}
 
 
 def geocode_batch(batch: pa.Table, host_geo_ref=None) -> pa.Table:
     """Stateless-task geocode stage with worker-cached state."""
-    global _WORKER_GEOCODER
-    if _WORKER_GEOCODER is None:
+    key = host_geo_ref.hex() if host_geo_ref is not None else None
+    gc = _WORKER_GEOCODERS.get(key)
+    if gc is None:
         import ray
 
         table = ray.get(host_geo_ref) if host_geo_ref is not None else host_geo_table()
-        _WORKER_GEOCODER = Geocoder(table)
-    lat, lon = _WORKER_GEOCODER.resolve(batch["url"].combine_chunks())
+        gc = Geocoder(table)
+        if len(_WORKER_GEOCODERS) >= 8:  # bound long-lived worker growth
+            _WORKER_GEOCODERS.pop(next(iter(_WORKER_GEOCODERS)))
+        _WORKER_GEOCODERS[key] = gc
+    lat, lon = gc.resolve(batch["url"].combine_chunks())
     return batch.append_column("lat", pa.array(lat)).append_column("lon", pa.array(lon))
 
 

@@ -160,6 +160,17 @@ class PolygonIndex:
         self.part_polygon_id = np.asarray(part_pid, dtype=np.int64)
         self.part_class = np.asarray(part_class, dtype=object)
         self.part_priority = np.asarray(part_prio, dtype=np.int64)
+        # the best-match tag packs (priority, polygon_id) into one int64
+        # rank (priority * 2^32 + id); out-of-range values would wrap or
+        # collide and silently crown the wrong polygon — refuse at build
+        if len(self.part_polygon_id):
+            assert (
+                self.part_polygon_id.min() >= 0
+                and self.part_polygon_id.max() < 1 << 32
+            ), "polygon_id must fit uint32 for the (priority, id) rank packing"
+            assert (
+                np.abs(self.part_priority).max() < 1 << 30
+            ), "priority must fit int31 for the (priority, id) rank packing"
         self.tree = STRtree(np.asarray([p.bounds for p in self.parts]))
         # axis-aligned rectangles (the common admin-layer case) take a fully
         # vectorized containment path: bbox test IS the exact test

@@ -115,6 +115,29 @@ class TestAsofJoin:
         # key 0 events must all match val=200 (latest of the two early rows)
         assert (got[got["k"] == 0]["val"] == 200).all()
 
+    def test_carry_values_above_2_53_exact(self, ray_session):
+        """int64 carry values above 2^53 must survive bit-exactly even in
+        buckets containing unmatched left rows — the merge_asof float64
+        NaN-promotion must never touch real carry values."""
+        big = np.int64(2**53 + 1)  # rounds to 2**53 through float64
+        left = pd.DataFrame(
+            {
+                "lid": np.array([0, 1], dtype=np.int64),
+                "k": np.array([7, 8], dtype=np.int64),  # k=8 never matches
+                "ts": np.array([100, 100], dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rk": np.array([7], dtype=np.int64),
+                "rts": np.array([50], dtype=np.int64),
+                "val": np.array([big], dtype=np.int64),
+            }
+        )
+        got = _run(left, right, n_buckets=4)
+        assert got["lid"].tolist() == [0]
+        assert got["val"].tolist() == [int(big)]
+
     def test_unmatched_left_dropped(self, ray_session):
         left = pd.DataFrame(
             {

@@ -110,6 +110,43 @@ class TestLocalHistogramMatch:
             base = 100.0 + 10 * tx + 5 * ty
             assert val == pytest.approx(1.5 * base, rel=0.1), (src, tx, ty)
 
+    def test_negative_values_block_structure_invariant(self, ray_session):
+        """With values <= 0 the gamma offset-shift must come from the
+        GLOBAL min: the matched output must not change with Ray block
+        boundaries (the per-batch-nanmin regression)."""
+        import ray
+
+        from gis_scripts_ray.pipelines.local_match import local_histogram_match
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for ty in range(3):
+            for tx in range(3):
+                base = -20.0 + 10 * tx + 5 * ty  # mins differ per region
+                for i in range(12):
+                    fx = tx + rng.uniform(0.05, 0.95) - 0.5
+                    fy = ty + rng.uniform(0.05, 0.95) - 0.5
+                    v = base + rng.normal(0, 1)
+                    rows.append((tx, ty, fx, fy, "a", v))
+                    rows.append((tx, ty, fx, fy, "b", v + 3.0))
+        df = pd.DataFrame(
+            rows, columns=["tile_x", "tile_y", "frac_x", "frac_y", "source", "v"]
+        )
+        outs = []
+        for parts in (1, 7):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            out = (
+                local_histogram_match(ds, "v", "source")
+                .to_pandas()
+                .sort_values(["source", "tile_x", "tile_y", "frac_x", "frac_y"])
+                .reset_index(drop=True)
+            )
+            outs.append(out["v_matched"].to_numpy())
+        # ULP tolerance only: the tile-mean aggregates sum floats in
+        # block order. The regression this guards (per-batch shift)
+        # produced O(1) differences.
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-12, atol=1e-12)
+
     def test_untouched_when_sources_agree(self, ray_session):
         import ray
 

@@ -466,6 +466,33 @@ class TestSimilarity:
         want = np.lexsort((np.arange(300), -sims))[:5].tolist()
         assert got == want
 
+    def test_zero_row_batches_survive_every_kernel(self, ray_session):
+        """0-row batches reach these UDFs routinely (bucket-filtered ANN
+        probes drop most blocks); reshape(0, -1) used to raise."""
+        import ray
+
+        from gis_scripts_ray.stages.similarity import (
+            LshBucketer,
+            _batch_cosine,
+            _emb_matrix,
+        )
+
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        assert _emb_matrix(empty["embedding"], 0).shape[0] == 0
+        assert _batch_cosine(empty, np.ones(8), "embedding").shape == (0,)
+        out = LshBucketer(dim=8, n_planes=4, seed=1)(empty)
+        assert len(out) == 0 and "bucket" in out.column_names
+        # fixed_size_list empties recover dim from the TYPE
+        fsl = pa.table(
+            {"embedding": pa.array([], pa.list_(pa.float64(), 8))}
+        )
+        assert _emb_matrix(fsl["embedding"], 0).shape == (0, 8)
+
 
 class TestMultiProbeKnn:
     def test_multi_matches_single(self, geo_ds, ray_session):

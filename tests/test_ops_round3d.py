@@ -103,6 +103,28 @@ class TestGroupedGapStats:
             )
             pd.testing.assert_frame_equal(got, ref)
 
+    def test_ns_typed_ts_normalizes_to_us(self, ray_session):
+        """A timestamp[ns] ts column (pandas-origin data) must produce
+        MICROSECOND gaps, identical to the int64-us input and to the
+        presplit path — the regression where per_bucket read raw ns."""
+        t = self._fixture(n=400)
+        ns = pa.table(
+            {
+                "k": t["k"],
+                "us": t["us"].cast(pa.timestamp("us")).cast(pa.timestamp("ns")),
+                "id": t["id"],
+            }
+        )
+        want = (
+            grouped_gap_stats(_mk(t, 4), "k", "us", "id")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        got = (
+            grouped_gap_stats(_mk(ns, 4), "k", "us", "id")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+
     def test_single_event_key_zero_gaps(self, ray_session):
         t = pa.table(
             {
