@@ -41,7 +41,8 @@ def prepare_input() -> tuple[str, int]:
     from gis_scripts_ray.sources.webpages import urls_for_doc_ids
 
     tag = SF_DIR.strip("/").replace("/", "_")
-    out_dir = f"/tmp/graft_bench/{tag}_x{REPLICATE}_v3"
+    # v4: replica id stride derived from max(doc_id)+1 (was hard-coded 10M)
+    out_dir = f"/tmp/graft_bench/{tag}_x{REPLICATE}_v4"
     done_flag = os.path.join(out_dir, "_DONE")
     if os.path.exists(done_flag):
         n = sum(
@@ -62,12 +63,16 @@ def prepare_input() -> tuple[str, int]:
     reps_per_file = (REPLICATE + n_files - 1) // n_files
     total = 0
     r = 0
+    # replica stride derived from the data: a hard-coded stride collides
+    # replica id ranges (duplicate doc_ids/urls) once the source table
+    # outgrows it, silently changing what dedup/geocode measure
+    stride = int(base_ids.max()) + 1 if n_docs else 1
     for f in range(n_files):
         chunks = []
         for _ in range(reps_per_file):
             if r >= REPLICATE:
                 break
-            ids = base_ids + r * 10_000_000
+            ids = base_ids + r * stride
             url = urls_for_doc_ids(ids)
             base = np.datetime64("2024-01-01T00:00:00", "us")
             ts = base + (ids * 137).astype("timedelta64[s]").astype("timedelta64[us]")

@@ -48,10 +48,50 @@ TILE_Z = 6
 # shared SQL fragments
 # ---------------------------------------------------------------------------
 
+# uint64-wrapping multiplicative hashes (HUGEINT % 2**64 emulates the
+# engine's uint64 wrap — plain BIGINT multiply would OVERFLOW-ERROR in
+# DuckDB at doc_id > ~3.47e9 while numpy wraps silently; identical for
+# all non-wrapping ids)
+_WRAP64 = "18446744073709551616"
 _HIDX_SQL = (
-    "CASE WHEN (doc_id*2654435761)%1000000 < 800000 "
-    "THEN (doc_id*40503)%40 ELSE 40+(doc_id*9973)%160 END"
+    f"CASE WHEN (CAST(doc_id AS HUGEINT)*2654435761)%{_WRAP64}%1000000 < 800000 "
+    f"THEN CAST((CAST(doc_id AS HUGEINT)*40503)%{_WRAP64}%40 AS BIGINT) "
+    f"ELSE CAST(40+(CAST(doc_id AS HUGEINT)*9973)%{_WRAP64}%160 AS BIGINT) END"
 )
+
+
+def _sql_floordiv(x: str, d: int) -> str:
+    """Exact integer FLOOR division (numpy ``//`` semantics). DuckDB's
+    ``//`` truncates toward zero, diverging on negative values (e.g.
+    pre-1970 timestamps): -1//3600000000 is 0 in DuckDB, -1 in numpy.
+    Subtracting the non-negative residue first makes the division exact,
+    where trunc == floor."""
+    m = f"((({x}) % {d}) + {d}) % {d}"
+    return f"((({x}) - ({m})) // {d})"
+
+
+def _id_shift(sf_dir: str, table: str, col: str) -> int:
+    """``max(col) + 1`` — the collision-free id offset for shifted-union
+    fixtures at ANY scale (a hard-coded shift collides with real ids once
+    they reach it — the decontaminate bug class). Read from parquet
+    row-group STATISTICS (no data scan); twinned in SQL by a
+    ``(SELECT MAX(col)+1 FROM table)`` scalar subquery."""
+    import pyarrow.parquet as pq_mod
+
+    path = f"{sf_dir}/{table}.parquet"
+    f = pq_mod.ParquetFile(path)
+    i = f.schema_arrow.get_field_index(col)
+    mx = None
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(i).statistics
+        if st is None or not st.has_min_max:
+            mx = None
+            break
+        mx = st.max if mx is None else max(mx, st.max)
+    if mx is None:  # stats missing: one-column driver scan
+        t = pq_mod.read_table(path, columns=[col])
+        mx = pc.max(t[col]).as_py()
+    return int(mx) + 1
 
 
 def _host_geo_values() -> str:
@@ -153,14 +193,29 @@ def located_documents(sf_dir: str, cols: tuple[str, ...] = ("doc_id",)) -> ray.d
 from gis_scripts_ray.state.broadcast import worker_broadcast as _worker_broadcast
 
 
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """Exact HALF-AWAY-FROM-ZERO rounding (C ``std::round``), matching
+    DuckDB ``ROUND(double)`` on every input. ``np.round`` is half-EVEN
+    (12.5 -> 12 vs ROUND's 13) and ``floor(v+0.5)`` double-rounds near
+    representation boundaries — instead, adjust the half-even result
+    only on EXACT .5 fractions (float comparisons are exact)."""
+    r = np.round(v)
+    t = np.trunc(v)
+    is_half = np.abs(v - t) == 0.5
+    return np.where(is_half, t + np.copysign(1.0, v), r)
+
+
 def _cents(col) -> pa.Array:
+    # half-away: the SQL twins use ROUND(x*100), which DuckDB evaluates
+    # half-away-from-zero on doubles (np.round's half-even diverges on
+    # exact .5 products, e.g. 0.125*100)
     v = np.asarray(col.to_numpy(), dtype=np.float64)
-    return pa.array(np.round(v * 100.0).astype(np.int64), pa.int64())
+    return pa.array(_round_half_away(v * 100.0).astype(np.int64), pa.int64())
 
 
 def _micros(col) -> pa.Array:
     v = np.asarray(col.to_numpy(), dtype=np.float64)
-    return pa.array(np.round(v * 1_000_000.0).astype(np.int64), pa.int64())
+    return pa.array(_round_half_away(v * 1_000_000.0).astype(np.int64), pa.int64())
 
 
 # ---------------------------------------------------------------------------
@@ -344,7 +399,7 @@ def q_lineitem_pricing_summary(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        qty = pa.array(batch["l_quantity"].to_numpy().astype(np.int64), pa.int64())
+        qty = pa.array(np.round(batch["l_quantity"].to_numpy()).astype(np.int64), pa.int64())
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
@@ -385,7 +440,7 @@ def q_count_conditions(sf_dir: str):
         return pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
-                "qty": pa.array(b["l_quantity"].to_numpy().astype(np.int64), pa.int64()),
+                "qty": pa.array(np.round(b["l_quantity"].to_numpy()).astype(np.int64), pa.int64()),
             }
         )
 
@@ -405,7 +460,9 @@ def _nation_name_index(sf_dir: str):
     int32 index array (custkey -> slot in the name array; unknown keys
     map to a trailing null slot) + the nation-name Arrow array. Replaces
     the per-row dict ``lookup.get`` (a Python loop over every order) with
-    one numpy gather + one Arrow ``take`` per batch."""
+    one numpy gather + one Arrow ``take`` per batch. Callers must guard
+    the size (see :func:`_orders_nation_tagged`): the dense array is
+    ``max(c_custkey)+1`` int32 slots, a BROADCAST-side structure."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
@@ -424,38 +481,111 @@ def _nation_name_index(sf_dir: str):
     return ray.put((slot_of_cust, name_arr))
 
 
-def _take_nation_names(custkeys: np.ndarray, ref) -> pa.Array:
+def _take_nation_names(custkeys: np.ndarray, ref) -> "tuple[pa.Array, np.ndarray]":
+    """(names, known-mask): unknown custkeys get a null name AND a False
+    mask bit — callers FILTER on the mask so both delivery paths match
+    the SQL twins' INNER-join semantics (which drop such rows)."""
     slot_of_cust, name_arr = _worker_broadcast(ref)
     ck = np.clip(custkeys, 0, len(slot_of_cust) - 1)
     slots = slot_of_cust[ck]
     slots = np.where((custkeys < 0) | (custkeys >= len(slot_of_cust)),
                      np.int32(len(name_arr) - 1), slots)
-    return pc.take(name_arr, pa.array(slots, pa.int32()))
+    return pc.take(name_arr, pa.array(slots, pa.int32())), slots < len(name_arr) - 1
 
 
-def q_orders_nation_rollup(sf_dir: str):
-    """Broadcast dimension join: orders -> customer -> nation, no shuffle —
-    fully vectorized (numpy gather + Arrow take per batch, no per-row
-    Python; see :func:`_nation_name_index`)."""
-    lookup_ref = _nation_name_index(sf_dir)
+# dense custkey slots above this are no longer a sane broadcast
+# (int32 bytes = 4 * slots; 16M slots = 64 MB per worker copy)
+_CUSTKEY_BROADCAST_SLOTS = 16_000_000
+
+
+def _orders_nation_tagged(sf_dir: str) -> ray.data.Dataset:
+    """(n_name, total_cents) rows for every order with a known customer —
+    adaptive dimension-join delivery:
+
+    * customer dense-index fits the broadcast budget: worker-cached
+      numpy-gather lookup inside ONE fused task stage (no shuffle);
+    * else: hash-partitioned join orders x customer (two corpus-sized
+      sides — the ``nation_year_revenue`` contract), then the TINY
+      nation map applied by gather.
+
+    Both paths drop unknown custkeys (INNER-join semantics, matching the
+    SQL twins)."""
+    import pyarrow.parquet as pq
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
+    max_ck = _id_shift(sf_dir, "customer", "c_custkey") - 1
+    if max_ck + 1 <= _CUSTKEY_BROADCAST_SLOTS:
+        lookup_ref = _nation_name_index(sf_dir)
 
-    def tag_nation(batch: pa.Table, ref=None) -> pa.Table:
-        # worker-cached broadcast lookup (task stage — fuses, no actor spawn)
+        def tag_nation(batch: pa.Table, ref=None) -> pa.Table:
+            # worker-cached broadcast lookup (task stage — fuses)
+            names, known = _take_nation_names(batch["o_custkey"].to_numpy(), ref)
+            return pa.table(
+                {
+                    "n_name": names,
+                    "total_cents": _cents(batch["o_totalprice"]),
+                }
+            ).filter(pa.array(known))
+
+        return ds.map_batches(
+            tag_nation, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow"
+        )
+
+    # corpus-sized customer: hash-partitioned join, tiny nation by gather
+    from gis_scripts_ray.stages.joins import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = nation["n_nationkey"].to_numpy()
+    names = nation["n_name"].to_pylist()
+    slot_of_nat = np.full(int(nkeys.max()) + 1, len(names), dtype=np.int32)
+    slot_of_nat[nkeys] = np.arange(len(names), dtype=np.int32)
+    name_arr = pa.array(names + [None], pa.string())
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "n_name": _take_nation_names(batch["o_custkey"].to_numpy(), ref),
+                "o_custkey": batch["o_custkey"],
                 "total_cents": _cents(batch["o_totalprice"]),
             }
         )
 
-    tagged = ds.map_batches(
-        tag_nation, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow"
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    return cell_sum_count(tagged, ["n_name"], ["total_cents"])
+    # size the join to the measured customer count: hash-shuffle
+    # aggregators RESERVE CPUs per partition, and an oversized partition
+    # count starves/deadlocks small CPU budgets (CLAUDE.md)
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    npart = int(max(2, min(32, n_cust // 2_000_000 + 2)))
+    joined = hash_join(
+        ds.map_batches(prep_orders, batch_format="pyarrow"),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        num_partitions=npart,
+    )
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        nk = np.clip(batch["c_nationkey"].to_numpy(), 0, len(slot_of_nat) - 1)
+        return pa.table(
+            {
+                "n_name": pc.take(name_arr, pa.array(slot_of_nat[nk], pa.int32())),
+                "total_cents": batch["total_cents"],
+            }
+        )
+
+    return joined.map_batches(add_name, batch_format="pyarrow")
+
+
+def q_orders_nation_rollup(sf_dir: str):
+    """Dimension join orders -> customer -> nation with ADAPTIVE delivery
+    (broadcast gather under a measured size budget, hash join above it —
+    see :func:`_orders_nation_tagged`), then partial pre-agg + combine."""
+    return cell_sum_count(
+        _orders_nation_tagged(sf_dir), ["n_name"], ["total_cents"]
+    )
 
 
 def _sql_orders_nation_rollup() -> str:
@@ -487,7 +617,7 @@ def q_events_hourly(sf_dir: str):
 
 def _sql_events_hourly() -> str:
     return (
-        "SELECT event_type, epoch_us(ts)//3600000000 AS hour, "
+        f"SELECT event_type, {_sql_floordiv('epoch_us(ts)', 3600000000)} AS hour, "
         "CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, hour"
     )
@@ -557,32 +687,32 @@ def _sql_toa_reflectance() -> str:
 
 
 def q_dos_value(sf_dir: str):
-    """A6: median of the lowest 5% of prices (as cents), halved.
+    """A6: median of the lowest 5% of prices (as cents), halved — the
+    reference's ``seagrass_lib.py:344-347`` semantics on exact integers.
 
-    Global sort/top-k: k = n//20 via per-batch partial top-k then a tiny
-    global sort — the reference's ``seagrass_lib.py:344-347`` semantics on
-    exact integers.
-    """
+    The median of the lowest n//20 values is two exact ORDER STATISTICS
+    (ranks ~n/40), read off a distributed value HISTOGRAM
+    (``stats.value_histogram``: per-block pre-agg + adaptive combine).
+    The driver holds only (distinct cents, count) rows — bounded by the
+    price domain, never n/20 raw rows — and no global sort runs (the
+    previous sort+limit(n/20) degenerated at scale: per-batch partial
+    top-k keeps whole blocks once k exceeds the block size)."""
+    from gis_scripts_ray.stages.stats import value_histogram
+
     ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
-    n = ds.count()
-    k = max(n // 20, 1)
 
     def prep(batch: pa.Table) -> pa.Table:
-        c = _cents(batch["l_extendedprice"]).to_numpy()
-        kk = min(k, len(c))
-        part = np.partition(c, kk - 1)[:kk]
-        return pa.table({"c": pa.array(part, pa.int64())})
+        return pa.table({"c": _cents(batch["l_extendedprice"])})
 
-    low = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .sort("c")
-        .limit(k)
-        .to_pandas()["c"]
-        .to_numpy()
+    values, counts = value_histogram(
+        ds.map_batches(prep, batch_format="pyarrow"), "c"
     )
-    med = (
-        float(low[(k - 1) // 2] + low[k // 2]) / 2.0
-    )  # exact median of sorted ints
+    n = int(counts.sum())
+    k = max(n // 20, 1)
+    cum = np.cumsum(counts)
+    v1 = values[np.searchsorted(cum, (k - 1) // 2 + 1)]  # 0-based rank (k-1)//2
+    v2 = values[np.searchsorted(cum, k // 2 + 1)]
+    med = float(v1 + v2) / 2.0  # exact median of sorted ints
     return pa.table({"dos_value": pa.array([med / 200.0], pa.float64())})
 
 
@@ -640,11 +770,12 @@ def q_dedup_exact(sf_dir: str):
     from gis_scripts_ray.stages.dedup import dedup_stats
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    id_shift = _id_shift(sf_dir, "documents", "doc_id")
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pc.add(batch["doc_id"], 1_000_000),
+                "doc_id": pc.add(batch["doc_id"], id_shift),
                 "text": batch["text"],
             }
         )
@@ -658,7 +789,8 @@ def _sql_dedup_exact() -> str:
     return (
         "SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
         "FROM (SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 1000000, text FROM documents) GROUP BY text"
+        "UNION ALL SELECT doc_id + (SELECT MAX(doc_id)+1 FROM documents), text "
+        "FROM documents) GROUP BY text"
     )
 
 
@@ -722,7 +854,7 @@ def q_heavy_hitters(sf_dir: str):
     def derive(batch: pa.Table) -> pa.Table:
         q = batch["l_quantity"].to_numpy()
         pk = batch["l_partkey"].to_numpy().astype(np.int64)
-        key = np.where(q <= 10.0, -q.astype(np.int64), pk)
+        key = np.where(q <= 10.0, -np.round(q).astype(np.int64), pk)
         return pa.table({"key": pa.array(key, pa.int64())})
 
     keyed = ds.map_batches(derive, batch_format="pyarrow")
@@ -759,7 +891,7 @@ def q_bloom_join_revenue(sf_dir: str):
 
     def prep_li(batch: pa.Table) -> pa.Table:
         price_c = _cents(batch["l_extendedprice"]).to_numpy()
-        disc_pct = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        disc_pct = _round_half_away(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
         rev = price_c * (100 - disc_pct)
         return pa.table(
             {
@@ -877,12 +1009,9 @@ def q_topk_docs_per_host(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy()
-        hidx = np.where(
-            (ids * 2654435761) % 1_000_000 < 800_000,
-            (ids * 40503) % 40,
-            40 + (ids * 9973) % 160,
-        )
+        from gis_scripts_ray.sources.webpages import _host_index_for_doc
+
+        hidx = _host_index_for_doc(batch["doc_id"].to_numpy())
         return pa.table(
             {
                 "hidx": pa.array(hidx, pa.int64()),
@@ -1466,7 +1595,7 @@ def q_nation_year_revenue(sf_dir: str):
 
     def prep_li(batch: pa.Table) -> pa.Table:
         price_c = _cents(batch["l_extendedprice"]).to_numpy()
-        disc_pct = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        disc_pct = _round_half_away(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
         return pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
@@ -1799,22 +1928,8 @@ def q_nation_revenue_share(sf_dir: str):
     Output: (n_name, sum_total_cents, n, share)."""
     from gis_scripts_ray.stages.tile_agg import cell_sum_count
 
-    lookup_ref = _nation_name_index(sf_dir)
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
-
-    def tag_nation(batch: pa.Table, ref=None) -> pa.Table:
-        return pa.table(
-            {
-                "n_name": _take_nation_names(batch["o_custkey"].to_numpy(), ref),
-                "total_cents": _cents(batch["o_totalprice"]),
-            }
-        )
-
     agg = cell_sum_count(
-        ds.map_batches(tag_nation, fn_kwargs={"ref": lookup_ref}, batch_format="pyarrow"),
+        _orders_nation_tagged(sf_dir),
         ["n_name"],
         ["total_cents"],
     ).materialize()
@@ -1871,11 +1986,12 @@ def q_ngram_jaccard(sf_dir: str):
     from gis_scripts_ray.stages.dedup import shingle_sets
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    id_shift = _id_shift(sf_dir, "documents", "doc_id")
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        all_ids = np.concatenate([ids, ids + 1_000_000])
+        all_ids = np.concatenate([ids, ids + id_shift])
         all_texts = texts + ["PAD " + (t or "") for t in texts]
         h, off = shingle_sets(all_texts, 3)
         sh_col = pa.ListArray.from_arrays(
@@ -1928,8 +2044,9 @@ def q_ngram_jaccard(sf_dir: str):
 
 def _sql_ngram_jaccard() -> str:
     return (
-        "WITH both_docs AS (SELECT doc_id, text FROM documents "
-        "UNION ALL SELECT doc_id + 1000000, 'PAD ' || text FROM documents), "
+        "WITH shf AS (SELECT MAX(doc_id) + 1 AS s FROM documents), "
+        "both_docs AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + (SELECT s FROM shf), 'PAD ' || text FROM documents), "
         "w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM both_docs), "
         "pad AS (SELECT doc_id, CASE WHEN len(ws) < 3 "
         "THEN list_concat(ws, list_transform(generate_series(1, 3 - len(ws)), x -> '')) "
@@ -1939,8 +2056,8 @@ def _sql_ngram_jaccard() -> str:
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter, "
         "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS n_union "
-        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000 "
-        "WHERE a.doc_id < 1000000"
+        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + (SELECT s FROM shf) "
+        "WHERE a.doc_id < (SELECT s FROM shf)"
     )
 
 
@@ -1957,10 +2074,11 @@ def q_embedding_neardup(sf_dir: str):
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    id_shift = _id_shift(sf_dir, "embeddings", "vec_id")
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"vec_id": pc.add(batch["vec_id"], 1_000_000), "embedding": batch["embedding"]}
+            {"vec_id": pc.add(batch["vec_id"], id_shift), "embedding": batch["embedding"]}
         )
 
     both = emb.union(emb.map_batches(shift, batch_format="pyarrow"))
@@ -1973,7 +2091,8 @@ def q_embedding_neardup(sf_dir: str):
 def _sql_embedding_neardup() -> str:
     return (
         "WITH both_v AS (SELECT vec_id, embedding FROM embeddings "
-        "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings) "
+        "UNION ALL SELECT vec_id + (SELECT MAX(vec_id)+1 FROM embeddings), "
+        "embedding FROM embeddings) "
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM both_v a, both_v b "
         "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99"
@@ -2392,7 +2511,7 @@ def q_scalar_transform_sum(sf_dir: str):
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        q = batch["l_quantity"].to_numpy().astype(np.int64)
+        q = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
         q = np.where(q == 25, 0, q) + 5
         return pa.table(
             {"l_returnflag": batch["l_returnflag"], "qty_adj": pa.array(q, pa.int64())}
@@ -2416,7 +2535,7 @@ def q_quantity_histogram(sf_dir: str):
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "qty": pa.array(batch["l_quantity"].to_numpy().astype(np.int64), pa.int64()),
+                "qty": pa.array(np.round(batch["l_quantity"].to_numpy()).astype(np.int64), pa.int64()),
                 "one": pa.array(np.ones(len(batch), dtype=np.int64), pa.int64()),
             }
         )
@@ -2519,7 +2638,7 @@ def _sql_sliding_value_sum() -> str:
         "CAST(ROUND(value*1000000) AS BIGINT) AS vm FROM events) "
         "SELECT event_type, window_start_us, "
         "CAST(SUM(vm) AS BIGINT) AS sum_value_micros, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM (SELECT event_type, vm, (us//900000000)*900000000 - h*900000000 AS window_start_us, us "
+        f"FROM (SELECT event_type, vm, {_sql_floordiv('us', 900000000)}*900000000 - h*900000000 AS window_start_us, us "
         "FROM e, hops) WHERE us < window_start_us + 3600000000 "
         "GROUP BY event_type, window_start_us"
     )
@@ -2538,7 +2657,7 @@ def q_order_lineitem_revenue(sf_dir: str):
 
     def prep_li(batch: pa.Table) -> pa.Table:
         price_c = _cents(batch["l_extendedprice"]).to_numpy()
-        disc_pct = np.round(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
+        disc_pct = _round_half_away(batch["l_discount"].to_numpy() * 100.0).astype(np.int64)
         rev = price_c * (100 - disc_pct)
         return pa.table(
             {
@@ -2992,14 +3111,17 @@ def q_s2_cell_counts(sf_dir: str):
     )
 
 
-_SHIFT_ID = 1_000_000  # id offset of the exact-copy half in shifted-union queries
-
-
 def _text_group_map(sf_dir: str):
     """(doc_id -> group_id, group_id -> docs-table group size) where a group
-    is an exact-text equivalence class and group_id its min doc_id. The
-    documents table is the SMALL side (fixture check scale) — read directly,
-    driver-side, like any broadcast lookup build."""
+    is an exact-text equivalence class and group_id its min doc_id.
+
+    ORACLE-HARNESS ONLY: this map (and the fingerprint-table ``to_pandas``
+    in its callers) exists to CHECK the distributed pipelines at
+    verification scale — it is not a production operator and is sized by
+    that contract. The production-scale paths are the pipelines under
+    test themselves (``minhash_lsh_candidates``, ``simhash_rows``,
+    ``dedup_stats`` — all hash-partitioned, no driver corpus hop); a
+    production exact-text grouping is ``dedup_stats`` keyed on text."""
     import pyarrow.parquet as pq_mod
 
     docs = pq_mod.read_table(
@@ -3035,19 +3157,24 @@ def q_minhash_clusters(sf_dir: str):
 
     bands = 16
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shift_id = _id_shift(sf_dir, "documents", "doc_id")
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"doc_id": pc.add(batch["doc_id"], _SHIFT_ID), "text": batch["text"]}
+            {"doc_id": pc.add(batch["doc_id"], shift_id), "text": batch["text"]}
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
     pairs = minhash_lsh_candidates(
         both, "doc_id", "text", bands=bands, concurrency=2
     ).to_pandas()
+    # the SQL twin's C(g_union, 2) is only valid below the pipeline's
+    # max_group truncation cap — make a capped bucket a LOUD failure (the
+    # q_embedding_neardup guard), never a silent value-hash divergence
+    assert not pairs["capped"].any(), "exact-text group exceeded max_group"
     gmap, gsize = _text_group_map(sf_dir)
-    base_a = np.where(pairs["id_a"] >= _SHIFT_ID, pairs["id_a"] - _SHIFT_ID, pairs["id_a"])
-    base_b = np.where(pairs["id_b"] >= _SHIFT_ID, pairs["id_b"] - _SHIFT_ID, pairs["id_b"])
+    base_a = np.where(pairs["id_a"] >= shift_id, pairs["id_a"] - shift_id, pairs["id_a"])
+    base_b = np.where(pairs["id_b"] >= shift_id, pairs["id_b"] - shift_id, pairs["id_b"])
     ga = pd.Series(base_a).map(gmap)
     gb = pd.Series(base_b).map(gmap)
     within = (ga == gb).to_numpy()
@@ -3106,10 +3233,11 @@ def q_simhash_fingerprints(sf_dir: str):
     from gis_scripts_ray.stages.dedup import simhash_rows
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shift_id = _id_shift(sf_dir, "documents", "doc_id")
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"doc_id": pc.add(batch["doc_id"], _SHIFT_ID), "text": batch["text"]}
+            {"doc_id": pc.add(batch["doc_id"], shift_id), "text": batch["text"]}
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
@@ -3122,7 +3250,7 @@ def q_simhash_fingerprints(sf_dir: str):
 
     fps = both.map_batches(rows, batch_format="pyarrow").to_pandas()
     gmap, _ = _text_group_map(sf_dir)
-    base = np.where(fps["doc_id"] >= _SHIFT_ID, fps["doc_id"] - _SHIFT_ID, fps["doc_id"])
+    base = np.where(fps["doc_id"] >= shift_id, fps["doc_id"] - shift_id, fps["doc_id"])
     summ = (
         fps.assign(group_id=pd.Series(base).map(gmap).to_numpy())
         .groupby("group_id")
@@ -3961,10 +4089,11 @@ def q_text_fingerprints(sf_dir: str):
     from gis_scripts_ray.stages.textstages import rolling_fingerprint
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    shift_id = _id_shift(sf_dir, "documents", "doc_id")
 
     def shift(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"doc_id": pc.add(batch["doc_id"], _SHIFT_ID), "text": batch["text"]}
+            {"doc_id": pc.add(batch["doc_id"], shift_id), "text": batch["text"]}
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
@@ -3982,7 +4111,7 @@ def q_text_fingerprints(sf_dir: str):
 
     fps = both.map_batches(rows, batch_format="pyarrow").to_pandas()
     gmap, _ = _text_group_map(sf_dir)
-    base = np.where(fps["doc_id"] >= _SHIFT_ID, fps["doc_id"] - _SHIFT_ID, fps["doc_id"])
+    base = np.where(fps["doc_id"] >= shift_id, fps["doc_id"] - shift_id, fps["doc_id"])
     summ = (
         fps.assign(group_id=pd.Series(base).map(gmap).to_numpy())
         .groupby("group_id")

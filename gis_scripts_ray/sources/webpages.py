@@ -57,13 +57,17 @@ def _host_index_for_doc(doc_id: np.ndarray) -> np.ndarray:
     A multiplicative-hash residue decides hot vs cold; hot rows concentrate
     on the first ``_HOT_FRACTION`` of hosts.
     """
-    doc_id = np.asarray(doc_id, dtype=np.int64)
-    h = (doc_id * np.int64(2654435761)) % np.int64(1_000_000)
-    hot = h < np.int64(int(_HOT_WEIGHT * 1_000_000))
+    # uint64 WRAPPING multiplies, twinned in SQL by HUGEINT % 2**64
+    # (queries._HIDX_SQL): a signed int64 multiply would silently wrap to
+    # a DIFFERENT residue at doc_id > ~3.47e9 while DuckDB's BIGINT
+    # multiply raises — the q_hash_sample wrap convention
+    u = np.asarray(doc_id, dtype=np.int64).astype(np.uint64)
+    h = (u * np.uint64(2654435761)) % np.uint64(1_000_000)
+    hot = h < np.uint64(int(_HOT_WEIGHT * 1_000_000))
     n_hot = int(N_HOSTS * _HOT_FRACTION)
-    hot_host = (doc_id * np.int64(40503)) % np.int64(n_hot)
-    cold_host = n_hot + (doc_id * np.int64(9973)) % np.int64(N_HOSTS - n_hot)
-    return np.where(hot, hot_host, cold_host)
+    hot_host = (u * np.uint64(40503)) % np.uint64(n_hot)
+    cold_host = n_hot + (u * np.uint64(9973)) % np.uint64(N_HOSTS - n_hot)
+    return np.where(hot, hot_host, cold_host).astype(np.int64)
 
 
 def urls_for_doc_ids(doc_id: np.ndarray) -> pa.Array:

@@ -225,3 +225,19 @@ class TestTfidfWeightDelivery:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(hj[["doc_id", "score"]], bc[["doc_id", "score"]])
+
+
+class TestNationLookupDelivery:
+    def test_join_path_equals_broadcast_path(self, ray_session, monkeypatch):
+        """orders_nation_rollup through BOTH delivery paths: the guarded
+        broadcast dense-index gather and the hash-join fallback must
+        produce identical aggregates (forced-low-budget equivalence, the
+        tfidf/dedup delivery-test pattern)."""
+        import gis_scripts_ray.queries as q
+
+        sf = "/root/testdata/sf0.001"
+        bc = q.q_orders_nation_rollup(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
+        monkeypatch.setattr(q, "_CUSTKEY_BROADCAST_SLOTS", 0)
+        hj = q.q_orders_nation_rollup(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
+        pd.testing.assert_frame_equal(hj, bc)
+        assert len(bc) > 0
