@@ -3215,6 +3215,85 @@ def _sql_minhash_clusters() -> str:
     )
 
 
+def _text_hash_cols(texts) -> "tuple[pa.Array, pa.Array]":
+    """Two independent 64-bit text hashes (polars xxhash, seeds 17/23) —
+    a composite 128-bit exact-text group key for distributed grouping
+    without shuffling text (collision odds ~n^2/2^128, the same
+    hash-equality contract the decontaminate/ngram twins document)."""
+    import polars as pl
+
+    s = pl.from_arrow(texts)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    h1 = s.hash(seed=17).to_numpy().astype(np.int64)  # wrapping view
+    h2 = s.hash(seed=23).to_numpy().astype(np.int64)
+    return pa.array(h1, pa.int64()), pa.array(h2, pa.int64())
+
+
+def _fingerprint_group_summary(
+    rows_ds: ray.data.Dataset,
+    shift_id: int,
+    fp_col: str,
+    distinct_col: str,
+    aux_col: str,
+) -> pa.Table:
+    """Per exact-text-group summary computed DISTRIBUTED (replaces the
+    round-3 driver corpus map): groups key on the composite text hash
+    (``_text_hash_cols``); group_id = min ORIGINAL doc id (shifted-copy
+    ids unfold in the partial), n_docs / min-aux via per-block partials
+    + the adaptive combine, distinct-fingerprint counts via
+    :func:`stats.grouped_count_distinct`. Only the two RESULT-SIZED
+    per-group aggregates reach the driver (merged there) — never
+    fingerprint rows or corpus text."""
+    import pandas as pd  # noqa: F401  (module convention)
+
+    from gis_scripts_ray.stages.stats import grouped_count_distinct
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    rows_ds = rows_ds.materialize()  # two passes share the blocks
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        base = np.where(ids >= shift_id, ids - shift_id, ids)
+        t = pa.table(
+            {
+                "h1": batch["h1"],
+                "h2": batch["h2"],
+                "group_id": pa.array(base, pa.int64()),
+                "n_docs": pa.array(np.ones(len(ids), dtype=np.int64)),
+                aux_col: batch[aux_col],
+            }
+        )
+        out = t.group_by(["h1", "h2"]).aggregate(
+            [("group_id", "min"), ("n_docs", "sum"), (aux_col, "min")]
+        )
+        ren = {
+            "group_id_min": "group_id",
+            "n_docs_sum": "n_docs",
+            f"{aux_col}_min": aux_col,
+        }
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
+
+    stats = coalesce_shuffle_agg(
+        rows_ds.map_batches(partial, batch_format="pyarrow"),
+        ["h1", "h2"],
+        {"group_id": "min", "n_docs": "sum", aux_col: "min"},
+    ).to_pandas()
+    nd = grouped_count_distinct(
+        rows_ds.select_columns(["h1", "h2", fp_col]),
+        ["h1", "h2"],
+        fp_col,
+        out_col=distinct_col,
+    ).to_pandas()
+    m = stats.merge(nd, on=["h1", "h2"]).sort_values("group_id")
+    return pa.table(
+        {
+            c: pa.array(m[c].to_numpy().astype(np.int64), pa.int64())
+            for c in ["group_id", "n_docs", distinct_col, aux_col]
+        }
+    )
+
+
 def q_simhash_fingerprints(sf_dir: str):
     """SimHash fingerprints, promoted to a DERIVED-INVARIANT oracle: the
     64-bit fingerprints are not SQL-expressible (byte-level FNV + bit
@@ -3228,8 +3307,6 @@ def q_simhash_fingerprints(sf_dir: str):
     (TestTextKernelParity).
 
     Output: (group_id, n_docs, n_distinct_sim, n_chars_text) per group."""
-    import pandas as pd
-
     from gis_scripts_ray.stages.dedup import simhash_rows
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3244,26 +3321,21 @@ def q_simhash_fingerprints(sf_dir: str):
 
     def rows(batch: pa.Table) -> pa.Table:
         out = simhash_rows(batch, "doc_id", "text")
-        return out.append_column(
-            "n_chars_text", pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        h1, h2 = _text_hash_cols(batch["text"])
+        return (
+            out.append_column(
+                "n_chars_text", pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+            )
+            .append_column("h1", h1)
+            .append_column("h2", h2)
         )
 
-    fps = both.map_batches(rows, batch_format="pyarrow").to_pandas()
-    gmap, _ = _text_group_map(sf_dir)
-    base = np.where(fps["doc_id"] >= shift_id, fps["doc_id"] - shift_id, fps["doc_id"])
-    summ = (
-        fps.assign(group_id=pd.Series(base).map(gmap).to_numpy())
-        .groupby("group_id")
-        .agg(
-            n_docs=("doc_id", "size"),
-            n_distinct_sim=("simhash", "nunique"),
-            n_chars_text=("n_chars_text", "min"),
-        )
-        .reset_index()
-        .sort_values("group_id")
-    )
-    return pa.table(
-        {c: pa.array(summ[c].to_numpy().astype(np.int64), pa.int64()) for c in summ.columns}
+    return _fingerprint_group_summary(
+        both.map_batches(rows, batch_format="pyarrow"),
+        shift_id,
+        fp_col="simhash",
+        distinct_col="n_distinct_sim",
+        aux_col="n_chars_text",
     )
 
 
@@ -4084,8 +4156,6 @@ def q_text_fingerprints(sf_dir: str):
     Raw fingerprint values stay covered by TestTextKernelParity.
 
     Output: (group_id, n_docs, n_distinct_fp, n_tokens) per group."""
-    import pandas as pd
-
     from gis_scripts_ray.stages.textstages import rolling_fingerprint
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -4101,30 +4171,23 @@ def q_text_fingerprints(sf_dir: str):
     def rows(batch: pa.Table) -> pa.Table:
         out = rolling_fingerprint(batch)
         toks = pc.cast(pc.add(pc.count_substring(batch["text"], " "), 1), pa.int64())
+        h1, h2 = _text_hash_cols(batch["text"])
         return pa.table(
             {
                 "doc_id": out["doc_id"],
                 "fingerprint": out["fingerprint"],
                 "n_tokens": toks,
+                "h1": h1,
+                "h2": h2,
             }
         )
 
-    fps = both.map_batches(rows, batch_format="pyarrow").to_pandas()
-    gmap, _ = _text_group_map(sf_dir)
-    base = np.where(fps["doc_id"] >= shift_id, fps["doc_id"] - shift_id, fps["doc_id"])
-    summ = (
-        fps.assign(group_id=pd.Series(base).map(gmap).to_numpy())
-        .groupby("group_id")
-        .agg(
-            n_docs=("doc_id", "size"),
-            n_distinct_fp=("fingerprint", "nunique"),
-            n_tokens=("n_tokens", "min"),
-        )
-        .reset_index()
-        .sort_values("group_id")
-    )
-    return pa.table(
-        {c: pa.array(summ[c].to_numpy().astype(np.int64), pa.int64()) for c in summ.columns}
+    return _fingerprint_group_summary(
+        both.map_batches(rows, batch_format="pyarrow"),
+        shift_id,
+        fp_col="fingerprint",
+        distinct_col="n_distinct_fp",
+        aux_col="n_tokens",
     )
 
 
