@@ -3111,30 +3111,6 @@ def q_s2_cell_counts(sf_dir: str):
     )
 
 
-def _text_group_map(sf_dir: str):
-    """(doc_id -> group_id, group_id -> docs-table group size) where a group
-    is an exact-text equivalence class and group_id its min doc_id.
-
-    ORACLE-HARNESS ONLY: this map (and the fingerprint-table ``to_pandas``
-    in its callers) exists to CHECK the distributed pipelines at
-    verification scale — it is not a production operator and is sized by
-    that contract. The production-scale paths are the pipelines under
-    test themselves (``minhash_lsh_candidates``, ``simhash_rows``,
-    ``dedup_stats`` — all hash-partitioned, no driver corpus hop); a
-    production exact-text grouping is ``dedup_stats`` keyed on text."""
-    import pyarrow.parquet as pq_mod
-
-    docs = pq_mod.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).to_pandas()
-    gid = docs.groupby("text")["doc_id"].transform("min").to_numpy()
-    gmap = dict(zip(docs["doc_id"].to_numpy(), gid))
-    import pandas as pd
-
-    gsize = pd.Series(gid).value_counts().to_dict()
-    return gmap, gsize
-
-
 def q_minhash_clusters(sf_dir: str):
     """MinHash-LSH candidates over documents + an exact id-shifted copy,
     promoted to a DERIVED-INVARIANT oracle (the ``harmonize_params``
@@ -3151,9 +3127,8 @@ def q_minhash_clusters(sf_dir: str):
 
     Output: one row per exact-text group —
     (group_id, g_union, n_pairs, n_pairs_full)."""
-    import pandas as pd
-
     from gis_scripts_ray.stages.dedup import minhash_lsh_candidates
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
 
     bands = 16
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -3165,34 +3140,87 @@ def q_minhash_clusters(sf_dir: str):
         )
 
     both = ds.union(ds.map_batches(shift, batch_format="pyarrow"))
-    pairs = minhash_lsh_candidates(
+    pairs_tbl = minhash_lsh_candidates(
         both, "doc_id", "text", bands=bands, concurrency=2
-    ).to_pandas()
+    )
     # the SQL twin's C(g_union, 2) is only valid below the pipeline's
     # max_group truncation cap — make a capped bucket a LOUD failure (the
     # q_embedding_neardup guard), never a silent value-hash divergence
-    assert not pairs["capped"].any(), "exact-text group exceeded max_group"
-    gmap, gsize = _text_group_map(sf_dir)
-    base_a = np.where(pairs["id_a"] >= shift_id, pairs["id_a"] - shift_id, pairs["id_a"])
-    base_b = np.where(pairs["id_b"] >= shift_id, pairs["id_b"] - shift_id, pairs["id_b"])
-    ga = pd.Series(base_a).map(gmap)
-    gb = pd.Series(base_b).map(gmap)
-    within = (ga == gb).to_numpy()
-    wp = pairs[within].assign(group_id=ga[within].to_numpy())
-    found = wp.groupby("group_id").size()
-    full = wp[wp["n_bands"] == bands].groupby("group_id").size()
-    groups = sorted(gsize)
+    assert not pc.any(pairs_tbl["capped"]).as_py(), "group exceeded max_group"
+
+    # pair -> exact-text-group mapping WITHOUT a driver corpus map: the
+    # candidate-id SET (driver-sized, same contract as the pair table
+    # itself) broadcasts into ONE fused pass over the union that emits
+    # (doc_id, composite text hash) for CANDIDATE ids only — corpus text
+    # never leaves the workers, and the collected mapping is bounded by
+    # 2x the pair count, never the corpus.
+    import ray as _ray
+
+    cand_ids = pc.unique(
+        pa.concat_arrays(
+            [pairs_tbl["id_a"].combine_chunks(), pairs_tbl["id_b"].combine_chunks()]
+        )
+    )
+    cand_ref = _ray.put(cand_ids)
+
+    def hash_rows(batch: pa.Table, ref=None) -> pa.Table:
+        keep = pc.is_in(batch["doc_id"], value_set=_worker_broadcast(ref))
+        b = batch.filter(keep)
+        h1, h2 = _text_hash_cols(b["text"])
+        return pa.table({"doc_id": b["doc_id"], "h1": h1, "h2": h2})
+
+    idmap = both.map_batches(
+        hash_rows, fn_kwargs={"ref": cand_ref}, batch_format="pyarrow"
+    ).to_pandas()
+    pairs = pairs_tbl.select(["id_a", "id_b", "n_bands"]).to_pandas()
+    pairs = pairs.merge(
+        idmap.rename(columns={"doc_id": "id_a", "h1": "h1a", "h2": "h2a"}), on="id_a"
+    ).merge(
+        idmap.rename(columns={"doc_id": "id_b", "h1": "h1b", "h2": "h2b"}), on="id_b"
+    )
+    wp = pairs[(pairs["h1a"] == pairs["h1b"]) & (pairs["h2a"] == pairs["h2b"])]
+    within = (
+        wp.assign(
+            n_pairs=np.ones(len(wp), dtype=np.int64),
+            n_pairs_full=(wp["n_bands"] == bands).to_numpy().astype(np.int64),
+        )
+        .groupby(["h1a", "h2a"], as_index=False)[["n_pairs", "n_pairs_full"]]
+        .sum()
+        .rename(columns={"h1a": "h1", "h2a": "h2"})
+    )
+
+    # per-group (group_id, size) from the ORIGINAL docs, distributed
+    def grp_partial(batch: pa.Table) -> pa.Table:
+        h1, h2 = _text_hash_cols(batch["text"])
+        t = pa.table(
+            {
+                "h1": h1,
+                "h2": h2,
+                "group_id": batch["doc_id"],
+                "gsize": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["h1", "h2"]).aggregate(
+            [("group_id", "min"), ("gsize", "sum")]
+        )
+        ren = {"group_id_min": "group_id", "gsize_sum": "gsize"}
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
+
+    grp = coalesce_shuffle_agg(
+        ds.map_batches(grp_partial, batch_format="pyarrow"),
+        ["h1", "h2"],
+        {"group_id": "min", "gsize": "sum"},
+    ).to_pandas()
+    m = grp.merge(within, on=["h1", "h2"], how="left").sort_values("group_id")
     return pa.table(
         {
-            "group_id": pa.array(groups, pa.int64()),
-            "g_union": pa.array([2 * gsize[g] for g in groups], pa.int64()),
+            "group_id": pa.array(m["group_id"].to_numpy().astype(np.int64), pa.int64()),
+            "g_union": pa.array(2 * m["gsize"].to_numpy().astype(np.int64), pa.int64()),
             "n_pairs": pa.array(
-                found.reindex(groups, fill_value=0).to_numpy().astype(np.int64),
-                pa.int64(),
+                m["n_pairs"].fillna(0).to_numpy().astype(np.int64), pa.int64()
             ),
             "n_pairs_full": pa.array(
-                full.reindex(groups, fill_value=0).to_numpy().astype(np.int64),
-                pa.int64(),
+                m["n_pairs_full"].fillna(0).to_numpy().astype(np.int64), pa.int64()
             ),
         }
     )
