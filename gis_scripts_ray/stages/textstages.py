@@ -190,9 +190,11 @@ def rolling_fingerprint_row(text: str, window: int = 16) -> int:
     base = np.uint64(1099511628211)
     b = np.frombuffer((text or "").encode(), dtype=np.uint8).astype(np.uint64)
     if len(b) < window:
-        acc = np.uint64(0xCBF29CE484222325)
+        # Python-int wrap (== uint64 wrap) — numpy SCALAR uint64 multiply
+        # raises RuntimeWarning on overflow, array ops wrap silently
+        acc = 0xCBF29CE484222325
         for x in b:
-            acc = (acc ^ x) * base
+            acc = ((acc ^ int(x)) * 1099511628211) % (1 << 64)
         return int(acc)
     n = len(b) - window + 1
     acc = np.zeros(n, dtype=np.uint64)
