@@ -4229,6 +4229,95 @@ def _sql_text_fingerprints() -> str:
     )
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition quality counters per document (duplicate
+    tokens, most-frequent-bigram count, duplicate trigrams) — the
+    integer numerators/denominators of the published repetition filters,
+    so the distributed result is order-independent and the float rules
+    are single divisions of exact values. Per-doc metric: embarrassingly
+    parallel ``map_batches``, zero shuffle at any scale."""
+    from gis_scripts_ray.stages.textstages import repetition_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def _sql_gopher_repetition() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS w FROM toks
+), tok_counts AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+), big AS (
+  SELECT doc_id, unnest(list_zip(l, l[2:])) AS z FROM toks
+), bigram_counts AS (
+  SELECT doc_id, z[1] || ' ' || z[2] AS g, COUNT(*) AS c
+  FROM big WHERE z[2] IS NOT NULL GROUP BY doc_id, g
+), tri AS (
+  SELECT doc_id, unnest(list_zip(l, l[2:], l[3:])) AS z FROM toks
+), trigram_counts AS (
+  SELECT doc_id, z[1] || ' ' || z[2] || ' ' || z[3] AS g, COUNT(*) AS c
+  FROM tri WHERE z[3] IS NOT NULL GROUP BY doc_id, g
+)
+SELECT t.doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tokens,
+  CAST(COALESCE((SELECT MAX(c) FROM bigram_counts b WHERE b.doc_id = t.doc_id), 0)
+       AS BIGINT) AS max_bigram_n,
+  CAST(COALESCE((SELECT SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                 FROM trigram_counts x WHERE x.doc_id = t.doc_id), 0)
+       AS BIGINT) AS dup_trigram_n
+FROM tok_counts t GROUP BY t.doc_id
+"""
+
+
+def q_boilerplate_ngrams(sf_dir: str):
+    """Corpus boilerplate detection: top-20 word 5-grams by DOCUMENT
+    frequency (an n-gram shared verbatim across many documents is
+    navigation chrome / licence text). Plan: in-batch distinct-per-doc
+    partial df counts -> adaptive combine sum -> PER-BLOCK top-k prune
+    (valid once each ngram is globally unique; same (df DESC, ngram ASC)
+    total order as the finish) -> global sort+limit over k rows per
+    block, so the final sort never sees the full ngram table."""
+    from gis_scripts_ray.stages.textstages import boilerplate_ngram_partials
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    k = 20
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = ds.map_batches(boilerplate_ngram_partials, batch_format="pyarrow")
+    summed = coalesce_shuffle_sum(partials, ["ngram"], ["df"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("df", "descending"), ("ngram", "ascending")],
+        )
+        return batch.take(order[:k])
+
+    pruned = summed.map_batches(block_topk, batch_format="pyarrow")
+    return pruned.sort(["df", "ngram"], descending=[True, False]).limit(k)
+
+
+def _sql_boilerplate_ngrams() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l FROM documents
+), five AS (
+  SELECT doc_id, unnest(list_zip(l, l[2:], l[3:], l[4:], l[5:])) AS z FROM toks
+), grams AS (
+  SELECT DISTINCT doc_id,
+         z[1] || ' ' || z[2] || ' ' || z[3] || ' ' || z[4] || ' ' || z[5] AS g
+  FROM five WHERE z[5] IS NOT NULL
+)
+SELECT g AS ngram, CAST(COUNT(*) AS BIGINT) AS df
+FROM grams GROUP BY g ORDER BY df DESC, ngram ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4316,6 +4405,8 @@ QUERIES: dict[str, Callable] = {
     "smoothed_grid": q_smoothed_grid,
     "decontaminate": q_decontaminate,
     "text_fingerprints": q_text_fingerprints,
+    "gopher_repetition": q_gopher_repetition,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -4392,6 +4483,8 @@ ORACLES: dict[str, str] = {
     "minhash_clusters": _sql_minhash_clusters(),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "text_fingerprints": _sql_text_fingerprints(),
+    "gopher_repetition": _sql_gopher_repetition(),
+    "boilerplate_ngrams": _sql_boilerplate_ngrams(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks

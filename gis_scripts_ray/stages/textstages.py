@@ -509,3 +509,170 @@ def bpe_token_counts(batch: pa.Table, text_col: str, out_col: str = "bpe_tokens"
     return batch.append_column(
         out_col, pa.array(counts.to_numpy().astype(np.int64), pa.int64())
     )
+
+
+def repetition_stats_row(text: str) -> dict:
+    """Per-row reference implementation (parity oracle for tests).
+
+    Gopher-style repetition counters over a LITERAL-SPACE token split
+    (DuckDB ``string_split(text, ' ')`` semantics — empties kept, one
+    empty token for the empty string), reported in the INTEGER domain so
+    the distributed result is order-independent:
+
+    * ``n_tokens``      — token occurrences
+    * ``dup_tokens``    — occurrences of tokens appearing >= 2 times
+    * ``max_bigram_n``  — count of the most frequent bigram (0 if none)
+    * ``dup_trigram_n`` — occurrences of trigrams appearing >= 2 times
+
+    The float Gopher rules (duplicate-token fraction, top-bigram char
+    fraction) are single divisions of these exact integers."""
+    from collections import Counter
+
+    toks = (text or "").split(" ")
+    tc = Counter(toks)
+    bc = Counter(zip(toks, toks[1:]))
+    trc = Counter(zip(toks, toks[1:], toks[2:]))
+    return {
+        "n_tokens": len(toks),
+        "dup_tokens": sum(c for c in tc.values() if c >= 2),
+        "max_bigram_n": max(bc.values(), default=0),
+        "dup_trigram_n": sum(c for c in trc.values() if c >= 2),
+    }
+
+
+_REPETITION_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("dup_tokens", pa.int64()),
+        ("max_bigram_n", pa.int64()),
+        ("dup_trigram_n", pa.int64()),
+    ]
+)
+
+
+def repetition_stats(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Batch-vectorized Gopher repetition counters (quality-filter stage).
+
+    One explode of the literal-space token split with an in-batch doc
+    index; bigrams/trigrams come from SHIFTED token columns masked to
+    same-doc positions (no per-row Python, no per-doc loop), counts from
+    three polars group_bys. Per-doc metric — embarrassingly parallel, no
+    shuffle. Bit-exact vs :func:`repetition_stats_row` (parity test)."""
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return _REPETITION_SCHEMA.empty_table()
+    s = pl.from_arrow(batch[text_col])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    n = batch.num_rows
+    t = (
+        pl.DataFrame(
+            {
+                "__doc": np.arange(n, dtype=np.int64),
+                "tok": s.fill_null("").str.split(" "),
+            }
+        )
+        .explode("tok")
+        .with_columns(
+            g2=pl.concat_str(
+                [pl.col("tok"), pl.col("tok").shift(-1)], separator=" "
+            ),
+            g3=pl.concat_str(
+                [pl.col("tok"), pl.col("tok").shift(-1), pl.col("tok").shift(-2)],
+                separator=" ",
+            ),
+            same2=pl.col("__doc") == pl.col("__doc").shift(-1),
+            same3=pl.col("__doc") == pl.col("__doc").shift(-2),
+        )
+    )
+    tok_counts = t.group_by(["__doc", "tok"]).len(name="c")
+    per_doc = tok_counts.group_by("__doc").agg(
+        pl.col("c").sum().alias("n_tokens"),
+        pl.col("c").filter(pl.col("c") >= 2).sum().alias("dup_tokens"),
+    )
+    big = (
+        t.filter(pl.col("same2"))
+        .group_by(["__doc", "g2"])
+        .len(name="c")
+        .group_by("__doc")
+        .agg(pl.col("c").max().alias("max_bigram_n"))
+    )
+    tri = (
+        t.filter(pl.col("same3"))
+        .group_by(["__doc", "g3"])
+        .len(name="c")
+        .group_by("__doc")
+        .agg(pl.col("c").filter(pl.col("c") >= 2).sum().alias("dup_trigram_n"))
+    )
+    out = (
+        per_doc.join(big, on="__doc", how="left")
+        .join(tri, on="__doc", how="left")
+        .fill_null(0)
+        .sort("__doc")
+    )
+    ids = batch[id_col].combine_chunks()
+    doc_pos = out["__doc"].to_numpy()
+    return pa.table(
+        {
+            "doc_id": pc.take(ids, pa.array(doc_pos, pa.int64())),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy().astype(np.int64)),
+            "dup_tokens": pa.array(out["dup_tokens"].to_numpy().astype(np.int64)),
+            "max_bigram_n": pa.array(
+                out["max_bigram_n"].to_numpy().astype(np.int64)
+            ),
+            "dup_trigram_n": pa.array(
+                out["dup_trigram_n"].to_numpy().astype(np.int64)
+            ),
+        },
+        schema=_REPETITION_SCHEMA,
+    )
+
+
+def boilerplate_ngram_partials(
+    batch: pa.Table, text_col: str = "text", n: int = 5
+) -> pa.Table:
+    """Per-block partial document-frequency counts of word ``n``-grams
+    (boilerplate detection: an n-gram shared verbatim by many documents
+    is navigation chrome / licence text, not content).
+
+    A document is one row, so distinct-within-doc is an IN-BATCH unique;
+    the partial emits each (doc, ngram) once and the adaptive combine
+    sums the df counts downstream — the all-to-all carries one row per
+    distinct ngram per block, never per occurrence."""
+    import polars as pl
+
+    out_schema = pa.schema([("ngram", pa.string()), ("df", pa.int64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    s = pl.from_arrow(batch[text_col])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    t = pl.DataFrame(
+        {
+            "__doc": np.arange(batch.num_rows, dtype=np.int64),
+            "tok": s.fill_null("").str.split(" "),
+        }
+    ).explode("tok")
+    t = t.with_columns(
+        g=pl.concat_str(
+            [pl.col("tok").shift(-k) for k in range(n)], separator=" "
+        ),
+        same=pl.col("__doc") == pl.col("__doc").shift(-(n - 1)),
+    )
+    d = (
+        t.filter(pl.col("same"))
+        .unique(subset=["__doc", "g"])
+        .group_by("g")
+        .len(name="df")
+    )
+    return pa.table(
+        {
+            "ngram": pa.array(d["g"].to_list(), pa.string()),
+            "df": pa.array(d["df"].to_numpy().astype(np.int64), pa.int64()),
+        },
+        schema=out_schema,
+    )

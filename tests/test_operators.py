@@ -597,3 +597,62 @@ class TestStatsTests:
         assert [difference_label(r) for r in (0.05, -0.2, 0.4, -0.9)] == [
             "Negligible", "Small", "Moderate", "Large",
         ]
+
+
+class TestRepetitionKernels:
+    """Gopher repetition counters + boilerplate n-gram partials: the
+    batch kernels vs the per-row reference, and block-structure
+    independence of the distinct-per-doc partial counts."""
+
+    def test_repetition_stats_matches_per_row(self):
+        from gis_scripts_ray.stages.textstages import (
+            repetition_stats,
+            repetition_stats_row,
+        )
+
+        texts = _TRICKY_TEXTS + [
+            None,
+            "a a a",
+            "a b a b a b",
+            " leading",
+            "trailing ",
+            "double  space",
+            "a b c a b c a b c a b",
+        ]
+        b = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = repetition_stats(b).to_pydict()
+        assert out["doc_id"] == list(range(len(texts)))
+        for i, t in enumerate(texts):
+            want = repetition_stats_row(t)
+            for col in ("n_tokens", "dup_tokens", "max_bigram_n", "dup_trigram_n"):
+                assert out[col][i] == want[col], (i, col, t)
+
+    def test_boilerplate_partials_block_structure_independent(self):
+        import collections
+
+        from gis_scripts_ray.stages.textstages import boilerplate_ngram_partials
+
+        texts = ["a b c d e f g", "a b c d e", "z z z z z z z", None, "q a b c d e"]
+        b = pa.table({"text": pa.array(texts, pa.string())})
+
+        def counts(tbl):
+            return collections.Counter(
+                dict(zip(tbl["ngram"].to_pylist(), tbl["df"].to_pylist()))
+            )
+
+        whole = counts(boilerplate_ngram_partials(b))
+        split = collections.Counter()
+        for lo, hi in [(0, 2), (2, 3), (3, 5)]:
+            split.update(counts(boilerplate_ngram_partials(b.slice(lo, hi - lo))))
+        assert split == whole
+        # distinct-per-doc: docs 0, 1, 4 each contain "a b c d e" once
+        assert whole["a b c d e"] == 3
+        # repeated-token doc contributes its 5-gram ONCE despite 3 windows
+        assert whole["z z z z z"] == 1
+        # no n-gram crosses a document boundary
+        assert "f g q a b" not in whole and "e f g a b" not in whole

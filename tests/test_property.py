@@ -114,3 +114,26 @@ class TestSmoothIntParity:
         bn, bd = smooth_cells_reference(y, x, v, kernel)
         assert np.array_equal(num[y, x], bn)
         assert np.array_equal(den[y, x], bd)
+
+
+class TestRepetitionParity:
+    @settings(max_examples=60, deadline=None)
+    @given(_docs)
+    def test_batch_equals_per_row(self, docs):
+        from gis_scripts_ray.stages.textstages import (
+            repetition_stats,
+            repetition_stats_row,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        out = repetition_stats(t).to_pydict()
+        assert out["doc_id"] == list(range(len(docs)))
+        for i, d in enumerate(docs):
+            want = repetition_stats_row(d)
+            for col in ("n_tokens", "dup_tokens", "max_bigram_n", "dup_trigram_n"):
+                assert out[col][i] == want[col], (i, col, d)
