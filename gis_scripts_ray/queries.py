@@ -4318,6 +4318,97 @@ FROM grams GROUP BY g ORDER BY df DESC, ngram ASC LIMIT 20
 """
 
 
+def q_vocab_coverage(sf_dir: str):
+    """CCNet-style vocabulary-coverage scoring: per-doc token
+    occurrences, occurrences inside the corpus top-16 vocabulary
+    ((count DESC, token ASC) total order pinned cross-engine) and
+    distinct out-of-vocabulary types. Plan: vocab via partial counts ->
+    adaptive combine -> per-block top-v prune -> 16-row finish; the
+    16-row vocab broadcasts once (``ray.put`` + per-worker cache) into
+    ONE fused per-doc pass — zero shuffle of document rows at any
+    scale (the vocab is a bounded config, like decontam's eval set)."""
+    import ray as _ray
+
+    from gis_scripts_ray.stages.textstages import vocab_coverage_batch, vocab_topv
+    from gis_scripts_ray.state.broadcast import worker_broadcast
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vocab = tuple(
+        vocab_topv(ds, v=16).to_pandas()["token"].tolist()
+    )  # 16 rows — bounded by config, not by data
+    ref = _ray.put(vocab)
+
+    def fused(batch: pa.Table) -> pa.Table:
+        return vocab_coverage_batch(batch, worker_broadcast(ref))
+
+    return ds.map_batches(fused, batch_format="pyarrow")
+
+
+def _sql_vocab_coverage() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS w FROM documents
+), cnt AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+), vocab AS (
+  SELECT w FROM cnt ORDER BY c DESC, w ASC LIMIT 16
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+  CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN t.w END) AS BIGINT) AS n_oov_types
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+"""
+
+
+def q_zipf_histogram(sf_dir: str):
+    """Frequency spectrum (Zipf histogram) of word bigrams: bucket =
+    bit length of each bigram's global occurrence count, with per-bucket
+    type and occurrence totals — the corpus-statistics profile a
+    pretraining pipeline reads before choosing filter thresholds.
+    Double aggregation: per-block bigram partials -> adaptive combine
+    (globally unique bigrams; the only wide step) -> in-block bucket
+    partials -> tiny (<= 64 buckets) second combine. Bit length via
+    ``frexp`` exponent (exact < 2^53) == DuckDB
+    ``length(printf('%b', c))``."""
+    from gis_scripts_ray.stages.textstages import (
+        ngram_occurrence_partials,
+        zipf_bucket_partial,
+    )
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts = coalesce_shuffle_sum(
+        ds.map_batches(ngram_occurrence_partials, batch_format="pyarrow"),
+        ["g"],
+        ["c"],
+    )
+    buckets = counts.map_batches(zipf_bucket_partial, batch_format="pyarrow")
+    return coalesce_shuffle_sum(buckets, ["bucket"], ["n_types", "n_occ"]).sort(
+        "bucket"
+    )
+
+
+def _sql_zipf_histogram() -> str:
+    return """
+WITH toks AS (
+  SELECT string_split(COALESCE(text, ''), ' ') AS l FROM documents
+), big AS (
+  SELECT unnest(list_zip(l, l[2:])) AS z FROM toks
+), cnt AS (
+  SELECT z[1] || ' ' || z[2] AS g, COUNT(*) AS c
+  FROM big WHERE z[2] IS NOT NULL GROUP BY g
+)
+SELECT CAST(length(printf('%b', c)) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(c) AS BIGINT) AS n_occ
+FROM cnt GROUP BY bucket ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4407,6 +4498,8 @@ QUERIES: dict[str, Callable] = {
     "text_fingerprints": q_text_fingerprints,
     "gopher_repetition": q_gopher_repetition,
     "boilerplate_ngrams": q_boilerplate_ngrams,
+    "vocab_coverage": q_vocab_coverage,
+    "zipf_histogram": q_zipf_histogram,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -4485,6 +4578,8 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": _sql_text_fingerprints(),
     "gopher_repetition": _sql_gopher_repetition(),
     "boilerplate_ngrams": _sql_boilerplate_ngrams(),
+    "vocab_coverage": _sql_vocab_coverage(),
+    "zipf_histogram": _sql_zipf_histogram(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks

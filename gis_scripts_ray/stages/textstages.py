@@ -676,3 +676,187 @@ def boilerplate_ngram_partials(
         },
         schema=out_schema,
     )
+
+
+def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block partial token OCCURRENCE counts (token, c) — the
+    pre-aggregation in front of the adaptive combine, so the all-to-all
+    carries one row per distinct token per block, never per occurrence.
+    Tokenization is the engine-wide contract: literal-space split of
+    null-normalized text (DuckDB ``string_split(COALESCE(text,''), ' ')``
+    — empties kept, '' yields one empty token)."""
+    out_schema = pa.schema([("token", pa.string()), ("c", pa.int64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    toks = pc.list_flatten(
+        pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+    )
+    out = pa.table({"token": toks}).group_by(["token"]).aggregate([([], "count_all")])
+    return pa.table(
+        {"token": out["token"], "c": out["count_all"].cast(pa.int64())},
+        schema=out_schema,
+    )
+
+
+def vocab_topv(
+    ds: "ray.data.Dataset", text_col: str = "text", v: int = 16
+) -> "ray.data.Dataset":
+    """Corpus top-``v`` tokens by total occurrence count, total order
+    pinned cross-engine as (c DESC, token ASC). Plan: in-batch partial
+    counts -> adaptive combine (globally unique tokens) -> per-block
+    top-``v`` prune (valid only AFTER global uniqueness; same total
+    order as the finish) -> ``v``-row global sort+limit — the final sort
+    never sees the full vocabulary."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    counts = coalesce_shuffle_sum(
+        ds.map_batches(
+            token_count_partials,
+            fn_kwargs={"text_col": text_col},
+            batch_format="pyarrow",
+        ),
+        ["token"],
+        ["c"],
+    )
+
+    def block_topv(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[("c", "descending"), ("token", "ascending")]
+        )
+        return batch.take(order[:v])
+
+    pruned = counts.map_batches(block_topv, batch_format="pyarrow")
+    return pruned.sort(["c", "token"], descending=[True, False]).limit(v)
+
+
+def vocab_coverage_row(text: "str | None", vocab: "set[str]") -> dict:
+    """Per-row reference for :func:`vocab_coverage_batch` (parity
+    oracle): token occurrences, in-vocab occurrences, distinct
+    out-of-vocabulary token types."""
+    toks = (text or "").split(" ")
+    inv = [t in vocab for t in toks]
+    return {
+        "n_tokens": len(toks),
+        "n_in_vocab": sum(inv),
+        "n_oov_types": len({t for t, i in zip(toks, inv) if not i}),
+    }
+
+
+_VOCAB_COVERAGE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_in_vocab", pa.int64()),
+        ("n_oov_types", pa.int64()),
+    ]
+)
+
+
+def vocab_coverage_batch(
+    batch: pa.Table,
+    vocab: "tuple[str, ...]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Per-doc vocabulary-coverage counters (the CCNet-style quality
+    signal: how much of a document is made of the corpus's common
+    tokens). Per-doc metric over a fixed small vocab — embarrassingly
+    parallel, zero shuffle; one polars explode + ``is_in`` per batch.
+    Bit-exact vs :func:`vocab_coverage_row` (parity test)."""
+    import polars as pl
+
+    if batch.num_rows == 0:
+        return _VOCAB_COVERAGE_SCHEMA.empty_table()
+    s = pl.from_arrow(batch[text_col])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    t = (
+        pl.DataFrame(
+            {
+                "__doc": np.arange(batch.num_rows, dtype=np.int64),
+                "tok": s.fill_null("").str.split(" "),
+            }
+        )
+        .explode("tok")
+        .with_columns(inv=pl.col("tok").is_in(list(vocab)))
+    )
+    agg = t.group_by("__doc", maintain_order=True).agg(
+        pl.len().alias("n_tokens"),
+        pl.col("inv").sum().alias("n_in_vocab"),
+        pl.col("tok").filter(~pl.col("inv")).n_unique().alias("n_oov_types"),
+    )
+    assert len(agg) == batch.num_rows  # every doc has >= 1 token
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy().astype(np.int64)),
+            "n_in_vocab": pa.array(agg["n_in_vocab"].to_numpy().astype(np.int64)),
+            "n_oov_types": pa.array(
+                agg["n_oov_types"].to_numpy().astype(np.int64)
+            ),
+        },
+        schema=_VOCAB_COVERAGE_SCHEMA,
+    )
+
+
+def ngram_occurrence_partials(
+    batch: pa.Table, text_col: str = "text", n: int = 2
+) -> pa.Table:
+    """Per-block partial word n-gram OCCURRENCE counts (g, c) — like
+    :func:`boilerplate_ngram_partials` but counting every occurrence
+    instead of distinct-per-doc (the Zipf / frequency-spectrum input).
+    N-grams never cross document boundaries."""
+    import polars as pl
+
+    out_schema = pa.schema([("g", pa.string()), ("c", pa.int64())])
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    s = pl.from_arrow(batch[text_col])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    t = pl.DataFrame(
+        {
+            "__doc": np.arange(batch.num_rows, dtype=np.int64),
+            "tok": s.fill_null("").str.split(" "),
+        }
+    ).explode("tok")
+    t = t.with_columns(
+        g=pl.concat_str(
+            [pl.col("tok").shift(-k) for k in range(n)], separator=" "
+        ),
+        same=pl.col("__doc") == pl.col("__doc").shift(-(n - 1)),
+    )
+    d = t.filter(pl.col("same")).group_by("g").len(name="c")
+    return pa.table(
+        {
+            "g": pa.array(d["g"].to_list(), pa.string()),
+            "c": pa.array(d["c"].to_numpy().astype(np.int64), pa.int64()),
+        },
+        schema=out_schema,
+    )
+
+
+def zipf_bucket_partial(batch: pa.Table, count_col: str = "c") -> pa.Table:
+    """Per-block partial of the frequency SPECTRUM: bucket = bit length
+    of the (already globally combined) per-key count — ``frexp``'s
+    exponent, exact for counts < 2^53, the engine twin of DuckDB
+    ``length(printf('%b', c))`` — with per-bucket type and occurrence
+    sums. Valid only on globally-unique keys (bucketing a partial count
+    is wrong); callers combine counts first."""
+    out_schema = pa.schema(
+        [("bucket", pa.int64()), ("n_types", pa.int64()), ("n_occ", pa.int64())]
+    )
+    if batch.num_rows == 0:
+        return out_schema.empty_table()
+    c = batch[count_col].to_numpy().astype(np.int64)
+    bucket = np.frexp(c.astype(np.float64))[1].astype(np.int64)
+    t = pa.table({"bucket": pa.array(bucket), "c": pa.array(c)})
+    out = t.group_by(["bucket"]).aggregate([([], "count_all"), ("c", "sum")])
+    return pa.table(
+        {
+            "bucket": out["bucket"],
+            "n_types": out["count_all"].cast(pa.int64()),
+            "n_occ": out["c_sum"].cast(pa.int64()),
+        },
+        schema=out_schema,
+    )

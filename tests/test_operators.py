@@ -656,3 +656,69 @@ class TestRepetitionKernels:
         assert whole["z z z z z"] == 1
         # no n-gram crosses a document boundary
         assert "f g q a b" not in whole and "e f g a b" not in whole
+
+
+class TestVocabZipfKernels:
+    """Vocabulary-coverage and frequency-spectrum kernels: batch vs
+    per-row parity and block-structure independence of the partials."""
+
+    def test_vocab_coverage_matches_per_row(self):
+        from gis_scripts_ray.stages.textstages import (
+            vocab_coverage_batch,
+            vocab_coverage_row,
+        )
+
+        texts = _TRICKY_TEXTS + [None, "a a b", " leading", "double  space"]
+        vocab = ("the", "a", "und", "", "一二三四五六七八九十")
+        b = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = vocab_coverage_batch(b, vocab).to_pydict()
+        assert out["doc_id"] == list(range(len(texts)))
+        for i, t in enumerate(texts):
+            want = vocab_coverage_row(t, set(vocab))
+            for col in ("n_tokens", "n_in_vocab", "n_oov_types"):
+                assert out[col][i] == want[col], (i, col, t)
+
+    def test_count_partials_block_structure_independent(self):
+        import collections
+
+        from gis_scripts_ray.stages.textstages import (
+            ngram_occurrence_partials,
+            token_count_partials,
+        )
+
+        texts = ["a b a", "a b", None, "z z z", "b a b a"]
+        b = pa.table({"text": pa.array(texts, pa.string())})
+
+        def counts(tbl, k, v):
+            return collections.Counter(
+                dict(zip(tbl[k].to_pylist(), tbl[v].to_pylist()))
+            )
+
+        for fn, k in ((token_count_partials, "token"), (ngram_occurrence_partials, "g")):
+            whole = counts(fn(b), k, "c")
+            split = collections.Counter()
+            for lo, hi in [(0, 2), (2, 3), (3, 5)]:
+                split.update(counts(fn(b.slice(lo, hi - lo)), k, "c"))
+            assert split == whole, fn.__name__
+        # occurrences, not distinct-per-doc; bigrams never cross docs
+        grams = counts(ngram_occurrence_partials(b), "g", "c")
+        assert grams["a b"] == 3 and grams["z z"] == 2
+        assert "a a" not in grams and "b z" not in grams
+
+    def test_zipf_bucket_is_bit_length(self):
+        from gis_scripts_ray.stages.textstages import zipf_bucket_partial
+
+        cs = [1, 2, 3, 4, 7, 8, 964, 2**31, 2**52 - 1, 2**52]
+        b = pa.table({"c": pa.array(cs, pa.int64())})
+        out = zipf_bucket_partial(b)
+        got = dict(zip(out["bucket"].to_pylist(), out["n_types"].to_pylist()))
+        import collections
+
+        want = collections.Counter(c.bit_length() for c in cs)
+        assert got == dict(want)
+        assert sum(out["n_occ"].to_pylist()) == sum(cs)
