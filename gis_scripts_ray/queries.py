@@ -4409,6 +4409,51 @@ FROM cnt GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_span_dedup(sf_dir: str):
+    """Global duplicate-span removal (stages/spandedup.py — the C4 /
+    RefinedWeb exact line-dedup shape over non-overlapping 3-word
+    spans): each distinct span survives only at its globally first
+    (doc_id, span_idx) occurrence; documents are rebuilt from their
+    kept spans. One partial pass (24 bytes per distinct span per block
+    shuffled — text never shuffles), adaptive combine, measured
+    broadcast of the duplicated-span keeper map into a fused rebuild
+    pass (hash-join fallback above the limit). Output:
+    (doc_id, clean_text, n_spans, n_removed) — the oracle hash covers
+    the rebuilt TEXT, not just counts."""
+    from gis_scripts_ray.stages.spandedup import span_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return span_dedup(ds, w=3)
+
+
+def _sql_span_dedup() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS l,
+         len(string_split(COALESCE(text, ''), ' ')) AS n
+  FROM documents
+), spans AS (
+  SELECT doc_id, gs.k AS si,
+         array_to_string(array_slice(l, gs.k*3 + 1, gs.k*3 + 3), ' ') AS span
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(0, CAST((n + 2) // 3 AS BIGINT) - 1)) AS k
+  ) gs
+), ranked AS (
+  SELECT doc_id, si, span,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, si) AS rn
+  FROM spans
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY si), '')
+    AS clean_text,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4500,6 +4545,7 @@ QUERIES: dict[str, Callable] = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "vocab_coverage": q_vocab_coverage,
     "zipf_histogram": q_zipf_histogram,
+    "span_dedup": q_span_dedup,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -4580,6 +4626,7 @@ ORACLES: dict[str, str] = {
     "boilerplate_ngrams": _sql_boilerplate_ngrams(),
     "vocab_coverage": _sql_vocab_coverage(),
     "zipf_histogram": _sql_zipf_histogram(),
+    "span_dedup": _sql_span_dedup(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks

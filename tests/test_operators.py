@@ -722,3 +722,94 @@ class TestVocabZipfKernels:
         want = collections.Counter(c.bit_length() for c in cs)
         assert got == dict(want)
         assert sum(out["n_occ"].to_pylist()) == sum(cs)
+
+
+class TestSpanDedup:
+    """Global duplicate-span removal: whole-corpus reference parity
+    through the broadcast path, byte-identity of the join fallback,
+    block invariance, and the packing-contract guard."""
+
+    def _fixture(self):
+        texts = [
+            "a b c d e f a b c",      # within-doc dup of span "a b c"
+            "a b c x y z",            # cross-doc dup (loses "a b c")
+            None,                      # '' -> one empty span
+            "",                        # second '' -> removed
+            "x y z a b c d e f",      # loses all three spans
+            "p q",                     # short remainder span, unique
+            "d e f p q",              # loses both
+            "a b  c",                 # double space: words ['a','b','','c']
+        ]
+        ids = [3, 1, 10, 4, 7, 2, 9, 5]
+        return ids, texts
+
+    def _run(self, ray_session, **kw):
+        import ray
+
+        from gis_scripts_ray.stages.spandedup import span_dedup
+
+        ids, texts = self._fixture()
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = span_dedup(
+            ray.data.from_arrow(t).repartition(3), w=3, **kw
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def test_matches_reference_broadcast_path(self, ray_session):
+        from gis_scripts_ray.stages.spandedup import span_dedup_reference
+
+        ids, texts = self._fixture()
+        want = span_dedup_reference(ids, texts, w=3)
+        got = self._run(ray_session)
+        assert len(got) == len(ids)
+        for _, r in got.iterrows():
+            ct, ns, nr = want[r["doc_id"]]
+            assert (r["clean_text"], r["n_spans"], r["n_removed"]) == (ct, ns, nr), (
+                r["doc_id"]
+            )
+        # at least one doc fully emptied and one untouched
+        assert (got["clean_text"] == "").any()
+        assert (got["n_removed"] == 0).any()
+
+    def test_join_fallback_byte_identical(self, ray_session):
+        a = self._run(ray_session)
+        b = self._run(ray_session, broadcast_limit=0, num_partitions=4,
+                      rebuild_buckets=3)
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+    def test_untouched_corpus_roundtrips(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.spandedup import span_dedup
+
+        texts = ["q w e r t", "z x c", "m n b v"]
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = (
+            span_dedup(ray.data.from_arrow(t), w=3)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["clean_text"].tolist() == texts
+        assert out["n_removed"].tolist() == [0, 0, 0]
+
+    def test_packing_guard(self):
+        from gis_scripts_ray.stages.spandedup import span_keeper_partials
+
+        bad = pa.table(
+            {
+                "doc_id": pa.array([-1], pa.int64()),
+                "text": pa.array(["a b c"], pa.string()),
+            }
+        )
+        with pytest.raises(ValueError, match="packing contract"):
+            span_keeper_partials(bad)
