@@ -4454,6 +4454,92 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_canonical_url_dedup(sf_dir: str):
+    """Canonical-URL dedup (functions/urlnorm.py — the CommonCrawl "same
+    page, many spellings" discipline; reference analogy: the D1 skip-if-done
+    download dedup of ``seagrass_lib.py``, keyed on the web-corpus URL).
+
+    Synthesizes four deterministic messy spelling variants per doc
+    (scheme/case/www/port/query/fragment/trailing-slash noise), runs the
+    REAL vectorized normalizer over them, keeps the minimum doc_id per
+    canonical URL (first-wins), and rolls the kept set up per host. The SQL
+    twin derives the canonical form ANALYTICALLY (``host/p{doc_id // 3}``;
+    exact on non-negative ids where trunc == floor) — an independent
+    derivation, so any normalizer defect hash-mismatches rather than being
+    mirrored in the oracle.
+
+    Scale shape: only (curl, min_id, count) partials ever shuffle (tens of
+    bytes per distinct URL per block); the per-host rollup is a second
+    bounded combine. No driver materialization at any step."""
+    from gis_scripts_ray.functions.urlnorm import (
+        canonicalize_urls,
+        variant_urls_for_docs,
+    )
+    from gis_scripts_ray.sources.webpages import _host_index_for_doc, host_names
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    host_pool = pa.array(host_names(), pa.string())
+
+    def url_partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hosts = pc.take(host_pool, pa.array(_host_index_for_doc(d)))
+        curl = canonicalize_urls(variant_urls_for_docs(d, hosts))
+        t = pa.table({"curl": curl, "doc_id": pa.array(d)})
+        out = t.group_by(["curl"]).aggregate([("doc_id", "min"), ([], "count_all")])
+        names = {"doc_id_min": "keep_id", "count_all": "n_variants"}
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    kept = coalesce_shuffle_agg(
+        ds.map_batches(url_partial, batch_format="pyarrow"),
+        ["curl"],
+        {"keep_id": "min", "n_variants": "sum"},
+    )
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            batch["curl"].combine_chunks(), r"(?s)/.*$", ""
+        )
+        t = pa.table(
+            {
+                "host": host,
+                "keep_id": batch["keep_id"],
+                "n_variants": batch["n_variants"],
+            }
+        )
+        out = t.group_by(["host"]).aggregate(
+            [("keep_id", "sum"), ("n_variants", "sum"), ([], "count_all")]
+        )
+        names = {
+            "keep_id_sum": "sum_keep_id",
+            "n_variants_sum": "n_docs",
+            "count_all": "n_kept",
+        }
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    rolled = coalesce_shuffle_agg(
+        kept.map_batches(host_partial, batch_format="pyarrow"),
+        ["host"],
+        {"sum_keep_id": "sum", "n_docs": "sum", "n_kept": "sum"},
+    )
+    return rolled.sort("host")
+
+
+def _sql_canonical_url_dedup() -> str:
+    return (
+        f"WITH hx AS (SELECT doc_id, {_HIDX_SQL} AS hidx FROM documents), "
+        "canon AS (SELECT printf('site%03d.example.org/p%d', "
+        "CAST(hidx AS INT), doc_id // 3) AS curl, doc_id FROM hx), "
+        "kept AS (SELECT curl, MIN(doc_id) AS keep_id, COUNT(*) AS n_variants "
+        "FROM canon GROUP BY curl) "
+        "SELECT split_part(curl, '/', 1) AS host, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "CAST(SUM(n_variants) AS BIGINT) AS n_docs, "
+        "CAST(SUM(keep_id) AS BIGINT) AS sum_keep_id "
+        "FROM kept GROUP BY host ORDER BY host"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4546,6 +4632,7 @@ QUERIES: dict[str, Callable] = {
     "vocab_coverage": q_vocab_coverage,
     "zipf_histogram": q_zipf_histogram,
     "span_dedup": q_span_dedup,
+    "canonical_url_dedup": q_canonical_url_dedup,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -4627,6 +4714,7 @@ ORACLES: dict[str, str] = {
     "vocab_coverage": _sql_vocab_coverage(),
     "zipf_histogram": _sql_zipf_histogram(),
     "span_dedup": _sql_span_dedup(),
+    "canonical_url_dedup": _sql_canonical_url_dedup(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks

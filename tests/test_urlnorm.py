@@ -1,0 +1,83 @@
+"""URL canonicalization: vectorized-kernel vs per-row-reference parity
+(repo rule: every vectorized kernel keeps a bit-exact per-row oracle),
+hostile-input behavior, and the variant-synthesis invariant that every
+messy spelling canonicalizes to the analytic form ``host/p{doc_id // 3}``."""
+
+import numpy as np
+import pyarrow as pa
+
+from gis_scripts_ray.functions.urlnorm import (
+    canonicalize_url_one,
+    canonicalize_urls,
+    variant_url_one,
+    variant_urls_for_docs,
+)
+
+HOSTILE = [
+    "https://WWW.Site001.example.org:443/p12?q=1#f",
+    "http://a.b/p4/",
+    "HTTPS://www.X.Y/p9",
+    "x.y/p1",  # schemeless
+    "",
+    "ftp://Files.Example.ORG:80/Dir/File.TXT",
+    "https://host.example/",  # bare host, trailing slash
+    "https://host.example:8080/p1",  # non-default port kept
+    "https://host.example/Path/Is/CaseSensitive",
+    "http://www.w.example/p2?utm=1&x=2#frag?fake",
+    "https://h.example/p3#frag/with/slashes",
+    "https://h.example/p5///",
+    "www.only-www.example/p6",
+    "https://UPPER.example/p7?Q=UPPER#F",
+    None,
+]
+
+
+class TestCanonicalizeParity:
+    def test_vectorized_matches_per_row(self):
+        got = canonicalize_urls(pa.array(HOSTILE, pa.string())).to_pylist()
+        want = [canonicalize_url_one(u) for u in HOSTILE]
+        assert got == want
+
+    def test_semantics_pinned(self):
+        assert (
+            canonicalize_url_one("https://WWW.Site001.example.org:443/p12?q=1#f")
+            == "site001.example.org/p12"
+        )
+        # path case preserved, host lowered
+        assert (
+            canonicalize_url_one("https://UPPER.example/Path/Mixed")
+            == "upper.example/Path/Mixed"
+        )
+        # non-default port preserved
+        assert canonicalize_url_one("https://h.e:8080/p1") == "h.e:8080/p1"
+
+    def test_zero_row(self):
+        out = canonicalize_urls(pa.array([], pa.string()))
+        assert len(out) == 0
+
+    def test_chunked_input(self):
+        ch = pa.chunked_array([HOSTILE[:5], HOSTILE[5:]], pa.string())
+        got = canonicalize_urls(ch).to_pylist()
+        assert got == [canonicalize_url_one(u) for u in HOSTILE]
+
+
+class TestVariantSynthesis:
+    def test_vectorized_matches_per_row(self):
+        d = np.arange(0, 37, dtype=np.int64)
+        hosts = [f"site{i % 3:03d}.example.org" for i in d]
+        got = variant_urls_for_docs(d, pa.array(hosts)).to_pylist()
+        want = [variant_url_one(int(i), h) for i, h in zip(d, hosts)]
+        assert got == want
+
+    def test_all_variants_canonicalize_to_analytic_form(self):
+        d = np.arange(0, 24, dtype=np.int64)
+        hosts = ["site007.example.org"] * len(d)
+        messy = variant_urls_for_docs(d, pa.array(hosts))
+        canon = canonicalize_urls(messy).to_pylist()
+        assert canon == [f"site007.example.org/p{int(i) // 3}" for i in d]
+
+    def test_zero_row(self):
+        out = variant_urls_for_docs(
+            np.array([], dtype=np.int64), pa.array([], pa.string())
+        )
+        assert len(out) == 0
