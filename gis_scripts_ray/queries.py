@@ -4525,6 +4525,90 @@ def q_canonical_url_dedup(sf_dir: str):
     return rolled.sort("host")
 
 
+def q_lang_median_filter(sf_dir: str):
+    """Per-language median-length quality gate (the CCNet-style "judge each
+    document against its OWN language's distribution" filter): compute the
+    exact lower median of n_chars per language (``stages/stats.
+    grouped_median`` — value-compacted shuffle, never the rows), broadcast
+    the tiny per-language threshold table (|languages| is bounded by the
+    world's language codes — a contract, not a guess), and keep documents
+    with ``n_chars >= median(their lang)``. Output: per-language kept count,
+    kept character total, and kept doc_id checksum — integer domain end to
+    end.
+
+    Pipeline shape exercised: aggregate -> broadcast -> filter -> aggregate,
+    with the filter threshold derived from the data itself (two passes over
+    the input, no row ever shuffles)."""
+    from gis_scripts_ray.stages.stats import grouped_median
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    med = grouped_median(
+        ds.map_batches(
+            lambda b: b.select(["lang", "n_chars"]), batch_format="pyarrow"
+        ),
+        ["lang"],
+        "n_chars",
+        out_col="med",
+    )
+    # |languages| rows — a compacted aggregate, bounded by the world's
+    # language codes; driver materialization is the contract here.
+    med_pd = med.to_pandas()
+    langs = pa.array(med_pd["lang"].tolist(), pa.string())
+    thr = med_pd["med"].to_numpy(dtype=np.int64)
+
+    def filter_partial(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["lang"].combine_chunks(), langs).to_numpy(
+            zero_copy_only=False
+        )
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        keep = n_chars >= thr[idx.astype(np.int64)]
+        t = pa.table(
+            {
+                "lang": pc.array_filter(batch["lang"].combine_chunks(), pa.array(keep)),
+                "n_chars": pa.array(n_chars[keep]),
+                "doc_id": pc.array_filter(
+                    batch["doc_id"].combine_chunks(), pa.array(keep)
+                ),
+            }
+        )
+        out = t.group_by(["lang"]).aggregate(
+            [("n_chars", "sum"), ("doc_id", "sum"), ([], "count_all")]
+        )
+        names = {
+            "n_chars_sum": "sum_chars",
+            "doc_id_sum": "sum_doc_id",
+            "count_all": "n_kept",
+        }
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    rolled = coalesce_shuffle_sum(
+        ds.map_batches(filter_partial, batch_format="pyarrow"),
+        ["lang"],
+        ["sum_chars", "sum_doc_id", "n_kept"],
+    )
+    return rolled.sort("lang")
+
+
+def _sql_lang_median_filter() -> str:
+    # lower median pinned as the explicit window-rank formula (value at
+    # ascending rank ceil(n/2)) — same convention as grouped_median_qty
+    return (
+        "WITH rk AS (SELECT lang, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents), "
+        "med AS (SELECT lang, MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) "
+        "AS med FROM rk GROUP BY lang) "
+        "SELECT d.lang, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars, "
+        "CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept "
+        "FROM documents d JOIN med m ON d.lang = m.lang "
+        "WHERE d.n_chars >= m.med GROUP BY d.lang ORDER BY d.lang"
+    )
+
+
 def _sql_canonical_url_dedup() -> str:
     return (
         f"WITH hx AS (SELECT doc_id, {_HIDX_SQL} AS hidx FROM documents), "
@@ -4633,6 +4717,7 @@ QUERIES: dict[str, Callable] = {
     "zipf_histogram": q_zipf_histogram,
     "span_dedup": q_span_dedup,
     "canonical_url_dedup": q_canonical_url_dedup,
+    "lang_median_filter": q_lang_median_filter,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -4715,6 +4800,7 @@ ORACLES: dict[str, str] = {
     "zipf_histogram": _sql_zipf_histogram(),
     "span_dedup": _sql_span_dedup(),
     "canonical_url_dedup": _sql_canonical_url_dedup(),
+    "lang_median_filter": _sql_lang_median_filter(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks
