@@ -4609,6 +4609,130 @@ def _sql_lang_median_filter() -> str:
     )
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Duplicate-CLUSTER formation — the transitive-closure step that turns
+    dedup pairs into clusters (the final hop of the Dolma/SlimPajama dedup
+    shape; ``stages/graphcc.connected_components``, iterative min-label
+    propagation, one hash-join + one adaptive combine per round).
+
+    Fixture: documents ∪ two id-shifted copies. The edge set deliberately
+    SPANS construction tasks so the merge is genuinely distributed: star
+    edges link each original doc to its exact-text group minimum (one
+    (h1,h2) join), while cross-copy chain edges link ``d — d+S — d+2S``
+    (a plain map_batches, different tasks). A cluster = one exact-text
+    group across all three copies; min label needs ≤3 hops to reach every
+    node, so propagation converges in ~4 measured rounds.
+
+    The SQL twin derives each cluster ANALYTICALLY (GROUP BY text over the
+    union — no graph at all), so a propagation defect (dropped edge, lost
+    round, bad min combine) hash-mismatches. Output: per-cluster-size
+    rollup (cluster_size, n_clusters, sum_roots, sum_nodes)."""
+    from gis_scripts_ray.stages.dedup import content_hash_cols
+    from gis_scripts_ray.stages.graphcc import connected_components
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    shift = _id_shift(sf_dir, "documents", "doc_id")
+
+    def hashed_partial(batch: pa.Table) -> pa.Table:
+        b = content_hash_cols(batch, "text")
+        return b.select(["h1", "h2", "doc_id"])
+
+    hashed = ds.map_batches(hashed_partial, batch_format="pyarrow")
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["h1", "h2"]).aggregate([("doc_id", "min")])
+        names = {"doc_id_min": "keep_id"}
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    stats = coalesce_shuffle_agg(
+        hashed.map_batches(min_partial, batch_format="pyarrow"),
+        ["h1", "h2"],
+        {"keep_id": "min"},
+    ).repartition(16)
+    star = hash_join(hashed, stats, on=("h1", "h2")).map_batches(
+        lambda b: pa.table({"a": b["doc_id"], "b": b["keep_id"]}),
+        batch_format="pyarrow",
+    )
+
+    def copy_chain(batch: pa.Table) -> pa.Table:
+        # copy 1 for every doc; copy 2 only for doc_id % 3 == 0 — cluster
+        # sizes 2 and 3 (and larger where texts repeat naturally), so the
+        # rollup has a real size distribution to hash
+        d = batch["doc_id"].combine_chunks().cast(pa.int64())
+        d1 = pc.add(d, shift).cast(pa.int64())
+        dn = d.to_numpy(zero_copy_only=False)
+        d3 = pa.array(dn[dn % 3 == 0])
+        d3_1 = pc.add(d3, shift).cast(pa.int64())
+        d3_2 = pc.add(d3, 2 * shift).cast(pa.int64())
+        return pa.table(
+            {
+                "a": pa.concat_arrays([d, d3_1]),
+                "b": pa.concat_arrays([d1, d3_2]),
+            }
+        )
+
+    edges = star.union(ds.map_batches(copy_chain, batch_format="pyarrow"))
+    labels = connected_components(edges)
+
+    def root_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"root": batch["root"], "node": batch["node"]})
+        out = t.group_by(["root"]).aggregate([("node", "sum"), ([], "count_all")])
+        names = {"node_sum": "sum_nodes", "count_all": "sz"}
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    per_cluster = coalesce_shuffle_agg(
+        labels.map_batches(root_partial, batch_format="pyarrow"),
+        ["root"],
+        {"sum_nodes": "sum", "sz": "sum"},
+    )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cluster_size": batch["sz"],
+                "root": batch["root"],
+                "sum_nodes": batch["sum_nodes"],
+            }
+        )
+        out = t.group_by(["cluster_size"]).aggregate(
+            [("root", "sum"), ("sum_nodes", "sum"), ([], "count_all")]
+        )
+        names = {
+            "root_sum": "sum_roots",
+            "sum_nodes_sum": "sum_nodes",
+            "count_all": "n_clusters",
+        }
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    rolled = coalesce_shuffle_agg(
+        per_cluster.map_batches(size_partial, batch_format="pyarrow"),
+        ["cluster_size"],
+        {"sum_roots": "sum", "sum_nodes": "sum", "n_clusters": "sum"},
+    )
+    return rolled.sort("cluster_size")
+
+
+def _sql_neardup_clusters() -> str:
+    shift = "(SELECT MAX(doc_id) + 1 FROM documents)"
+    return (
+        f"WITH u AS (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {shift}, text FROM documents "
+        f"UNION ALL SELECT doc_id + 2 * {shift}, text FROM documents "
+        f"WHERE doc_id % 3 = 0), "
+        "g AS (SELECT MIN(doc_id) AS root, COUNT(*) AS sz, "
+        "SUM(doc_id) AS sum_nodes FROM u GROUP BY text) "
+        "SELECT CAST(sz AS BIGINT) AS cluster_size, "
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(SUM(root) AS BIGINT) AS sum_roots, "
+        "CAST(SUM(sum_nodes) AS BIGINT) AS sum_nodes "
+        "FROM g GROUP BY sz ORDER BY cluster_size"
+    )
+
+
 def _sql_canonical_url_dedup() -> str:
     return (
         f"WITH hx AS (SELECT doc_id, {_HIDX_SQL} AS hidx FROM documents), "
@@ -4718,6 +4842,7 @@ QUERIES: dict[str, Callable] = {
     "span_dedup": q_span_dedup,
     "canonical_url_dedup": q_canonical_url_dedup,
     "lang_median_filter": q_lang_median_filter,
+    "neardup_clusters": q_neardup_clusters,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -4801,6 +4926,7 @@ ORACLES: dict[str, str] = {
     "span_dedup": _sql_span_dedup(),
     "canonical_url_dedup": _sql_canonical_url_dedup(),
     "lang_median_filter": _sql_lang_median_filter(),
+    "neardup_clusters": _sql_neardup_clusters(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks
