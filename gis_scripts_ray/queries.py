@@ -4609,6 +4609,92 @@ def _sql_lang_median_filter() -> str:
     )
 
 
+_MIX_WEIGHTS = {"en": 4, "de": 2, "ja": 2}  # ELSE 1; weight-sum constant 10
+_MIX_WSUM = 10
+_MIX_D = 1_000_000
+
+
+def q_mixture_rebalance(sf_dir: str):
+    """Training-mix rebalancing — deterministically subsample each language
+    toward a target mixture (the "data mixing" step of LLM corpus prep:
+    upweight/downweight languages to fixed proportions). Target output size
+    is half the corpus, allocated by integer weights; each language gets an
+    integer acceptance threshold ``t = min(D, desired * D // n_lang)`` and
+    keeps exactly the rows whose multiplicative-hash residue clears it (the
+    ``hash_sample`` wrap convention — order-free, partition-free,
+    reproducible across engines).
+
+    Two passes: a per-language count (bounded aggregate -> driver threshold
+    table, |languages| rows), then one fused filter + partial-aggregate
+    pass. All threshold arithmetic is integer (exact on both engines);
+    output: (lang, n_avail, n_kept, sum_kept_id)."""
+    from gis_scripts_ray.stages.tile_agg import cell_count, coalesce_shuffle_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    cnt_pd = cell_count(ds, ["lang"], alias="n").to_pandas()
+    n_by_lang = dict(zip(cnt_pd["lang"].tolist(), (int(x) for x in cnt_pd["n"])))
+    total = sum(n_by_lang.values())
+    target = total // 2
+    thr = {
+        lang: min(
+            _MIX_D,
+            (_MIX_WEIGHTS.get(lang, 1) * target // _MIX_WSUM) * _MIX_D // n,
+        )
+        for lang, n in n_by_lang.items()
+    }
+
+    def filter_partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        t = np.fromiter((thr[x] for x in langs), dtype=np.uint64, count=len(langs))
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(_MIX_D) < t
+        kept = batch.filter(pa.array(keep))
+        tt = pa.table({"lang": kept["lang"], "doc_id": kept["doc_id"]})
+        out = tt.group_by(["lang"]).aggregate([("doc_id", "sum"), ([], "count_all")])
+        names = {"doc_id_sum": "sum_kept_id", "count_all": "n_kept"}
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    rolled = coalesce_shuffle_sum(
+        ds.map_batches(filter_partial, batch_format="pyarrow"),
+        ["lang"],
+        ["sum_kept_id", "n_kept"],
+    )
+
+    def add_avail(batch: pa.Table) -> pa.Table:
+        avail = pa.array(
+            [n_by_lang[x] for x in batch["lang"].to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_avail": avail,
+                "n_kept": batch["n_kept"],
+                "sum_kept_id": batch["sum_kept_id"],
+            }
+        )
+
+    return rolled.map_batches(add_avail, batch_format="pyarrow").sort("lang")
+
+
+def _sql_mixture_rebalance() -> str:
+    case = "CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2 WHEN 'ja' THEN 2 ELSE 1 END"
+    return (
+        "WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), "
+        "tot AS (SELECT SUM(n) AS total FROM cnt), "
+        f"thr AS (SELECT lang, n, LEAST({_MIX_D}, "
+        f"(({case}) * ((SELECT total FROM tot) // 2) // {_MIX_WSUM}) "
+        f"* {_MIX_D} // n) AS t FROM cnt) "
+        "SELECT d.lang, CAST(MAX(th.n) AS BIGINT) AS n_avail, "
+        "CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "CAST(SUM(d.doc_id) AS BIGINT) AS sum_kept_id "
+        "FROM documents d JOIN thr th ON d.lang = th.lang "
+        f"WHERE ((CAST(d.doc_id AS HUGEINT)*2654435761)%{_WRAP64})%{_MIX_D} < th.t "
+        "GROUP BY d.lang ORDER BY d.lang"
+    )
+
+
 def q_neardup_clusters(sf_dir: str):
     """Duplicate-CLUSTER formation — the transitive-closure step that turns
     dedup pairs into clusters (the final hop of the Dolma/SlimPajama dedup
@@ -4843,6 +4929,7 @@ QUERIES: dict[str, Callable] = {
     "canonical_url_dedup": q_canonical_url_dedup,
     "lang_median_filter": q_lang_median_filter,
     "neardup_clusters": q_neardup_clusters,
+    "mixture_rebalance": q_mixture_rebalance,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -4927,6 +5014,7 @@ ORACLES: dict[str, str] = {
     "canonical_url_dedup": _sql_canonical_url_dedup(),
     "lang_median_filter": _sql_lang_median_filter(),
     "neardup_clusters": _sql_neardup_clusters(),
+    "mixture_rebalance": _sql_mixture_rebalance(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks
