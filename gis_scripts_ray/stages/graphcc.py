@@ -13,10 +13,15 @@ clusters (near-cliques) that is 2-3 rounds; for the worst case (a chain)
 it is the chain length, which is why ``max_iters`` is a defensive bound,
 not the expected cost.
 
-Scale shape per round: ONE hash-join of the static both-direction edge
-table against the current label table (labels repartition-compacted first —
-the Ray 2.49 native-join empty-right-block quirk, see ``dedup.dedup_rows``),
-then ONE adaptive combine (``coalesce_shuffle_agg``) that computes the new
+Scale shape per round: the label map reaches the edge table either by a
+MEASURED-size broadcast (``ray.put`` of the sorted (node, label) arrays +
+per-block searchsorted — the ``dedup.dedup_rows`` broadcast-with-fallback
+house pattern; no join-aggregator spawn, which dominates at bench scale) or,
+above ``broadcast_limit`` nodes, by ONE hash-join of the static
+both-direction edge table against the current label table (labels
+repartition-compacted first — the Ray 2.49 native-join empty-right-block
+quirk, see ``dedup.dedup_rows``). Either way it is followed by ONE adaptive
+combine (``coalesce_shuffle_agg``) that computes the new
 per-node minimum AND recovers the previous label in the same pass (the old
 label rides along as ``label * is_old``, summed — exactly one old row per
 node, so the sum IS the old label). Convergence is detected by counting
@@ -47,6 +52,7 @@ def connected_components(
     node_col: str = "node",
     max_iters: int = 64,
     num_partitions: int = 16,
+    broadcast_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Label every node with the minimum node id of its component.
 
@@ -101,26 +107,72 @@ def connected_components(
     if e2.count() == 0:
         return labels.map_batches(as_roots, batch_format="pyarrow")
 
-    for _ in range(max_iters):
-        compact = labels.repartition(num_partitions)
-        msgs = hash_join(
-            e2, compact, on="src", right_on="node", num_partitions=num_partitions
-        )
+    n_labels = labels.count()
 
-        def msg_rows(batch: pa.Table) -> pa.Table:
-            # each edge offers dst the src's current label; is_old = 0
-            t = pa.table(
-                {
-                    "node": _int64(batch["dst"]),
-                    "lab_min": _int64(batch["label"]),
-                    "lab_old": pa.array(
-                        np.zeros(batch.num_rows, dtype=np.int64)
-                    ),
-                }
+    for _ in range(max_iters):
+        if n_labels <= broadcast_limit:
+            # measured-size fast path (the dedup.py broadcast-with-fallback
+            # house pattern): ship the sorted label map once per round via
+            # ray.put and look labels up per edge block with searchsorted —
+            # no join-aggregator spawn, which dominates at bench scale
+            import ray as _ray
+
+            parts = [
+                b
+                for b in labels.iter_batches(batch_format="pyarrow")
+            ]
+            node_np = np.concatenate(
+                [p["node"].to_numpy(zero_copy_only=False) for p in parts]
+                or [np.array([], dtype=np.int64)]
             )
-            return t.group_by(["node"]).aggregate(
-                [("lab_min", "min"), ("lab_old", "min")]
-            ).rename_columns(["node", "lab_min", "lab_old"])
+            lab_np = np.concatenate(
+                [p["label"].to_numpy(zero_copy_only=False) for p in parts]
+                or [np.array([], dtype=np.int64)]
+            )
+            order = np.argsort(node_np, kind="stable")
+            map_ref = _ray.put((node_np[order], lab_np[order]))
+
+            def bcast_msg_rows(batch: pa.Table, _ref=map_ref) -> pa.Table:
+                keys, labs = _ref if isinstance(_ref, tuple) else _ray.get(_ref)
+                src = _int64(batch["src"]).to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(keys, src)
+                t = pa.table(
+                    {
+                        "node": _int64(batch["dst"]),
+                        "lab_min": pa.array(labs[pos]),
+                        "lab_old": pa.array(
+                            np.zeros(batch.num_rows, dtype=np.int64)
+                        ),
+                    }
+                )
+                return t.group_by(["node"]).aggregate(
+                    [("lab_min", "min"), ("lab_old", "min")]
+                ).rename_columns(["node", "lab_min", "lab_old"])
+
+            msg_partials = e2.map_batches(bcast_msg_rows, batch_format="pyarrow")
+        else:
+            compact = labels.repartition(num_partitions)
+            msgs = hash_join(
+                e2, compact, on="src", right_on="node",
+                num_partitions=num_partitions,
+            )
+
+            def msg_rows(batch: pa.Table) -> pa.Table:
+                # each edge offers dst the src's current label; is_old = 0
+                t = pa.table(
+                    {
+                        "node": _int64(batch["dst"]),
+                        "lab_min": _int64(batch["label"]),
+                        "lab_old": pa.array(
+                            np.zeros(batch.num_rows, dtype=np.int64)
+                        ),
+                    }
+                )
+                return t.group_by(["node"]).aggregate(
+                    [("lab_min", "min"), ("lab_old", "min")]
+                ).rename_columns(["node", "lab_min", "lab_old"])
+
+            msg_partials = msgs.map_batches(msg_rows, batch_format="pyarrow")
 
         def own_rows(batch: pa.Table) -> pa.Table:
             lab = _int64(batch["label"])
@@ -128,7 +180,7 @@ def connected_components(
                 {"node": _int64(batch["node"]), "lab_min": lab, "lab_old": lab}
             )
 
-        cand = msgs.map_batches(msg_rows, batch_format="pyarrow").union(
+        cand = msg_partials.union(
             labels.map_batches(own_rows, batch_format="pyarrow")
         )
         # min over msgs+own = new label; exactly one own row per node, msgs

@@ -97,6 +97,19 @@ class TestConnectedComponents:
         assert set(out["root"].tolist()) == {0}
         assert len(out) == 100
 
+    def test_join_fallback_equals_broadcast_path(self):
+        # forced-low-limit: broadcast_limit=0 routes every round through the
+        # hash-join fallback; results must be identical to the fast path
+        rng = np.random.default_rng(11)
+        nodes = list(range(60))
+        edges = [
+            (int(rng.integers(0, 60)), int(rng.integers(0, 60)))
+            for _ in range(40)
+        ]
+        fast = _run(edges, nodes)
+        slow = _run(edges, nodes, broadcast_limit=0)
+        assert fast == slow == _uf_roots(edges, nodes)
+
     def test_nonconvergence_guard(self):
         edges = [(i, i + 1) for i in range(5)]
         with pytest.raises(RuntimeError, match="did not converge"):
