@@ -4695,6 +4695,67 @@ def _sql_mixture_rebalance() -> str:
     )
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental crawl dedup — subtract an already-ingested corpus by
+    CONTENT, not id (the "only process documents we have never seen"
+    discipline of a recurring crawl; reference analogy: D1 skip-if-done,
+    keyed on the text itself). The reference corpus is the deterministic
+    fixture slice ``doc_id % 7 == 0``; the new crawl is the full table (in
+    production these are two distinct file sets — here both derive from one
+    table, so the read runs once per side).
+
+    Content key: the 128-bit text hash packed as ``fixed_size_binary(16)``
+    (the Acero-safe composite-key carrier, see similarity.py). The
+    subtraction is :func:`joins.hash_anti_join` — right side reduces to its
+    distinct key set (the all-to-all never carries text), then a MEASURED
+    broadcast or native ``left_anti`` finish. Output per language:
+    (lang, sum_doc_id, n) over the surviving rows."""
+    from gis_scripts_ray.stages.dedup import content_hash_cols
+    from gis_scripts_ray.stages.joins import hash_anti_join
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        b = content_hash_cols(batch, "text")
+        h1 = b["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = b["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hh = np.column_stack([h1, h2]).astype("<u8")
+        packed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(16), len(b), [None, pa.py_buffer(hh.tobytes())]
+        )
+        return pa.table(
+            {"hk": packed, "doc_id": batch["doc_id"], "lang": batch["lang"]}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    left = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def seen_filter(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(d % 7 == 0)).select(["hk"])
+
+    seen = left.map_batches(seen_filter, batch_format="pyarrow")
+    fresh = hash_anti_join(left, seen, on="hk")
+    return cell_sum_count(
+        fresh.map_batches(
+            lambda b: b.select(["lang", "doc_id"]), batch_format="pyarrow"
+        ),
+        ["lang"],
+        ["doc_id"],
+    ).sort("lang")
+
+
+def _sql_incremental_dedup() -> str:
+    return (
+        "SELECT d.lang, CAST(SUM(d.doc_id) AS BIGINT) AS sum_doc_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM documents b "
+        "WHERE b.doc_id % 7 = 0 AND b.text = d.text) "
+        "GROUP BY d.lang ORDER BY d.lang"
+    )
+
+
 def q_neardup_clusters(sf_dir: str):
     """Duplicate-CLUSTER formation — the transitive-closure step that turns
     dedup pairs into clusters (the final hop of the Dolma/SlimPajama dedup
@@ -4930,6 +4991,7 @@ QUERIES: dict[str, Callable] = {
     "lang_median_filter": q_lang_median_filter,
     "neardup_clusters": q_neardup_clusters,
     "mixture_rebalance": q_mixture_rebalance,
+    "incremental_dedup": q_incremental_dedup,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -5015,6 +5077,7 @@ ORACLES: dict[str, str] = {
     "lang_median_filter": _sql_lang_median_filter(),
     "neardup_clusters": _sql_neardup_clusters(),
     "mixture_rebalance": _sql_mixture_rebalance(),
+    "incremental_dedup": _sql_incremental_dedup(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks
