@@ -4645,9 +4645,14 @@ def q_mixture_rebalance(sf_dir: str):
         for lang, n in n_by_lang.items()
     }
 
+    lang_keys = pa.array(list(thr.keys()), pa.string())
+    thr_vals = np.fromiter(thr.values(), dtype=np.uint64, count=len(thr))
+
     def filter_partial(batch: pa.Table) -> pa.Table:
-        langs = batch["lang"].to_pylist()
-        t = np.fromiter((thr[x] for x in langs), dtype=np.uint64, count=len(langs))
+        idx = pc.index_in(batch["lang"].combine_chunks(), lang_keys).to_numpy(
+            zero_copy_only=False
+        )
+        t = thr_vals[idx.astype(np.int64)]
         ids = batch["doc_id"].to_numpy().astype(np.uint64)
         keep = (ids * np.uint64(2654435761)) % np.uint64(_MIX_D) < t
         kept = batch.filter(pa.array(keep))

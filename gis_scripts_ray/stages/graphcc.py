@@ -133,7 +133,9 @@ def connected_components(
             map_ref = _ray.put((node_np[order], lab_np[order]))
 
             def bcast_msg_rows(batch: pa.Table, _ref=map_ref) -> pa.Table:
-                keys, labs = _ref if isinstance(_ref, tuple) else _ray.get(_ref)
+                from gis_scripts_ray.state.broadcast import worker_broadcast
+
+                keys, labs = worker_broadcast(_ref)
                 src = _int64(batch["src"]).to_numpy(zero_copy_only=False)
                 pos = np.searchsorted(keys, src)
                 t = pa.table(
