@@ -4700,6 +4700,43 @@ def _sql_mixture_rebalance() -> str:
     )
 
 
+def q_text_normalize(sf_dir: str):
+    """Unicode text normalization (the C4/CCNet cleaning step —
+    ``stages/textstages.normalize_text``): NFC composition, whitespace-run
+    collapse, space trim, one fused map_batches, no shuffle. The oracle
+    hash covers the normalized TEXT itself (DuckDB ``nfc_normalize`` +
+    ``regexp_replace`` — verified byte-identical across engines incl.
+    combining-character composition), so any kernel drift hash-mismatches.
+    Output: (doc_id, clean_text, n_chars_clean)."""
+    from gis_scripts_ray.stages.textstages import normalize_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def norm(batch: pa.Table) -> pa.Table:
+        clean = normalize_text(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_chars_clean": pc.utf8_length(clean).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def _sql_text_normalize() -> str:
+    return (
+        "SELECT doc_id, trim(regexp_replace(nfc_normalize(COALESCE(text, '')), "
+        "'[ \\t\\n\\r]+', ' ', 'g'), ' ') AS clean_text, "
+        "CAST(length(trim(regexp_replace(nfc_normalize(COALESCE(text, '')), "
+        "'[ \\t\\n\\r]+', ' ', 'g'), ' ')) AS BIGINT) AS n_chars_clean "
+        "FROM documents"
+    )
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental crawl dedup — subtract an already-ingested corpus by
     CONTENT, not id (the "only process documents we have never seen"
@@ -4997,6 +5034,7 @@ QUERIES: dict[str, Callable] = {
     "neardup_clusters": q_neardup_clusters,
     "mixture_rebalance": q_mixture_rebalance,
     "incremental_dedup": q_incremental_dedup,
+    "text_normalize": q_text_normalize,
     "local_match": q_local_match,
     "segment_replace": q_segment_replace,
     "idw_grid": q_idw_grid,
@@ -5083,6 +5121,7 @@ ORACLES: dict[str, str] = {
     "neardup_clusters": _sql_neardup_clusters(),
     "mixture_rebalance": _sql_mixture_rebalance(),
     "incremental_dedup": _sql_incremental_dedup(),
+    "text_normalize": _sql_text_normalize(),
     # round-3 full-twin promotion: deterministic seeded-plane LSH probe
     "ann_lsh": _sql_ann_lsh(),
     # round-2 promotions from rows-only to full oracle checks

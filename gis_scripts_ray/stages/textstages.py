@@ -860,3 +860,44 @@ def zipf_bucket_partial(batch: pa.Table, count_col: str = "c") -> pa.Table:
         },
         schema=out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (the C4/CCNet cleaning step)
+# ---------------------------------------------------------------------------
+
+_WS_COLLAPSE_RE = r"[ \t\n\r]+"
+
+
+def normalize_text(texts: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Standard web-text normalization: NFC-compose, collapse runs of
+    space/tab/newline/CR to a single space, trim leading/trailing spaces.
+    Nulls become '' (one null contract across engines — the sketch.py
+    lesson). Vectorized: polars ``str.normalize`` for the NFC step
+    (pyarrow 16's ``utf8_normalize`` decomposes but does NOT compose —
+    ``'a'+U+0301`` stays two codepoints, diverging from DuckDB /
+    unicodedata; caught by the parity test) + RE2 for the collapse. The
+    character class is deliberately the portable ``[ \\t\\n\\r]`` —
+    identical semantics in RE2, DuckDB regex and Python ``re`` (no
+    engine-divergent ``\\s``). Per-row reference:
+    :func:`normalize_text_one`."""
+    import polars as pl
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pc.fill_null(texts, "")
+    s = pl.from_arrow(s).str.normalize("NFC").to_arrow().cast(pa.string())
+    s = pc.replace_substring_regex(s, _WS_COLLAPSE_RE, " ")
+    return pc.utf8_trim(s, " ")
+
+
+def normalize_text_one(text: "str | None") -> str:
+    """Per-row reference (parity oracle) for :func:`normalize_text`."""
+    import re
+    import unicodedata
+
+    if text is None:
+        text = ""
+    s = unicodedata.normalize("NFC", text)
+    s = re.sub(_WS_COLLAPSE_RE, " ", s)
+    return s.strip(" ")

@@ -81,3 +81,49 @@ class TestVariantSynthesis:
             np.array([], dtype=np.int64), pa.array([], pa.string())
         )
         assert len(out) == 0
+
+
+class TestNormalizeTextParity:
+    HOSTILE = [
+        "  á  b\tc\n\nd  ",  # combining acute -> NFC composes
+        "über  café",
+        "\r\n\t mixed \r ws \n",
+        "\x0bvertical-tab kept\x0c",  # NOT in the collapse class
+        "",
+        None,
+        "no_change",
+        " \t\r\n ",  # whitespace-only -> ''
+        "日本語　全角スペースkept",  # U+3000 NOT collapsed (portable class)
+    ]
+
+    def test_vectorized_matches_per_row(self):
+        import pyarrow as pa
+
+        from gis_scripts_ray.stages.textstages import (
+            normalize_text,
+            normalize_text_one,
+        )
+
+        got = normalize_text(pa.array(self.HOSTILE, pa.string())).to_pylist()
+        assert got == [normalize_text_one(t) for t in self.HOSTILE]
+
+    def test_duckdb_agrees(self):
+        import duckdb
+        import pyarrow as pa
+
+        from gis_scripts_ray.stages.textstages import normalize_text
+
+        tbl = pa.table({"text": pa.array(self.HOSTILE, pa.string())})
+        sql = (
+            "SELECT trim(regexp_replace(nfc_normalize(COALESCE(text, '')), "
+            "'[ \\t\\n\\r]+', ' ', 'g'), ' ') AS c FROM tbl"
+        )
+        want = [r[0] for r in duckdb.sql(sql).fetchall()]
+        assert normalize_text(tbl["text"]).to_pylist() == want
+
+    def test_zero_row(self):
+        import pyarrow as pa
+
+        from gis_scripts_ray.stages.textstages import normalize_text
+
+        assert len(normalize_text(pa.array([], pa.string()))) == 0
