@@ -4609,6 +4609,8 @@ def _sql_lang_median_filter() -> str:
     )
 
 
+_STAR_BCAST_LIMIT = 2_000_000  # neardup_clusters star-edge map broadcast guard
+
 _MIX_WEIGHTS = {"en": 4, "de": 2, "ja": 2}  # ELSE 1; weight-sum constant 10
 _MIX_WSUM = 10
 _MIX_D = 1_000_000
@@ -4841,11 +4843,49 @@ def q_neardup_clusters(sf_dir: str):
         hashed.map_batches(min_partial, batch_format="pyarrow"),
         ["h1", "h2"],
         {"keep_id": "min"},
-    ).repartition(16)
-    star = hash_join(hashed, stats, on=("h1", "h2")).map_batches(
-        lambda b: pa.table({"a": b["doc_id"], "b": b["keep_id"]}),
-        batch_format="pyarrow",
-    )
+    ).materialize()
+    n_stats = stats.count()
+    if n_stats <= _STAR_BCAST_LIMIT:
+        # measured-size fast path: ship the sorted (h1,h2)->keep_id map once
+        # (structured-dtype searchsorted — lexicographic over both hash
+        # words, exact) instead of spawning join aggregators
+        import ray as _ray
+
+        dt = np.dtype([("a", "<u8"), ("b", "<u8")])
+        keys = np.empty(n_stats, dtype=dt)
+        keep = np.empty(n_stats, dtype=np.int64)
+        i = 0
+        for p in stats.iter_batches(batch_format="pyarrow"):
+            n = p.num_rows
+            keys["a"][i : i + n] = p["h1"].to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            keys["b"][i : i + n] = p["h2"].to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            keep[i : i + n] = p["keep_id"].to_numpy(zero_copy_only=False)
+            i += n
+        order = np.argsort(keys)
+        ref = _ray.put((keys[order], keep[order]))
+
+        def star_lookup(batch: pa.Table, _ref=ref) -> pa.Table:
+            from gis_scripts_ray.state.broadcast import worker_broadcast
+
+            keys_s, keep_s = worker_broadcast(_ref)
+            q = np.empty(batch.num_rows, dtype=keys_s.dtype)
+            q["a"] = batch["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            q["b"] = batch["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pos = np.searchsorted(keys_s, q)
+            return pa.table({"a": batch["doc_id"], "b": pa.array(keep_s[pos])})
+
+        star = hashed.map_batches(star_lookup, batch_format="pyarrow")
+    else:
+        star = hash_join(
+            hashed, stats.repartition(16), on=("h1", "h2")
+        ).map_batches(
+            lambda b: pa.table({"a": b["doc_id"], "b": b["keep_id"]}),
+            batch_format="pyarrow",
+        )
 
     def copy_chain(batch: pa.Table) -> pa.Table:
         # copy 1 for every doc; copy 2 only for doc_id % 3 == 0 — cluster

@@ -114,3 +114,16 @@ class TestConnectedComponents:
         edges = [(i, i + 1) for i in range(5)]
         with pytest.raises(RuntimeError, match="did not converge"):
             _run(edges, max_iters=2)
+
+
+class TestNeardupClustersStarPaths:
+    def test_join_fallback_equals_broadcast(self, monkeypatch):
+        # forced-low-limit: the star-edge map routes through the hash-join
+        # fallback; the rollup must be identical to the broadcast path
+        import gis_scripts_ray.queries as q
+
+        sf = "/root/testdata/sf0.001"
+        fast = q.q_neardup_clusters(sf).to_pandas()
+        monkeypatch.setattr(q, "_STAR_BCAST_LIMIT", 0)
+        slow = q.q_neardup_clusters(sf).to_pandas()
+        assert fast.equals(slow)
