@@ -38,18 +38,24 @@ def _sort_codes(arr: np.ndarray) -> np.ndarray:
 
 
 def topk_batch(
-    batch: pa.Table, group_col: str, value_col: str, id_col: str, k: int
+    batch: pa.Table,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int,
+    ascending: bool = False,
 ) -> pa.Table:
     """Keep the top-k rows per group of ONE batch — (value DESC, id ASC)
-    total order, vectorized (lexsort + segment rank). Group/id columns
-    may be any orderable dtype (strings factorize to sort codes); the
-    value column must be numeric."""
+    total order (``ascending=True`` flips to value ASC — the kNN
+    smallest-distance shape), vectorized (lexsort + segment rank).
+    Group/id columns may be any orderable dtype (strings factorize to
+    sort codes); the value column must be numeric."""
     if len(batch) == 0:
         return batch
     g = _sort_codes(batch[group_col].to_numpy(zero_copy_only=False))
     v = batch[value_col].to_numpy()
     i = _sort_codes(batch[id_col].to_numpy(zero_copy_only=False))
-    order = np.lexsort((i, -v, g))
+    order = np.lexsort((i, v if ascending else -v, g))
     gs = g[order]
     new = np.ones(len(gs), dtype=bool)
     new[1:] = gs[1:] != gs[:-1]
@@ -67,14 +73,18 @@ def topk_per_group(
     k: int,
     group_factor: int = 8,
     small_limit: int = 8_000_000,
+    ascending: bool = False,
+    tiny_limit: int = 512_000,
 ) -> ray.data.Dataset:
-    """Distributed top-k per group; see module docstring."""
+    """Distributed top-k per group; see module docstring. ``tiny_limit``
+    gates the skip-the-coalesce-level fast path (exposed so forced-path
+    tests can pin all three finish plans byte-identical)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        return topk_batch(batch, group_col, value_col, id_col, k)
+        return topk_batch(batch, group_col, value_col, id_col, k, ascending)
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
-    if partials.count() <= 512_000:
+    if partials.count() <= tiny_limit:
         return partials.repartition(1).map_batches(
             partial, batch_format="pyarrow", batch_size=None
         )
@@ -93,7 +103,7 @@ def topk_per_group(
     # size; lvl1 already reduced each coalesced block to k rows/group)
     def group_topk(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
-            [value_col, id_col], ascending=[False, True], kind="mergesort"
+            [value_col, id_col], ascending=[ascending, True], kind="mergesort"
         ).head(k)
 
     return lvl1.groupby(group_col).map_groups(group_topk, batch_format="pandas")

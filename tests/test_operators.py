@@ -506,6 +506,55 @@ class TestMultiProbeKnn:
             got = multi[multi["probe"] == p].sort_values("rank")["doc_id"].tolist()
             assert got == single["doc_id"].to_pylist()
 
+    def test_forced_fold_paths_identical(self, ray_session):
+        """Round-4 verdict Wrong #1 fix: the per-probe partial fold is
+        distributed (topk_per_group). All three finish plans — tiny
+        single-block, coalesce level, forced hash-shuffle groupby — must
+        be byte-identical to each other on the same input."""
+        import ray
+
+        from gis_scripts_ray.stages.knn import idw_interpolate, knn_multi_brute
+
+        rng = np.random.default_rng(77)
+        n = 3000
+        lat = np.round(rng.uniform(-20, 20, n), 2) + 0.003
+        lon = np.round(rng.uniform(-20, 20, n), 2) + 0.003
+        val = rng.uniform(0, 50, n)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+                "v": pa.array(val),
+            }
+        )
+        plats = np.array([0.003, 5.003, -9.997, 14.003])
+        plons = np.array([0.003, -5.003, 9.003, -0.997])
+        results = []
+        for kwargs in (
+            {},  # default: tiny single-block path
+            {"tiny_limit": 0},  # coalesce level + single-block finish
+            {"tiny_limit": 0, "small_limit": 0},  # hash-shuffle finish
+        ):
+            ds = ray.data.from_arrow(t).repartition(7)
+            got = (
+                knn_multi_brute(ds, plats, plons, 6, value_col="v", **kwargs)
+                .to_pandas()
+                .sort_values(["probe", "rank"])
+                .reset_index(drop=True)
+            )
+            results.append(got)
+        pd.testing.assert_frame_equal(results[0], results[1])
+        pd.testing.assert_frame_equal(results[0], results[2])
+        # idw over the forced hash path matches the default path
+        ds = ray.data.from_arrow(t).repartition(7)
+        a = idw_interpolate(ds, plats, plons, k=6, value_col="v").to_pandas()
+        ds = ray.data.from_arrow(t).repartition(7)
+        b = idw_interpolate(
+            ds, plats, plons, k=6, value_col="v", tiny_limit=0, small_limit=0
+        ).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
     def test_idw_matches_numpy_oracle(self, ray_session):
         import ray
 
