@@ -73,7 +73,12 @@ def canonicalize_urls(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 def canonicalize_url_one(url: str | None) -> str | None:
     """Per-row reference implementation (the parity oracle for
-    :func:`canonicalize_urls`)."""
+    :func:`canonicalize_urls`).
+
+    End anchors are rewritten ``$`` → ``\\Z``: Python ``re``'s ``$`` also
+    matches BEFORE a trailing newline, RE2's ``$`` only at end-of-text —
+    for ``'https://h/p1/\\n'`` an unanchored oracle would strip the slash
+    the Arrow kernel keeps (round-4 advice)."""
     if url is None:
         return None
     s = re.sub(_FRAGMENT_RE.replace("(?s)", ""), "", url, flags=re.S)
@@ -82,8 +87,8 @@ def canonicalize_url_one(url: str | None) -> str | None:
     m = re.match(r"(?s)^([^/]*)(.*)$", s)
     host, rest = m.group(1).lower(), m.group(2)
     host = re.sub(_WWW_RE, "", host)
-    host = re.sub(_PORT_RE, "", host)
-    return re.sub(_TRAILING_RE, "", host + rest)
+    host = re.sub(_PORT_RE.replace("$", r"\Z"), "", host)
+    return re.sub(_TRAILING_RE.replace("$", r"\Z"), "", host + rest)
 
 
 def variant_urls_for_docs(

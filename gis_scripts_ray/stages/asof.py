@@ -43,6 +43,14 @@ import pyarrow as pa
 import ray.data
 
 
+_TIE_CONTRACT_MSG = (
+    "asof_join_backward: right side violates (%s, %s) uniqueness — two "
+    "rows share (key, ts) with differing carry values, making 'latest' "
+    "ambiguous. Fold a unique id into the timestamp "
+    "(see queries.q_events_asof_orders)"
+)
+
+
 def timestamp_to_us(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Cast a timestamp column to int64 microseconds (normalization rule)."""
     import pyarrow.compute as pc
@@ -115,7 +123,19 @@ def asof_join_backward(
         key = b[right_by].to_numpy()
         bk = bucket_of(ts)
         order = np.lexsort((ts, bk, key))
-        bk_s, key_s = bk[order], key[order]
+        bk_s, key_s, ts_s = bk[order], key[order], ts[order]
+        # contract assertion (round-4 verdict): equal (key, ts) rows with
+        # differing carry values make "latest" ambiguous — check HERE so
+        # an in-block take-last can't silently hide the violation
+        # (equal ts implies equal bucket, so adjacency is complete)
+        dup = np.zeros(len(order), dtype=bool)
+        dup[1:] = (key_s[1:] == key_s[:-1]) & (ts_s[1:] == ts_s[:-1])
+        if dup.any():
+            di, pi = order[np.nonzero(dup)[0]], order[np.nonzero(dup)[0] - 1]
+            for c in carry_cols:
+                v = b[c].to_numpy(zero_copy_only=False)
+                if np.any(v[di] != v[pi]):
+                    raise ValueError(_TIE_CONTRACT_MSG % (right_by, right_ts))
         last = np.ones(len(order), dtype=bool)
         last[:-1] = (bk_s[1:] != bk_s[:-1]) | (key_s[1:] != key_s[:-1])
         sel = order[last]
@@ -141,6 +161,12 @@ def asof_join_backward(
         return batch.append_column("_kb", pa.array(kb, pa.int64()))
 
     def ffill_group(g: pd.DataFrame) -> pd.DataFrame:
+        # cross-block duplicates meet here: identical full rows collapse,
+        # same-(key, ts) rows with differing carry values are a contract
+        # violation (see _TIE_CONTRACT_MSG)
+        g = g.drop_duplicates()
+        if bool(g.duplicated([right_by, right_ts]).any()):
+            raise ValueError(_TIE_CONTRACT_MSG % (right_by, right_ts))
         g = g.sort_values(
             [right_by, "__bucket", right_ts], kind="mergesort"
         ).drop_duplicates([right_by, "__bucket"], keep="last")
@@ -271,6 +297,13 @@ def asof_join_backward(
             .sort_values(right_ts, kind="mergesort")
             .reset_index(drop=True)
         )
+        # contract assertion (round-4 verdict): the right side must be
+        # unique on (key, ts) or "latest" is ambiguous and the result
+        # nondeterministic. Duplicate (key, ts) rows always share a
+        # bucket (equal ts), so this per-bucket check is complete; rows
+        # identical in every column were collapsed above. O(rows) hash.
+        if bool(rg.duplicated(subset=[right_by, right_ts]).any()):
+            raise ValueError(_TIE_CONTRACT_MSG % (right_by, right_ts))
         # merge a right-row POSITION, not the carry values: merge_asof
         # NaN-promotes attached right columns to float64 for unmatched
         # left rows, and the astype back would silently round int64

@@ -44,6 +44,23 @@ def _int64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return a.cast(pa.int64()) if a.type != pa.int64() else a
 
 
+@ray.remote(num_cpus=0.5)
+def _build_label_map(*blocks):
+    """Fold label blocks into one searchsorted-ready (nodes, labels) pair —
+    runs as a Ray task so the map is built worker-side and lives in the
+    object store; the driver only ever handles block refs."""
+    node_np = np.concatenate(
+        [b["node"].to_numpy(zero_copy_only=False) for b in blocks]
+        or [np.array([], dtype=np.int64)]
+    )
+    lab_np = np.concatenate(
+        [b["label"].to_numpy(zero_copy_only=False) for b in blocks]
+        or [np.array([], dtype=np.int64)]
+    )
+    order = np.argsort(node_np, kind="stable")
+    return node_np[order], lab_np[order]
+
+
 def connected_components(
     edges: ray.data.Dataset,
     nodes: ray.data.Dataset | None = None,
@@ -111,26 +128,18 @@ def connected_components(
 
     for _ in range(max_iters):
         if n_labels <= broadcast_limit:
-            # measured-size fast path (the dedup.py broadcast-with-fallback
-            # house pattern): ship the sorted label map once per round via
-            # ray.put and look labels up per edge block with searchsorted —
-            # no join-aggregator spawn, which dominates at bench scale
-            import ray as _ray
-
-            parts = [
-                b
-                for b in labels.iter_batches(batch_format="pyarrow")
+            # measured-size fast path: build the sorted label map WORKER-
+            # side (one Ray task over the materialized label blocks — the
+            # driver handles only block refs, never rows; round-4 advice
+            # flagged the previous per-round driver iter_batches) and look
+            # labels up per edge block with searchsorted — no
+            # join-aggregator spawn, which dominates at bench scale
+            block_refs = [
+                br
+                for bundle in labels.iter_internal_ref_bundles()
+                for br in bundle.block_refs
             ]
-            node_np = np.concatenate(
-                [p["node"].to_numpy(zero_copy_only=False) for p in parts]
-                or [np.array([], dtype=np.int64)]
-            )
-            lab_np = np.concatenate(
-                [p["label"].to_numpy(zero_copy_only=False) for p in parts]
-                or [np.array([], dtype=np.int64)]
-            )
-            order = np.argsort(node_np, kind="stable")
-            map_ref = _ray.put((node_np[order], lab_np[order]))
+            map_ref = _build_label_map.remote(*block_refs)
 
             def bcast_msg_rows(batch: pa.Table, _ref=map_ref) -> pa.Table:
                 from gis_scripts_ray.state.broadcast import worker_broadcast

@@ -164,3 +164,26 @@ class TestAsofJoin:
         for lp, rp in ((1, 1), (13, 3)):
             got = _run(left, right, n_buckets=16, l_parts=lp, r_parts=rp)
             pd.testing.assert_frame_equal(got, ref)
+
+    def test_duplicate_key_ts_rejected(self, ray_session):
+        """The (key, ts) uniqueness contract is ASSERTED, not assumed
+        (round-4 verdict): two right rows sharing (key, ts) with
+        different carry values raise instead of silently picking one —
+        both for duplicates inside the left span (bucket merge / carry
+        partial) and before it (carry-only path)."""
+        left = pd.DataFrame(
+            {"lid": [0, 1], "k": [3, 3], "ts": [50, 90]}
+        ).astype(np.int64)
+        for dup_ts in (40, 60):  # before the left span / inside it
+            right = pd.DataFrame(
+                {"rk": [3, 3, 3], "rts": [dup_ts, dup_ts, 70], "val": [7, 8, 9]}
+            ).astype(np.int64)
+            for rp in (1, 3):  # same-block and cross-block duplicates
+                with pytest.raises(Exception, match="uniqueness"):
+                    _run(left, right, n_buckets=4, r_parts=rp)
+        # identical full rows are a collapse, not a violation
+        right_ok = pd.DataFrame(
+            {"rk": [3, 3, 3], "rts": [40, 40, 60], "val": [7, 7, 9]}
+        ).astype(np.int64)
+        got = _run(left, right_ok, n_buckets=4)
+        assert got["val"].tolist() == [7, 9]

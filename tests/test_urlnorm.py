@@ -28,6 +28,12 @@ HOSTILE = [
     "https://h.example/p5///",
     "www.only-www.example/p6",
     "https://UPPER.example/p7?Q=UPPER#F",
+    # trailing-newline inputs: Python re's $ matches BEFORE a final
+    # newline, RE2's $ only at end-of-text — the per-row oracle anchors
+    # with \Z to match the Arrow kernel (round-4 advice)
+    "https://h.example/p1/\n",
+    "https://h.example:443\n",
+    "https://h.example/p8\n/",
     None,
 ]
 
