@@ -24,6 +24,7 @@ Exactness strategy (see SURVEY.md §7.5 "exact reference-output matching"):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -2474,6 +2475,59 @@ def _sql_rpc_tile_counts() -> str:
         "SELECT CAST(FLOOR(CAST(col_ AS DOUBLE)/256.0) AS BIGINT) AS block_x, "
         "CAST(FLOOR(CAST(row_ AS DOUBLE)/256.0) AS BIGINT) AS block_y, "
         "CAST(COUNT(*) AS BIGINT) AS n_docs FROM px GROUP BY block_x, block_y"
+    )
+
+
+# AOI for the clip-pushdown query: bounds sit OFF the host-geo lattice
+# (hosts land on 0.001° multiples; .0005 offsets) so BETWEEN edges cannot
+# collide with a point; covers ~48/200 hosts -> a strict partition subset
+_CLIP_AOI = (-40.0005, -10.0005, 60.0005, 50.0005)  # lon0, lat0, lon1, lat1
+_CLIP_STORE_Z = 3
+
+
+def _geo_store_dir(sf_dir: str) -> str:
+    """Deterministic per-input store location: content is a pure function
+    of sf_dir (located_documents is deterministic), so a warm store is
+    reusable across runs; the version token invalidates stale layouts."""
+    import hashlib
+
+    from gis_scripts_ray.stages.spatial_store import GEO_STORE_VERSION
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/graft_geo_store/v{GEO_STORE_VERSION}_{h}_z{_CLIP_STORE_Z}"
+
+
+def q_clip_pushdown(sf_dir: str):
+    """M8 spatial clip with STORAGE-LEVEL pushdown
+    (Clip_Rasters_By_Extent.py:17-36 windowed read analog): the located
+    table is persisted partitioned by coarse tile, the AOI clip reads ONLY
+    the bbox's tile partitions (file-set pruned like the persisted ANN
+    index), exact-refines rows, then counts docs per TILE_Z tile."""
+    from gis_scripts_ray.stages.spatial_store import (
+        read_clip_pushdown,
+        write_geo_partitioned,
+    )
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    out = _geo_store_dir(sf_dir)
+    # one-time build; a warm store drops every row before the shuffle
+    write_geo_partitioned(located_documents(sf_dir), out, z=_CLIP_STORE_Z)
+    lon0, lat0, lon1, lat1 = _CLIP_AOI
+    clipped = read_clip_pushdown(out, _CLIP_STORE_Z, lon0, lat0, lon1, lat1)
+    enc = encode_cells(clipped, EncodeConfig(tile_z=TILE_Z))
+    return cell_count(enc, ["tile_x", "tile_y"], alias="n_docs")
+
+
+def _sql_clip_pushdown() -> str:
+    x, y = _tile_sql(TILE_Z)
+    lon0, lat0, lon1, lat1 = _CLIP_AOI
+    return (
+        _located_cte("d.doc_id")
+        + f" SELECT tile_x, tile_y, CAST(COUNT(*) AS BIGINT) AS n_docs FROM "
+        f"(SELECT {x} AS tile_x, {y} AS tile_y FROM located "
+        f"WHERE lon BETWEEN {lon0!r} AND {lon1!r} "
+        f"AND lat BETWEEN {lat0!r} AND {lat1!r}) "
+        "GROUP BY tile_x, tile_y"
     )
 
 
@@ -5042,6 +5096,7 @@ QUERIES: dict[str, Callable] = {
     "hash_sample": q_hash_sample,
     "train_val_split": q_train_val_split,
     "rpc_tile_counts": q_rpc_tile_counts,
+    "clip_pushdown": q_clip_pushdown,
     "scalar_transform_sum": q_scalar_transform_sum,
     "quantity_histogram": q_quantity_histogram,
     "multimodal_bytes": q_multimodal_bytes,
@@ -5141,6 +5196,7 @@ ORACLES: dict[str, str] = {
     "hash_sample": _sql_hash_sample(),
     "train_val_split": _sql_train_val_split(),
     "rpc_tile_counts": _sql_rpc_tile_counts(),
+    "clip_pushdown": _sql_clip_pushdown(),
     "scalar_transform_sum": _sql_scalar_transform_sum(),
     "quantity_histogram": _sql_quantity_histogram(),
     "multimodal_bytes": _sql_multimodal_bytes(),
