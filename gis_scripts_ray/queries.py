@@ -3535,23 +3535,38 @@ def q_multimodal_decode(sf_dir: str):
 
 def q_multimodal_thumbnails(sf_dir: str):
     """REAL image decode end-to-end: deterministic 8x8 RGB images (pixel
-    byte p of doc d = (d*7 + p) % 256) are encoded — EVEN doc_ids as
-    uncompressed BMP, ODD doc_ids as zlib-compressed PNG with the row
-    filters cycling 0-4 — shipped through the binary column, decoded by
-    the pure-numpy BMP/PNG readers in the decode stage, and checksummed.
-    The SQL twin recomputes the per-doc pixel sum in closed form, so any
-    encode/decode/unfilter bug in EITHER codec breaks the hash."""
-    from gis_scripts_ray.stages.multimodal import decode_media, encode_bmp, encode_png
+    byte p of doc d = (d*7 + p) % 256) are encoded — doc_id % 3 == 0 as
+    uncompressed BMP, == 1 as zlib-compressed PNG with the row filters
+    cycling 0-4, == 2 as LZW-compressed GIF (interlace and local-palette
+    variants cycling by doc_id) — shipped through the binary column,
+    decoded by the pure-numpy BMP/PNG/GIF readers in the decode stage,
+    and checksummed. The SQL twin recomputes the per-doc pixel sum in
+    closed form, so any encode/decode/unfilter/LZW bug in ANY codec
+    breaks the hash."""
+    from gis_scripts_ray.stages.multimodal import (
+        decode_media,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def make_payload(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         p = np.arange(192, dtype=np.int64)
-        blobs = [
-            (encode_bmp if int(d) % 2 == 0 else encode_png)(
-                (((int(d) * 7 + p) % 256).astype(np.uint8)).reshape(8, 8, 3)
+
+        def enc(d: int, img: np.ndarray) -> bytes:
+            if d % 3 == 0:
+                return encode_bmp(img)
+            if d % 3 == 1:
+                return encode_png(img)
+            return encode_gif(
+                img, interlace=(d % 2 == 0), local_palette=(d % 4 < 2)
             )
+
+        blobs = [
+            enc(int(d), (((int(d) * 7 + p) % 256).astype(np.uint8)).reshape(8, 8, 3))
             for d in ids
         ]
         return pa.table(

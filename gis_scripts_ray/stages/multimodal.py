@@ -5,9 +5,9 @@ metadata, processed by actor-pool ``map_batches`` stages — the DCNN
 sliding-window classifier pattern (``seagrass_lib.py:696-761``: model
 loaded once, 256-px blocks, ``batch_size=256``) grafted onto web payloads.
 
-Decoders: REAL pure-numpy/stdlib codecs for BMP, PPM and PNG (zlib
-inflate + vectorized unfiltering — entropy-coded, the web's dominant
-lossless format); only JPEG/GIF/video codecs remain an explicit
+Decoders: REAL pure-numpy/stdlib codecs for BMP, PPM, PNG (zlib inflate +
+vectorized unfiltering) and GIF (variable-width LZW, interlace,
+local/global palettes); only JPEG/video codecs remain an explicit
 ``NotImplementedError`` boundary (they need external entropy decoders
 not present in this container; production swaps ``_decode_thumb_and_sum``).
 Payload sniffing (magic bytes) and byte-level features are real.
@@ -382,6 +382,237 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(pal[idx])
 
 
+# ---------------------------------------------------------------------------
+# REAL pure-numpy/stdlib GIF codec (round-4 verdict task #5): variable-width
+# LZW — the second entropy-coded format after PNG, closing all of GIF as a
+# stub. Same contract as decode_png: malformed payloads raise ValueError
+# (quarantine-able, never silent); JPEG remains the one external-codec
+# boundary. Reference precedent: the imagery pipeline reads real compressed
+# rasters (seagrass_lib.py:244-314).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode_gif(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW -> ``n_pixels`` palette indices (uint8).
+
+    Codes are read LSB-first at a width that grows 1 bit whenever the
+    dictionary fills the current code space (cap 12 bits); CLEAR resets.
+    Raises ``ValueError`` on truncation, an out-of-range code, or too few
+    decoded pixels — the malformed-payload contract.
+    """
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"gif: bad LZW min code size {mcs}")
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    weights = [1 << np.arange(s, dtype=np.int64) for s in range(13)]
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    code_size = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    pos = 0
+    while len(out) < n_pixels:
+        if pos + code_size > len(bits):
+            raise ValueError("gif: LZW stream truncated")
+        code = int(bits[pos : pos + code_size] @ weights[code_size])
+        pos += code_size
+        if code == clear:
+            table = list(roots)
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"gif: LZW code {code} after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # deferred-clear: table caps at 12 bits
+                table.append(prev + entry[:1])
+        elif code == len(table) and code < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"gif: LZW code {code} beyond table {len(table)}")
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"gif: LZW decoded {len(out)} of {n_pixels} pixels"
+        )
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def _lzw_encode_gif(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF LZW writer (fixture partner): real dictionary growth so the
+    decoder's code-width bumps and CLEAR handling are exercised."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out_bits = bytearray()  # one bit per entry; packed at the end
+    code_size = mcs + 1
+
+    def emit(code: int, size: int):
+        out_bits.extend((code >> i) & 1 for i in range(size))
+
+    emit(clear, code_size)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    w = b""
+    for ch in bytes(np.asarray(indices, np.uint8)):
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        if next_code == 4096:  # code space exhausted: reset
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = mcs + 1
+            next_code = end + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    packed = np.packbits(
+        np.frombuffer(bytes(out_bits), np.uint8), bitorder="little"
+    ).tobytes()
+    chunks = [
+        bytes([len(packed[i : i + 255])]) + packed[i : i + 255]
+        for i in range(0, len(packed), 255)
+    ]
+    return b"".join(chunks) + b"\x00"
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row STORAGE order of an interlaced GIF: 4 passes (start, step) =
+    (0,8),(4,8),(2,4),(1,2)."""
+    return np.concatenate(
+        [np.arange(s, h, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+
+
+def encode_gif(
+    rgb: np.ndarray, interlace: bool = False, local_palette: bool = False
+) -> bytes:
+    """Minimal GIF89a writer (single frame, ≤256 distinct colors) —
+    fixture generator + round-trip partner for :func:`decode_gif`.
+    ``local_palette`` stores the color table on the image descriptor
+    instead of the screen; a no-op graphic-control extension is always
+    written so extension skipping is exercised."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, c = rgb.shape
+    assert c == 3
+    colors, inv = np.unique(rgb.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"gif: {len(colors)} colors exceed one palette")
+    n_bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << n_bits, 3), np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, n_bits)
+    idx = inv.astype(np.uint8).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_interlace_order(h)]
+    pal_packed = n_bits - 1  # size field: 2^(field+1) entries
+    out = [b"GIF89a", w.to_bytes(2, "little"), h.to_bytes(2, "little")]
+    if local_palette:
+        out += [bytes([0x00, 0, 0])]  # no GCT
+    else:
+        out += [bytes([0x80 | pal_packed, 0, 0]), pal.tobytes()]
+    out += [b"\x21\xf9\x04\x00\x00\x00\x00\x00"]  # graphic control, no-op
+    img_packed = (0x40 if interlace else 0) | (
+        0x80 | pal_packed if local_palette else 0
+    )
+    out += [
+        b"\x2c\x00\x00\x00\x00",
+        w.to_bytes(2, "little"),
+        h.to_bytes(2, "little"),
+        bytes([img_packed]),
+    ]
+    if local_palette:
+        out += [pal.tobytes()]
+    out += [bytes([mcs]), _lzw_encode_gif(idx.ravel(), mcs), b"\x3b"]
+    return b"".join(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a -> (h, w, 3) uint8 RGB of the FIRST frame, pure
+    stdlib + numpy. Supports global/local color tables, interlace, and
+    frames smaller than the screen (composed on a background-color
+    canvas). Extensions are skipped; animation beyond the first frame is
+    ignored. Raises ``ValueError`` on bad magic, truncation, bad LZW
+    codes, or a missing color table — quarantine-able, never silent."""
+    buf = memoryview(payload)
+    pos = 0
+
+    def take(n: int) -> memoryview:
+        nonlocal pos
+        if pos + n > len(buf):
+            raise ValueError("gif: truncated")
+        v = buf[pos : pos + n]
+        pos += n
+        return v
+
+    if bytes(take(6)) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad magic")
+    sw = int.from_bytes(take(2), "little")
+    sh = int.from_bytes(take(2), "little")
+    packed = take(1)[0]
+    bg = take(1)[0]
+    take(1)  # aspect
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(take(3 * n), np.uint8).reshape(n, 3)
+    if sw == 0 or sh == 0:
+        raise ValueError("gif: zero-size screen")
+    while True:
+        block = take(1)[0]
+        if block == 0x3B:
+            raise ValueError("gif: trailer before any image")
+        if block == 0x21:  # extension: label + sub-blocks
+            take(1)
+            while (n := take(1)[0]) != 0:
+                take(n)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+        left = int.from_bytes(take(2), "little")
+        top = int.from_bytes(take(2), "little")
+        iw = int.from_bytes(take(2), "little")
+        ih = int.from_bytes(take(2), "little")
+        ipacked = take(1)[0]
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(take(3 * n), np.uint8).reshape(n, 3)
+        if pal is None:
+            raise ValueError("gif: no color table")
+        if iw == 0 or ih == 0 or left + iw > sw or top + ih > sh:
+            raise ValueError("gif: frame outside screen")
+        mcs = take(1)[0]
+        parts = []
+        while (n := take(1)[0]) != 0:
+            parts.append(bytes(take(n)))
+        idx = _lzw_decode_gif(b"".join(parts), mcs, iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: invert the storage order
+            order = _gif_interlace_order(ih)
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("gif: pixel index beyond color table")
+        canvas_idx = np.full((sh, sw), min(bg, len(pal) - 1), np.uint8)
+        canvas_idx[top : top + ih, left : left + iw] = idx
+        return pal[canvas_idx]
+
+
 def _subsample_gray(rgb: np.ndarray, target_size: tuple[int, int]) -> np.ndarray:
     """Deterministic nearest-pixel resize of the integer-mean grayscale."""
     h, w = target_size
@@ -400,19 +631,24 @@ def _decode_thumb_and_sum(
 ) -> tuple[np.ndarray, int]:
     """Decode ONCE to ((h, w) grayscale thumbnail, pixel-byte checksum).
 
-    REAL decode for bmp/ppm/png (pure numpy + stdlib zlib, see above);
-    the checksum is the int64 sum of the decoded RGB bytes (-1 when no
-    real decoder ran). jpeg/gif/riff/pdf raise ``NotImplementedError`` —
+    REAL decode for bmp/ppm/png/gif (pure numpy + stdlib zlib, see
+    above); the checksum is the int64 sum of the decoded RGB bytes (-1
+    when no real decoder ran). jpeg/riff/pdf raise ``NotImplementedError`` —
     those formats need entropy decoders not available in this
     environment; production swaps this function. html/unknown payloads
     produce a deterministic byte-derived 'thumbnail' so plumbing is
     exercised with real shapes.
     """
     kind = sniff_type(payload)
-    if kind in ("bmp", "ppm", "png"):
-        rgb = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}[kind](payload)
+    if kind in ("bmp", "ppm", "png", "gif"):
+        rgb = {
+            "bmp": decode_bmp,
+            "ppm": decode_ppm,
+            "png": decode_png,
+            "gif": decode_gif,
+        }[kind](payload)
         return _subsample_gray(rgb, target_size), int(rgb.sum(dtype=np.int64))
-    if kind in ("jpeg", "gif", "riff", "pdf"):
+    if kind in ("jpeg", "riff", "pdf"):
         raise NotImplementedError(
             f"real {kind} decode requires an image library not present in "
             "this environment — production swaps _decode_thumb_and_sum"
@@ -451,7 +687,9 @@ class DecodeStage:
                 thumb, psum = _decode_thumb_and_sum(p or b"", self.target_size)
                 thumbs[i] = thumb.ravel()
                 sums[i] = psum
-                ok[i] = kinds[i] in ("bmp", "ppm", "png", "html", "unknown", "empty")
+                ok[i] = kinds[i] in (
+                    "bmp", "ppm", "png", "gif", "html", "unknown", "empty",
+                )
             except NotImplementedError:
                 pass  # entropy-coded media: stub leaves zeros until prod swap
             except ValueError:

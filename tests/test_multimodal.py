@@ -1,9 +1,10 @@
-"""Pure-numpy BMP/PPM/PNG codecs + the decode actor stage (honest decode path).
+"""Pure-numpy BMP/PPM/PNG/GIF codecs + the decode actor stage (honest decode path).
 
 Reference analog: the DCNN block classifier decodes real pixels
 (``external/.../seagrass_lib.py:696-761``); here the decodable formats
-are uncompressed BMP, binary PPM and real entropy-coded PNG (stdlib
-zlib + numpy unfiltering); only JPEG remains a stub boundary.
+are uncompressed BMP, binary PPM and the real entropy-coded pair PNG
+(stdlib zlib + numpy unfiltering) and GIF (variable-width LZW); only
+JPEG remains a stub boundary.
 """
 import numpy as np
 import pyarrow as pa
@@ -12,9 +13,11 @@ import pytest
 from gis_scripts_ray.stages.multimodal import (
     DecodeStage,
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_ppm,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_ppm,
     sniff_type,
@@ -123,10 +126,94 @@ class TestPngCodec:
         assert (decode_png(pay) == img).all()
 
 
+def _descriptor_offset(pay: bytes) -> int:
+    """Image-descriptor (0x2c) offset: right after the 8-byte no-op
+    graphic-control extension encode_gif always writes (a bare 0x2c
+    search can hit a palette byte)."""
+    i = pay.index(b"\x21\xf9\x04") + 8
+    assert pay[i] == 0x2C
+    return i
+
+
+class TestGifCodec:
+    """Round-4 verdict task #5: GIF variable-width LZW — the second real
+    entropy-coded decoder after PNG (same malformed-raises contract)."""
+
+    @pytest.mark.parametrize("shape", [(8, 8), (5, 13), (1, 1), (16, 3)])
+    @pytest.mark.parametrize("interlace", [False, True])
+    @pytest.mark.parametrize("local_palette", [False, True])
+    def test_roundtrip(self, shape, interlace, local_palette):
+        rng = np.random.default_rng(sum(shape))
+        pal = rng.integers(0, 256, (17, 3), np.uint8)
+        img = pal[rng.integers(0, 17, shape)]
+        pay = encode_gif(img, interlace=interlace, local_palette=local_palette)
+        assert sniff_type(pay) == "gif"
+        assert (decode_gif(pay) == img).all()
+
+    def test_code_width_growth_and_4096_reset(self):
+        """256-color noise forces every code-size bump to 12 bits AND the
+        encoder's 4096-entry dictionary reset (decoder must follow both)."""
+        rng = np.random.default_rng(21)
+        pal = rng.integers(0, 256, (256, 3), np.uint8)
+        img = pal[rng.integers(0, 256, (128, 128))]
+        assert (decode_gif(encode_gif(img)) == img).all()
+
+    def test_frame_on_canvas_compose(self):
+        """A frame smaller than the logical screen lands at (left, top) on a
+        background-color canvas — splice a widened screen + offset into a
+        real encoding and check placement and fill."""
+        rng = np.random.default_rng(22)
+        pal = rng.integers(0, 256, (31, 3), np.uint8)
+        img = pal[rng.integers(0, 31, (4, 6))]
+        full = bytearray(encode_gif(img))
+        full[6:8] = (10).to_bytes(2, "little")  # screen 10x8
+        full[8:10] = (8).to_bytes(2, "little")
+        i = _descriptor_offset(bytes(full))
+        full[i + 1 : i + 3] = (2).to_bytes(2, "little")  # left=2
+        full[i + 3 : i + 5] = (3).to_bytes(2, "little")  # top=3
+        out = decode_gif(bytes(full))
+        assert out.shape == (8, 10, 3)
+        assert (out[3:7, 2:8] == img).all()
+        # background index 0 = first entry of the file's (unique-sorted) table
+        file_pal0 = np.unique(img.reshape(-1, 3), axis=0)[0]
+        assert (out[0, 0] == file_pal0).all()
+
+    def test_corrupt_raises(self):
+        img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+        pay = encode_gif(img)
+        with pytest.raises(ValueError):
+            decode_gif(b"GIF89a")  # truncated header
+        with pytest.raises(ValueError):
+            decode_gif(pay[:-10])  # truncated LZW stream
+        with pytest.raises(ValueError):
+            decode_gif(b"NOTGIF" + pay[6:])  # bad magic
+        bad = bytearray(pay)
+        i = _descriptor_offset(pay)
+        # corrupt the LZW min-code-size byte (after 10-byte descriptor)
+        bad[i + 10] = 1
+        with pytest.raises(ValueError):
+            decode_gif(bytes(bad))
+
+    def test_golden_bytes(self):
+        """Hand-checkable 1x2 two-color image: palette is unique-sorted so
+        index 0 = black, 1 = red; mcs=2, first emitted codes are
+        CLEAR(100b) then the two pixel codes at 3 bits."""
+        img = np.array([[[0, 0, 0], [255, 0, 0]]], dtype=np.uint8)
+        pay = encode_gif(img)
+        assert pay[:6] == b"GIF89a"
+        assert (decode_gif(pay) == img).all()
+        # screen 2x1, GCT flag set with 2-entry-table size field 0
+        assert pay[6:8] == b"\x02\x00" and pay[8:10] == b"\x01\x00"
+        assert pay[10] & 0x80 and (pay[10] & 0x07) == 0
+        assert pay[13:19] == bytes([0, 0, 0, 255, 0, 0])  # the palette
+
+
 class TestDecodeStage:
     def test_checksum_and_thumb(self):
         rng = np.random.default_rng(6)
         img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        pal = rng.integers(0, 256, (11, 3), np.uint8)
+        pidx = rng.integers(0, 11, (16, 16))
         batch = pa.table(
             {
                 "html": pa.array(
@@ -134,6 +221,7 @@ class TestDecodeStage:
                         encode_bmp(img),
                         encode_ppm(img),
                         encode_png(img),
+                        encode_gif(pal[pidx]),
                         b"\x89PNG\r\n",  # truncated png -> flagged
                         b"<html>x",
                     ],
@@ -142,10 +230,14 @@ class TestDecodeStage:
             }
         )
         out = DecodeStage(payload_col="html", target_size=(8, 8))(batch)
-        assert out["media_type"].to_pylist() == ["bmp", "ppm", "png", "png", "html"]
-        assert out["decoded_ok"].to_pylist() == [True, True, True, False, True]
-        assert out["pixel_sum"].to_pylist()[:3] == [int(img.sum())] * 3
-        assert out["pixel_sum"].to_pylist()[3:] == [-1, -1]
+        assert out["media_type"].to_pylist() == [
+            "bmp", "ppm", "png", "gif", "png", "html",
+        ]
+        assert out["decoded_ok"].to_pylist() == [True, True, True, True, False, True]
+        assert out["pixel_sum"].to_pylist()[:4] == [int(img.sum())] * 3 + [
+            int(pal[pidx].sum())
+        ]
+        assert out["pixel_sum"].to_pylist()[4:] == [-1, -1]
         # thumb of the bmp equals the deterministic gray subsample
         gray = (
             img[:, :, 0].astype(np.uint16)
