@@ -269,7 +269,13 @@ def run_bench() -> dict:
     # Steady-state throughput is what matters at scale.
     headline(input_dir)
 
-    sec = min(headline(input_dir) for _ in range(3))
+    # headline = best-of-3 with its own pre-rep probe recorded (round-4
+    # verdict task #8: the REPORTED value is the defensible steady-state
+    # number, and the artifact carries the raw reps + load evidence so a
+    # regression is adjudicable without rerunning).
+    headline_probe = _load_probe(1)
+    headline_reps = [round(headline(input_dir), 3) for _ in range(3)]
+    sec = min(headline_reps)
 
     from gis_scripts_ray.queries import QUERIES
 
@@ -297,6 +303,7 @@ def run_bench() -> dict:
         "metric": "spatial_join_tiling_headline",
         "value": round(sec, 3),
         "unit": "sec",
+        "headline_detail": {"reps": headline_reps, "probe": headline_probe},
         "queries": qtimes,
         "query_detail": qdetail,
         "sf": SF_DIR,
