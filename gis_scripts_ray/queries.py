@@ -3601,6 +3601,70 @@ def _sql_multimodal_thumbnails() -> str:
     )
 
 
+def q_jpeg_decode(sf_dir: str):
+    """REAL baseline-JPEG decode end-to-end: each doc gets a 32x32 image
+    of sixteen flat 8x8 gray blocks (block b of doc d = (d*7 + b*16) %
+    256), Huffman-entropy-encoded with all-ones quant tables — chroma
+    subsampling cycling 4:4:4 / 4:2:2 / 4:2:0 by doc_id and restart
+    markers every 2 MCUs on odd doc_ids — shipped through the binary
+    column and decoded by the pure-numpy baseline JPEG reader. Flat
+    blocks under unit quantizers survive DCT->quant->IDCT EXACTLY (the
+    spectra are DC-only integers and gray keeps Cb=Cr=128 through every
+    subsampling mode), so the SQL twin recomputes the per-doc pixel sum
+    in closed form and any Huffman/bitstream/IDCT/upsampling defect
+    breaks the value hash."""
+    from gis_scripts_ray.stages.multimodal import decode_media, encode_jpeg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def make_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        b16 = 16 * np.arange(16, dtype=np.int64)
+        blobs = []
+        for d in ids:
+            d = int(d)
+            g = ((d * 7 + b16) % 256).astype(np.uint8).reshape(4, 4)
+            img = np.repeat(np.repeat(g, 8, 0), 8, 1)
+            blobs.append(
+                encode_jpeg(
+                    np.repeat(img[:, :, None], 3, 2),
+                    quant=1,
+                    subsampling=("444", "422", "420")[d % 3],
+                    restart_interval=2 if d % 2 else 0,
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "html": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_payload, batch_format="pyarrow")
+    decoded = decode_media(payloads, payload_col="html", concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        assert pc.all(pc.equal(batch["media_type"], "jpeg")).as_py() in (True, None)
+        return pa.table({"lang": batch["lang"], "pixel_sum": batch["pixel_sum"]})
+
+    return cell_sum_count(
+        decoded.map_batches(slim, batch_format="pyarrow"), ["lang"], ["pixel_sum"]
+    )
+
+
+def _sql_jpeg_decode() -> str:
+    # per block b in 0..15: 64 pixels x 3 channels x gray (d*7 + b*16) % 256
+    return (
+        "WITH per AS (SELECT d.lang, d.doc_id, "
+        "SUM(192*((d.doc_id*7 + t.b*16) % 256)) AS ps "
+        "FROM documents d, range(16) t(b) GROUP BY d.lang, d.doc_id) "
+        "SELECT lang, CAST(SUM(ps) AS BIGINT) AS sum_pixel_sum, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY lang"
+    )
+
+
 def q_video_frame_sample(sf_dir: str):
     """REAL video-frame sampling end-to-end: each doc gets a deterministic
     GVID container (3 + doc_id % 4 frames; frame f's 8x8 RGB pixel byte p
@@ -5128,6 +5192,7 @@ QUERIES: dict[str, Callable] = {
     "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_thumbnails": q_multimodal_thumbnails,
+    "jpeg_decode": q_jpeg_decode,
     "video_frame_sample": q_video_frame_sample,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -5251,6 +5316,7 @@ ORACLES: dict[str, str] = {
     "idw_grid": _sql_idw_grid(),
     "segment_replace": _sql_segment_replace(),
     "multimodal_thumbnails": _sql_multimodal_thumbnails(),
+    "jpeg_decode": _sql_jpeg_decode(),
     "video_frame_sample": _sql_video_frame_sample(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
