@@ -3728,6 +3728,79 @@ def _sql_video_frame_sample() -> str:
     )
 
 
+def q_mjpeg_video_sample(sf_dir: str):
+    """REAL interchange-format video end-to-end (round 5): each doc gets
+    a RIFF-AVI container of (2 + doc_id % 3) Motion-JPEG frames; frame f
+    is a 16x16 image of four flat 8x8 gray blocks (block b gray =
+    (doc_id*13 + f*37 + b*16) % 256), Huffman-encoded at quant=1 with
+    chroma subsampling cycling 4:4:4/4:2:2/4:2:0 by doc_id. The
+    actor-pool ``sample_frames`` stage walks the RIFF chunks, keeps every
+    2nd frame, and entropy-decodes each kept frame with the baseline JPEG
+    reader. Flat blocks at quant=1 round-trip exactly, so the SQL twin
+    recomputes per-frame pixel sums in closed form — any RIFF-walk,
+    idx1, stride, Huffman, or IDCT defect breaks the value hash."""
+    from gis_scripts_ray.stages.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        sample_frames,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def make_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        b4 = 16 * np.arange(4, dtype=np.int64)
+        blobs = []
+        for d in ids:
+            d = int(d)
+            frames = []
+            for f in range(2 + d % 3):
+                g = ((d * 13 + f * 37 + b4) % 256).astype(np.uint8).reshape(2, 2)
+                img = np.repeat(np.repeat(g, 8, 0), 8, 1)
+                frames.append(
+                    encode_jpeg(
+                        np.repeat(img[:, :, None], 3, 2),
+                        quant=1,
+                        subsampling=("444", "422", "420")[d % 3],
+                    )
+                )
+            blobs.append(encode_avi_mjpeg(frames, size=(16, 16)))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "video": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_video, batch_format="pyarrow")
+    sampled = sample_frames(payloads, payload_col="video", stride=2, concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table({"lang": batch["lang"], "pixel_sum": batch["pixel_sum"]})
+
+    return cell_sum_count(
+        sampled.map_batches(slim, batch_format="pyarrow"), ["lang"], ["pixel_sum"]
+    )
+
+
+def _sql_mjpeg_video_sample() -> str:
+    # sampled frames f in {0, 2}, f < 2 + doc_id % 3; per frame: 4 blocks
+    # of 64 px x 3 channels at gray (doc_id*13 + f*37 + b*16) % 256
+    return (
+        "WITH per AS (SELECT d.lang, d.doc_id, f.range AS f, "
+        "SUM(192*((d.doc_id*13 + f.range*37 + t.range*16) % 256)) AS ps "
+        "FROM documents d, range(0, 4, 2) f, range(4) t "
+        "WHERE f.range < 2 + d.doc_id % 3 "
+        "GROUP BY d.lang, d.doc_id, f.range) "
+        "SELECT lang, CAST(SUM(ps) AS BIGINT) AS sum_pixel_sum, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY lang"
+    )
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio parse end-to-end: each doc gets a deterministic mono
     16-bit PCM WAV (64 samples, s_i = ((doc_id*13 + i*7) % 65536) -
@@ -5194,6 +5267,7 @@ QUERIES: dict[str, Callable] = {
     "multimodal_thumbnails": q_multimodal_thumbnails,
     "jpeg_decode": q_jpeg_decode,
     "video_frame_sample": q_video_frame_sample,
+    "mjpeg_video_sample": q_mjpeg_video_sample,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -5318,6 +5392,7 @@ ORACLES: dict[str, str] = {
     "multimodal_thumbnails": _sql_multimodal_thumbnails(),
     "jpeg_decode": _sql_jpeg_decode(),
     "video_frame_sample": _sql_video_frame_sample(),
+    "mjpeg_video_sample": _sql_mjpeg_video_sample(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),

@@ -9,9 +9,10 @@ Decoders: REAL pure-numpy/stdlib codecs for BMP, PPM, PNG (zlib inflate +
 vectorized unfiltering), GIF (variable-width LZW, interlace, local/global
 palettes) and baseline JPEG (canonical Huffman entropy decode, 8x8 IDCT,
 chroma upsampling, restart markers) — every image format the fixture
-pipeline ships decodes for real. Only video containers (mp4/webm) remain
-an explicit ``NotImplementedError`` boundary (they need external entropy
-decoders not present in this container; production swaps
+pipeline ships decodes for real — plus the RIFF-AVI Motion-JPEG video
+container (round 5). Only mp4/webm remain an explicit
+``NotImplementedError`` boundary: their CODECS (H.264/VP9) need external
+entropy decoders not present in this container (production swaps
 ``_decode_thumb_and_sum``). Payload sniffing (magic bytes) and
 byte-level features are real.
 """
@@ -1122,11 +1123,12 @@ def _decode_thumb_and_sum(
 
     REAL decode for bmp/ppm/png/gif/jpeg (pure numpy + stdlib zlib, see
     above); the checksum is the int64 sum of the decoded RGB bytes (-1
-    when no real decoder ran). riff/pdf raise ``NotImplementedError`` —
-    those formats need codecs not available in this environment;
-    production swaps this function. html/unknown payloads produce a
-    deterministic byte-derived 'thumbnail' so plumbing is exercised with
-    real shapes.
+    when no real decoder ran). riff/pdf raise ``NotImplementedError`` in
+    THIS (still-image) stage: RIFF payloads are audio/video and route
+    through ``AudioFeatureStage`` / ``FrameSampleStage`` (which decodes
+    RIFF-AVI MJPEG for real); pdf needs a renderer not present here.
+    html/unknown payloads produce a deterministic byte-derived
+    'thumbnail' so plumbing is exercised with real shapes.
     """
     kind = sniff_type(payload)
     if kind in ("bmp", "ppm", "png", "gif", "jpeg"):
@@ -1140,8 +1142,9 @@ def _decode_thumb_and_sum(
         return _subsample_gray(rgb, target_size), int(rgb.sum(dtype=np.int64))
     if kind in ("riff", "pdf"):
         raise NotImplementedError(
-            f"real {kind} decode requires an image library not present in "
-            "this environment — production swaps _decode_thumb_and_sum"
+            f"{kind} is not a still image: RIFF routes through the audio/"
+            "video stages (AVI-MJPEG decodes for real there); pdf needs a "
+            "renderer not present here — production swaps _decode_thumb_and_sum"
         )
     h, w = target_size
     b = np.frombuffer(payload[: h * w] or b"\x00", dtype=np.uint8)
@@ -1226,11 +1229,11 @@ _GVID_MAGIC = b"GVID"
 def encode_gvid(frames: "list[bytes]") -> bytes:
     """Minimal deterministic video container: ``GVID | u32 n_frames |
     (u32 size | frame_bytes)*`` — each frame any self-contained image
-    payload (BMP/PPM here). Entropy-coded containers (mp4/webm) are the
-    same explicit stub boundary as png/jpeg (no codec libs in this
-    environment); the framing, sampling, per-frame decode, and output
-    layout below are the REAL Ray-side plumbing a production decoder
-    drops into."""
+    payload. For a real interchange container see
+    :func:`encode_avi_mjpeg` (RIFF-AVI with Motion-JPEG frames, fully
+    decoded here since round 5); mp4/webm remain the stub boundary
+    because their CODECS (H.264/VP9) need external libs, not because of
+    the container walk."""
     import struct
 
     out = [_GVID_MAGIC, struct.pack("<I", len(frames))]
@@ -1263,13 +1266,131 @@ def gvid_frames(payload: bytes) -> "list[bytes]":
     return frames
 
 
+def encode_avi_mjpeg(
+    jpeg_frames: "list[bytes]", size: "tuple[int, int]", fps: int = 10
+) -> bytes:
+    """REAL RIFF-AVI container around Motion-JPEG frames (round-5: with
+    the baseline JPEG codec real, a genuine interchange video format can
+    ship end-to-end — the mp4/webm boundary note shrinks to formats whose
+    CODECS, not containers, need external libs). Structure: RIFF('AVI ')
+    > LIST('hdrl'){avih, LIST('strl'){strh 'vids'/'MJPG', strf
+    BITMAPINFOHEADER biCompression='MJPG'}} > LIST('movi'){'00dc'
+    chunks, word-aligned} > idx1. ``size`` is (width, height) of every
+    frame."""
+    import struct
+
+    w, h = size
+    n = len(jpeg_frames)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, max(fps, 1), 0, n, 0, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks, idx, off = [], [], 4  # offset of first ckid from 'movi' fourcc
+    for f in jpeg_frames:
+        c = chunk(b"00dc", f)
+        movi_chunks.append(c)
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_mjpeg_frames(payload: bytes) -> "list[bytes]":
+    """Parse a RIFF-AVI and return the video stream's JPEG frame blobs
+    ('00dc'/'00db' chunks of stream 0). Validates RIFF framing, requires
+    a 'vids' stream, cross-checks idx1's entry count when present;
+    malformed payloads raise ValueError (quarantined, never silent)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF-AVI payload")
+    (riff_len,) = struct.unpack_from("<I", payload, 4)
+    if 8 + riff_len > len(payload):
+        raise ValueError("avi: RIFF size past end of payload")
+
+    def walk(lo: int, hi: int):
+        """Yield (fourcc, body_lo, body_hi) for each chunk in [lo, hi)."""
+        pos = lo
+        while pos < hi:
+            if pos + 8 > hi:
+                raise ValueError("avi: truncated chunk header")
+            fourcc = payload[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", payload, pos + 4)
+            if pos + 8 + sz > hi:
+                raise ValueError("avi: chunk body past end of list")
+            yield fourcc, pos + 8, pos + 8 + sz
+            pos += 8 + sz + (sz % 2)  # word alignment
+
+    frames: list[bytes] = []
+    saw_vids = False
+    n_idx = None
+    for fourcc, lo, hi in walk(12, 8 + riff_len):
+        if fourcc == b"LIST" and payload[lo : lo + 4] == b"hdrl":
+            for f2, lo2, hi2 in walk(lo + 4, hi):
+                if f2 == b"LIST" and payload[lo2 : lo2 + 4] == b"strl":
+                    for f3, lo3, hi3 in walk(lo2 + 4, hi2):
+                        if f3 == b"strh":
+                            if hi3 - lo3 < 8:
+                                raise ValueError("avi: truncated strh")
+                            saw_vids |= payload[lo3 : lo3 + 4] == b"vids"
+        elif fourcc == b"LIST" and payload[lo : lo + 4] == b"movi":
+            for f2, lo2, hi2 in walk(lo + 4, hi):
+                if f2 in (b"00dc", b"00db"):
+                    frames.append(payload[lo2:hi2])
+        elif fourcc == b"idx1":
+            if (hi - lo) % 16:
+                raise ValueError("avi: idx1 not 16-byte entries")
+            n_idx = sum(
+                payload[i : i + 4] in (b"00dc", b"00db")
+                for i in range(lo, hi, 16)
+            )
+    if not saw_vids:
+        raise ValueError("avi: no video ('vids') stream header")
+    if n_idx is not None and n_idx != len(frames):
+        raise ValueError(
+            f"avi: idx1 lists {n_idx} video chunks, movi has {len(frames)}"
+        )
+    return frames
+
+
+def _container_frames(payload: bytes) -> "list[bytes]":
+    """Dispatch video-container parsing: GVID or RIFF-AVI(MJPEG)."""
+    if payload is not None and payload[:4] == b"RIFF":
+        return avi_mjpeg_frames(payload)
+    return gvid_frames(payload)
+
+
 class FrameSampleStage:
     """Actor-pool frame sampler: parse the container, keep every
     ``stride``-th frame (frame_idx % stride == 0), decode each kept frame
     with the REAL pure-numpy image decoders, emit ONE ROW PER SAMPLED
     FRAME with carry columns preserved — the video half of the decode
-    plumbing (schema, fan-out row multiplication, actor state, quarantine
-    flags all real; only the entropy codec is stubbed).
+    plumbing. Containers: GVID and REAL RIFF-AVI (MJPEG); frame codecs:
+    every real image decoder (bmp/ppm/png/gif/jpeg).
 
     Output columns: carry... , frame_idx, height, width, pixel_sum,
     decoded_ok. Malformed containers/frames emit one flagged row
@@ -1292,13 +1413,17 @@ class FrameSampleStage:
         payloads = batch[self.payload_col].to_pylist()
         for i, payload in enumerate(payloads):
             try:
-                frames = gvid_frames(payload)
+                frames = _container_frames(payload)
                 for fi in range(0, len(frames), self.stride):
                     kind = sniff_type(frames[fi])
-                    if kind == "bmp":
-                        rgb = decode_bmp(frames[fi])
-                    elif kind == "ppm":
-                        rgb = decode_ppm(frames[fi])
+                    if kind in ("bmp", "ppm", "png", "gif", "jpeg"):
+                        rgb = {
+                            "bmp": decode_bmp,
+                            "ppm": decode_ppm,
+                            "png": decode_png,
+                            "gif": decode_gif,
+                            "jpeg": decode_jpeg,
+                        }[kind](frames[fi])
                     else:
                         raise NotImplementedError(
                             f"frame codec {kind!r} needs an entropy decoder "
