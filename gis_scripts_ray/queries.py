@@ -3801,6 +3801,71 @@ def _sql_mjpeg_video_sample() -> str:
     )
 
 
+def q_pagerank_hosts(sf_dir: str):
+    """Distributed fixed-point PageRank over a derived host link graph
+    (round 5): host h = doc_id // 16; each doc emits one directed edge
+    h -> (doc_id * 2654435761 mod 2^32) mod n_hosts (Knuth multiplicative
+    scatter — hub skew arises naturally). Three exact integer power steps
+    (micro-unit ranks, damping 0.85) via ``stages/pagerank.py``'s
+    broadcast-or-join delivery; the SQL twin unrolls the same recurrence
+    as three CTE rounds in the identical integer domain, so every edge
+    derivation, out-degree, quota floor, and damping floor is value-hash
+    pinned. n_hosts derives from MAX(doc_id) (the ``_id_shift`` pattern —
+    never a hard-coded modulus)."""
+    from gis_scripts_ray.stages.pagerank import pagerank_fixed_point
+
+    nh = (_id_shift(sf_dir, "documents", "doc_id") - 1) // 16 + 1
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        src = (d // np.uint64(16)).astype(np.int64)
+        dst = (
+            (d * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(nh)
+        ).astype(np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    pr = pagerank_fixed_point(
+        ds.map_batches(edges, batch_format="pyarrow"), n_nodes=nh, iters=3
+    )
+    return pr.map_batches(
+        lambda b: pa.table({"host": b["node"], "pagerank_micro": b["rank"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_pagerank_hosts() -> str:
+    # same integer recurrence unrolled: r_{k+1} = 150000 + (850000*s)//1e6,
+    # s = sum over in-edges of r_k(src)//deg(src); HUGEINT guards the
+    # damp*s product (the Ray side decomposes it equivalently)
+    rounds = []
+    prev = "r0"
+    for k in (1, 2, 3):
+        rounds.append(
+            f"c{k} AS (SELECT e.dst AS node, "
+            f"SUM(CAST({prev}.r // dg.deg AS HUGEINT)) AS s "
+            f"FROM e JOIN dg ON dg.node = e.src "
+            f"JOIN {prev} ON {prev}.node = e.src GROUP BY e.dst), "
+            f"r{k} AS (SELECT u.node, CAST(150000 + "
+            f"(850000 * COALESCE(c{k}.s, 0)) // 1000000 AS BIGINT) AS r "
+            f"FROM u LEFT JOIN c{k} ON c{k}.node = u.node)"
+        )
+        prev = f"r{k}"
+    return (
+        "WITH nh AS (SELECT MAX(doc_id) // 16 + 1 AS n FROM documents), "
+        "e AS (SELECT doc_id // 16 AS src, "
+        "CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "
+        "% (SELECT n FROM nh) AS BIGINT) AS dst FROM documents), "
+        "u AS (SELECT unnest(generate_series(0, (SELECT n - 1 FROM nh))) "
+        "AS node), "
+        "dg AS (SELECT u.node, COUNT(e.src) AS deg FROM u "
+        "LEFT JOIN e ON e.src = u.node GROUP BY u.node), "
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM u), "
+        + ", ".join(rounds)
+        + " SELECT node AS host, r AS pagerank_micro FROM r3"
+    )
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio parse end-to-end: each doc gets a deterministic mono
     16-bit PCM WAV (64 samples, s_i = ((doc_id*13 + i*7) % 65536) -
@@ -5268,6 +5333,7 @@ QUERIES: dict[str, Callable] = {
     "jpeg_decode": q_jpeg_decode,
     "video_frame_sample": q_video_frame_sample,
     "mjpeg_video_sample": q_mjpeg_video_sample,
+    "pagerank_hosts": q_pagerank_hosts,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -5393,6 +5459,7 @@ ORACLES: dict[str, str] = {
     "jpeg_decode": _sql_jpeg_decode(),
     "video_frame_sample": _sql_video_frame_sample(),
     "mjpeg_video_sample": _sql_mjpeg_video_sample(),
+    "pagerank_hosts": _sql_pagerank_hosts(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),
