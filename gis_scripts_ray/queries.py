@@ -3801,6 +3801,56 @@ def _sql_mjpeg_video_sample() -> str:
     )
 
 
+_TERM_QUERY_TERMS = ["sort", "merge", "window"]
+_TEXT_INDEX_BUCKETS = 32
+
+
+def _text_index_dir(sf_dir: str) -> str:
+    """Deterministic per-input index location (the `_geo_store_dir`
+    pattern): content is a pure function of sf_dir, so a warm index is
+    reusable; the version token invalidates stale layouts."""
+    import hashlib
+
+    from gis_scripts_ray.stages.text_index import TEXT_INDEX_VERSION
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return (
+        f"/tmp/graft_text_index/v{TEXT_INDEX_VERSION}_{h}_"
+        f"b{_TEXT_INDEX_BUCKETS}"
+    )
+
+
+def q_term_search_pushdown(sf_dir: str):
+    """Inverted-index term search with STORAGE-LEVEL pushdown (round 5 —
+    the text analog of ``clip_pushdown``'s windowed-read pruning,
+    Clip_Rasters_By_Extent.py:17-36): postings are persisted partitioned
+    by token hash bucket, and a 3-term AND reads ONLY the terms' bucket
+    partitions (~3/32 of the index here; ~3/n_buckets at scale — never
+    the corpus), then counts matched distinct terms per doc
+    distributedly. The twin tokenizes the corpus directly in SQL, so any
+    bucket-routing, dedup, or counting defect surfaces as a missing or
+    phantom doc_id."""
+    from gis_scripts_ray.stages.text_index import term_and_query, write_token_index
+
+    out = _text_index_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    # one-time build; a warm index drops every row before the shuffle
+    write_token_index(ds, out, n_buckets=_TEXT_INDEX_BUCKETS)
+    return term_and_query(out, _TERM_QUERY_TERMS, n_buckets=_TEXT_INDEX_BUCKETS)
+
+
+def _sql_term_search_pushdown() -> str:
+    terms = ", ".join(f"'{t}'" for t in _TERM_QUERY_TERMS)
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents) "
+        f"SELECT doc_id FROM toks WHERE tok IN ({terms}) "
+        f"GROUP BY doc_id HAVING COUNT(DISTINCT tok) = {len(_TERM_QUERY_TERMS)}"
+    )
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Distributed fixed-point PageRank over a derived host link graph
     (round 5): host h = doc_id // 16; each doc emits one directed edge
@@ -5334,6 +5384,7 @@ QUERIES: dict[str, Callable] = {
     "video_frame_sample": q_video_frame_sample,
     "mjpeg_video_sample": q_mjpeg_video_sample,
     "pagerank_hosts": q_pagerank_hosts,
+    "term_search_pushdown": q_term_search_pushdown,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -5460,6 +5511,7 @@ ORACLES: dict[str, str] = {
     "video_frame_sample": _sql_video_frame_sample(),
     "mjpeg_video_sample": _sql_mjpeg_video_sample(),
     "pagerank_hosts": _sql_pagerank_hosts(),
+    "term_search_pushdown": _sql_term_search_pushdown(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),
