@@ -137,3 +137,119 @@ class TestRepetitionParity:
             want = repetition_stats_row(d)
             for col in ("n_tokens", "dup_tokens", "max_bigram_n", "dup_trigram_n"):
                 assert out[col][i] == want[col], (i, col, d)
+
+
+class TestCodecRoundtripProps:
+    """Round-5: the pure-numpy codecs under adversarial inputs — lossless
+    formats must roundtrip EXACTLY on arbitrary pixel content; JPEG must
+    roundtrip exactly on its documented exact domain (flat 8x8 gray
+    blocks, quant=1) in every subsampling/restart mode."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_png_bmp_ppm_roundtrip(self, h, w, seed):
+        from gis_scripts_ray.stages.multimodal import (
+            decode_bmp, decode_png, decode_ppm,
+            encode_bmp, encode_png, encode_ppm,
+        )
+
+        img = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=10),
+        st.integers(min_value=1, max_value=10),
+        st.integers(min_value=2, max_value=64),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.booleans(),
+    )
+    def test_gif_roundtrip(self, h, w, ncolors, seed, interlace):
+        from gis_scripts_ray.stages.multimodal import decode_gif, encode_gif
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncolors, 3), np.uint8)
+        img = pal[rng.integers(0, ncolors, (h, w))]
+        assert (decode_gif(encode_gif(img, interlace=interlace)) == img).all()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from(["444", "422", "420"]),
+        st.integers(min_value=0, max_value=3),
+    )
+    def test_jpeg_flat_blocks_exact(self, by, bx, seed, sub, restart):
+        from gis_scripts_ray.stages.multimodal import decode_jpeg, encode_jpeg
+
+        g = np.random.default_rng(seed).integers(0, 256, (by, bx), np.int64)
+        img = np.repeat(np.repeat(g, 8, 0), 8, 1).astype(np.uint8)
+        rgb = np.repeat(img[:, :, None], 3, 2)
+        pay = encode_jpeg(rgb, quant=1, subsampling=sub, restart_interval=restart)
+        assert (decode_jpeg(pay) == rgb).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=6))
+    def test_avi_container_roundtrip(self, frames):
+        from gis_scripts_ray.stages.multimodal import (
+            avi_mjpeg_frames, encode_avi_mjpeg,
+        )
+
+        pay = encode_avi_mjpeg(frames, size=(8, 8))
+        assert avi_mjpeg_frames(pay) == frames
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=6))
+    def test_gvid_container_roundtrip(self, frames):
+        from gis_scripts_ray.stages.multimodal import encode_gvid, gvid_frames
+
+        assert gvid_frames(encode_gvid(frames)) == frames
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_roundtrip(self, samples, rate):
+        from gis_scripts_ray.stages.multimodal import (
+            decode_wav_pcm16, encode_wav_pcm16,
+        )
+
+        s = np.array(samples, dtype=np.int16)
+        got_rate, got = decode_wav_pcm16(encode_wav_pcm16(s, rate=rate))
+        assert got_rate == rate and (got == s).all()
+
+
+class TestPagerankProps:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=11),
+                st.integers(min_value=0, max_value=11),
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+    )
+    def test_reference_mass_conservation_bounds(self, n, edges):
+        """The fixed-point recurrence keeps every rank in
+        [jump, jump + damp*total/scale] — ranks can never go negative or
+        exceed the damped total in-mass (floor losses only shrink)."""
+        from tests.test_pagerank import DAMP, SCALE, ref_pagerank
+
+        edges = [(a % n, b % n) for a, b in edges]
+        r = ref_pagerank(edges, n)
+        total = n * SCALE
+        for v in r:
+            assert SCALE - DAMP <= v <= SCALE - DAMP + (DAMP * total) // SCALE
