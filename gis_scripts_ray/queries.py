@@ -3601,6 +3601,12 @@ def _sql_multimodal_thumbnails() -> str:
     )
 
 
+# per-process fixture-payload memos (encode once per distinct pattern;
+# see make_payload notes in q_jpeg_decode / q_mjpeg_video_sample)
+_JPEG_PAYLOAD_MEMO: dict = {}
+_MJPEG_PAYLOAD_MEMO: dict = {}
+
+
 def q_jpeg_decode(sf_dir: str):
     """REAL baseline-JPEG decode end-to-end: each doc gets a 32x32 image
     of sixteen flat 8x8 gray blocks (block b of doc d = (d*7 + b*16) %
@@ -3620,19 +3626,28 @@ def q_jpeg_decode(sf_dir: str):
     def make_payload(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         b16 = 16 * np.arange(16, dtype=np.int64)
+        # the payload is a pure function of (d%256, d%3, d%2): the gray
+        # pattern has period 256 in doc_id and the mode flags cycle — so
+        # encode each of the <=1536 distinct payloads ONCE per worker
+        # (fixture generation must scale like everything else; a per-doc
+        # Huffman encode dominated the sf0.1 sweep probe at 9.8 s)
+        memo: dict = _JPEG_PAYLOAD_MEMO
         blobs = []
         for d in ids:
             d = int(d)
-            g = ((d * 7 + b16) % 256).astype(np.uint8).reshape(4, 4)
-            img = np.repeat(np.repeat(g, 8, 0), 8, 1)
-            blobs.append(
-                encode_jpeg(
+            key = (d % 256, d % 3, d % 2)
+            pay = memo.get(key)
+            if pay is None:
+                g = ((d * 7 + b16) % 256).astype(np.uint8).reshape(4, 4)
+                img = np.repeat(np.repeat(g, 8, 0), 8, 1)
+                pay = encode_jpeg(
                     np.repeat(img[:, :, None], 3, 2),
                     quant=1,
                     subsampling=("444", "422", "420")[d % 3],
                     restart_interval=2 if d % 2 else 0,
                 )
-            )
+                memo[key] = pay
+            blobs.append(pay)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -3752,21 +3767,31 @@ def q_mjpeg_video_sample(sf_dir: str):
     def make_video(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         b4 = 16 * np.arange(4, dtype=np.int64)
+        # container is a pure function of (d%256, d%3): frame grays have
+        # period 256 in doc_id, frame count and subsampling cycle d%3 —
+        # encode each distinct container once per worker (fixture
+        # generation must scale; see q_jpeg_decode)
+        memo: dict = _MJPEG_PAYLOAD_MEMO
         blobs = []
         for d in ids:
             d = int(d)
-            frames = []
-            for f in range(2 + d % 3):
-                g = ((d * 13 + f * 37 + b4) % 256).astype(np.uint8).reshape(2, 2)
-                img = np.repeat(np.repeat(g, 8, 0), 8, 1)
-                frames.append(
-                    encode_jpeg(
-                        np.repeat(img[:, :, None], 3, 2),
-                        quant=1,
-                        subsampling=("444", "422", "420")[d % 3],
+            key = (d % 256, d % 3)
+            pay = memo.get(key)
+            if pay is None:
+                frames = []
+                for f in range(2 + d % 3):
+                    g = ((d * 13 + f * 37 + b4) % 256).astype(np.uint8).reshape(2, 2)
+                    img = np.repeat(np.repeat(g, 8, 0), 8, 1)
+                    frames.append(
+                        encode_jpeg(
+                            np.repeat(img[:, :, None], 3, 2),
+                            quant=1,
+                            subsampling=("444", "422", "420")[d % 3],
+                        )
                     )
-                )
-            blobs.append(encode_avi_mjpeg(frames, size=(16, 16)))
+                pay = encode_avi_mjpeg(frames, size=(16, 16))
+                memo[key] = pay
+            blobs.append(pay)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
