@@ -3876,6 +3876,58 @@ def _sql_term_search_pushdown() -> str:
     )
 
 
+def q_lm_quality_scores(sf_dir: str):
+    """Corpus-LM quality scoring (round 5 — the CCNet model-based filter
+    shape): a bigram conditional-probability model is fit on the corpus
+    itself in ONE pass (per-block partials, one adaptive combine over
+    the unbounded bigram key space) and delivered back adaptively
+    (measured broadcast / sized hash-joins) to score every document in
+    the FIXED-POINT integer domain: per bigram occurrence
+    p = (1e6 * c2(w1,w2)) // c1(w1), summed per doc — the exact-integer
+    stand-in for KenLM log-perplexity that a float could never
+    value-hash. Output: per-language totals of score mass, bigram count,
+    and scored-doc count."""
+    from gis_scripts_ray.stages.lmscore import lm_bigram_scores
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    scored = lm_bigram_scores(ds, carry_cols=["lang"])
+    return cell_sum_count(
+        scored.map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b["lang"],
+                    "p_sum_micro": b["p_sum_micro"],
+                    "n_bigrams": b["n_bigrams"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["lang"],
+        ["p_sum_micro", "n_bigrams"],
+    )
+
+
+def _sql_lm_quality_scores() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, lang, "
+        "string_split(COALESCE(text, ''), ' ') AS w FROM documents), "
+        "bgs AS (SELECT doc_id, lang, w[i] AS w1, "
+        "w[i] || ' ' || w[i + 1] AS bg FROM (SELECT doc_id, lang, w, "
+        "unnest(generate_series(1, len(w) - 1)) AS i FROM toks)), "
+        "c2 AS (SELECT bg, COUNT(*) AS c FROM bgs GROUP BY bg), "
+        "c1 AS (SELECT w1, COUNT(*) AS c FROM bgs GROUP BY w1), "
+        "per AS (SELECT b.doc_id, b.lang, "
+        "SUM((1000000 * c2.c) // c1.c) AS ps, COUNT(*) AS nb "
+        "FROM bgs b JOIN c2 ON c2.bg = b.bg JOIN c1 ON c1.w1 = b.w1 "
+        "GROUP BY b.doc_id, b.lang) "
+        "SELECT lang, CAST(SUM(ps) AS BIGINT) AS sum_p_sum_micro, "
+        "CAST(SUM(nb) AS BIGINT) AS sum_n_bigrams, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY lang"
+    )
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Distributed fixed-point PageRank over a derived host link graph
     (round 5): host h = doc_id // 16; each doc emits one directed edge
@@ -5410,6 +5462,7 @@ QUERIES: dict[str, Callable] = {
     "mjpeg_video_sample": q_mjpeg_video_sample,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
+    "lm_quality_scores": q_lm_quality_scores,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -5537,6 +5590,7 @@ ORACLES: dict[str, str] = {
     "mjpeg_video_sample": _sql_mjpeg_video_sample(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
+    "lm_quality_scores": _sql_lm_quality_scores(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),
