@@ -366,3 +366,67 @@ class TestDecodeStage:
         batch = pa.table({"html": pa.array([b"BM\x00\x00bad"], pa.binary())})
         out = DecodeStage(payload_col="html")(batch)
         assert out["decoded_ok"].to_pylist() == [False]
+
+
+# Two tiny REAL third-party (libjpeg-encoded) baseline JPEGs, embedded as
+# hex: a 2x2 single-component GRAYSCALE image (IPython test asset — a scan
+# shape our own encoder never produces) and a 16x16 4:2:0 image with
+# optimized (non-Annex-K) Huffman tables (CPython test asset). Decoding
+# independent encoder output is the cross-validation our roundtrip tests
+# cannot give; pixel expectations below are regression goldens pinned from
+# the first verified decode.
+_LIBJPEG_GRAY_2X2 = bytes.fromhex(
+    "ffd8ffe000104a46494600010100000100010000ffdb0043000806060706050807070709"
+    "09080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c1c283729"
+    "2c30313434341f27393d38323c2e333432ffc0000b080002000201011100ffc4001f0000"
+    "010501010101010100000000000000000102030405060708090a0bffc400b51000020103"
+    "03020403050504040000017d01020300041105122131410613516107227114328191a108"
+    "2342b1c11552d1f02433627282090a161718191a25262728292a3435363738393a434445"
+    "464748494a535455565758595a636465666768696a737475767778797a83848586878889"
+    "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9"
+    "cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffda00080101"
+    "00003f002bffd9"
+)
+_LIBJPEG_420_16X16 = bytes.fromhex(
+    "ffd8ffe000104a46494600010101000100010000ffdb0043000302020202020302020203"
+    "03030304060404040404080606050609080a0a090809090a0c0f0c0a0b0e0b09090d110d"
+    "0e0f101011100a0c12131210130f101010ffdb00430103030304030408040408100b090b"
+    "101010101010101010101010101010101010101010101010101010101010101010101010"
+    "1010101010101010101010101010ffc00011080010001003012200021101031101ffc400"
+    "160001010100000000000000000000000000070405ffc400241000010401040202030000"
+    "0000000000000102030406050708121311220014093132ffc40015010101000000000000"
+    "00000000000000000006ffc4002311000102050305000000000000000000000102110304"
+    "05062100123115166181e1ffda000c03010002110311003f0014a6d26a1b73c1e61312d4"
+    "951cf31163e42565beba5aec694540b1e520b254a51fd2cab8faf220ab963d976c9335e6"
+    "9b77d7e66da71781a5571c7f1cea71e24b39d7e32253f21a69ded4714a38b482e84b892a"
+    "71691ecd2d213bf1efb91a74aceea15a758ed548ac655b858b81857b21299867a96b94b9"
+    "49654fb9c88529114b812af07ad9f23c807e55be0df662a140cce8e69a3d5cb743b3d77a"
+    "6558b1d9512188bf64b8d3f1c3680429c0d0febb3c02e03c5407b4bdd97b54e627fb6edf"
+    "9460148262138db8529828370589727960e432896fc3828ea7528cea208dbe78191f07ad"
+    "7fffd9"
+)
+
+
+class TestJpegThirdPartyStreams:
+    def test_libjpeg_grayscale_single_component(self):
+        img = decode_jpeg(_LIBJPEG_GRAY_2X2)
+        assert img.shape == (2, 2, 3)
+        # 1-component scan replicates gray into RGB; this asset is a
+        # uniform mid-gray card
+        assert (img == 128).all()
+
+    def test_libjpeg_420_optimized_tables(self):
+        img = decode_jpeg(_LIBJPEG_420_16X16)
+        assert img.shape == (16, 16, 3)
+        # regression goldens from the first verified decode
+        assert img[0, 0].tolist() == [0, 2, 7]
+        assert abs(float(img.mean()) - 92.2) < 0.5
+
+    def test_decode_stage_accepts_real_streams(self):
+        batch = pa.table(
+            {"html": pa.array([_LIBJPEG_GRAY_2X2, _LIBJPEG_420_16X16], pa.binary())}
+        )
+        out = DecodeStage(payload_col="html", target_size=(4, 4))(batch)
+        assert out["media_type"].to_pylist() == ["jpeg", "jpeg"]
+        assert out["decoded_ok"].to_pylist() == [True, True]
+        assert out["pixel_sum"].to_pylist()[0] == 2 * 2 * 3 * 128
