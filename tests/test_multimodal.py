@@ -430,3 +430,39 @@ class TestJpegThirdPartyStreams:
         assert out["media_type"].to_pylist() == ["jpeg", "jpeg"]
         assert out["decoded_ok"].to_pylist() == [True, True]
         assert out["pixel_sum"].to_pylist()[0] == 2 * 2 * 3 * 128
+
+
+# Third-party GIF (IDLE icon, giflib-era encoder) and PNG (IPython asset,
+# the same 2x2 gray card as _LIBJPEG_GRAY_2X2 encoded with zlib/libpng) —
+# independent-encoder coverage for the LZW and inflate paths.
+_GIFLIB_PLUSNODE_11X11 = bytes.fromhex(
+    "4749463839610b000b00f10300ffffff7f7f7f000000c0c0c021f90405000003002c0000"
+    "00000b000b0000021f9c8f16cbac0023080f8a48478817e62d84e154011da97158297d4d"
+    "93c44301003b"
+)
+_LIBPNG_GRAY_2X2 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d494844520000000200000002080000000057dd52f8000000"
+    "0e49444154789c636c60606260000002920084f77ca3580000000049454e44ae426082"
+)
+
+
+class TestThirdPartyStreamsCrossFormat:
+    def test_giflib_stream(self):
+        img = decode_gif(_GIFLIB_PLUSNODE_11X11)
+        assert img.shape == (11, 11, 3)
+        # 4-color palette icon: corner is the background (light gray)
+        assert img[0, 0].tolist() == [192, 192, 192]
+        assert set(map(tuple, img.reshape(-1, 3))) <= {
+            (255, 255, 255), (127, 127, 127), (0, 0, 0), (192, 192, 192)
+        }
+
+    def test_png_jpeg_cross_format_agreement(self):
+        """The SAME 2x2 gray card, independently encoded by libpng and
+        libjpeg, must decode to IDENTICAL pixels through two entirely
+        different decode paths (inflate+unfilter vs Huffman+IDCT) — the
+        strongest correctness signal available without an image library."""
+        png = decode_png(_LIBPNG_GRAY_2X2)
+        jpg = decode_jpeg(_LIBJPEG_GRAY_2X2)
+        assert png.shape == jpg.shape == (2, 2, 3)
+        assert (png == jpg).all()
+        assert (png == 128).all()
