@@ -3876,6 +3876,46 @@ def _sql_term_search_pushdown() -> str:
     )
 
 
+_PHRASE_QUERY = ["sort", "merge"]
+
+
+def q_phrase_search_pushdown(sf_dir: str):
+    """Exact PHRASE search over the positional inverted index (round 5 —
+    the v2 index stores 1-based token positions): slot k of the phrase
+    maps each occurrence of term_k to candidate start pos-k; a
+    (doc, start) holding all slots is an occurrence. Reads ONLY the
+    phrase terms' bucket partitions. The twin re-derives positions in
+    SQL (w[i] with generate_series — the same 1-based indexing the store
+    writes), so position bookkeeping, slot fan-out, and the two counting
+    combines are all value-hash pinned. Output: (doc_id, n_occurrences)
+    for docs containing the phrase."""
+    from gis_scripts_ray.stages.text_index import phrase_query, write_token_index
+
+    out = _text_index_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    write_token_index(ds, out, n_buckets=_TEXT_INDEX_BUCKETS)
+    return phrase_query(out, _PHRASE_QUERY, n_buckets=_TEXT_INDEX_BUCKETS)
+
+
+def _sql_phrase_search_pushdown() -> str:
+    slots = ", ".join(f"('{t}', {k})" for k, t in enumerate(_PHRASE_QUERY))
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "string_split(COALESCE(text, ''), ' ') AS w FROM documents), "
+        "pos AS (SELECT doc_id, i, w[i] AS tok FROM (SELECT doc_id, w, "
+        "unnest(generate_series(1, len(w))) AS i FROM toks)), "
+        f"cand AS (SELECT p.doc_id, p.i - t.k AS start FROM pos p "
+        f"JOIN (VALUES {slots}) t(term, k) ON p.tok = t.term "
+        "WHERE p.i - t.k >= 1), "
+        "occ AS (SELECT doc_id, start FROM cand GROUP BY doc_id, start "
+        f"HAVING COUNT(*) = {len(_PHRASE_QUERY)}) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences "
+        "FROM occ GROUP BY doc_id"
+    )
+
+
 def q_lm_quality_scores(sf_dir: str):
     """Corpus-LM quality scoring (round 5 — the CCNet model-based filter
     shape): a bigram conditional-probability model is fit on the corpus
@@ -5463,6 +5503,7 @@ QUERIES: dict[str, Callable] = {
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
+    "phrase_search_pushdown": q_phrase_search_pushdown,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -5591,6 +5632,7 @@ ORACLES: dict[str, str] = {
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
+    "phrase_search_pushdown": _sql_phrase_search_pushdown(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),

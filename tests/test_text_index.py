@@ -58,24 +58,27 @@ def _build(tmp_path, table) -> str:
 class TestTextIndex:
     def test_bucket_routing_exhaustive(self, tmp_path, ray_session):
         """Every posting row in partition b really hashes to bucket b,
-        and the union of partitions is the full unique posting set."""
+        and the union of partitions is the full POSITIONAL posting set
+        (v2: one row per occurrence, pos 1-based)."""
         t = _mk_docs()
         out = _build(tmp_path, t)
-        seen = set()
+        seen = []
         for f in glob.glob(os.path.join(out, "part=*", "data.parquet")):
             part = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
-            rows = pq.read_table(f, columns=["token", "doc_id"])
+            rows = pq.read_table(f, columns=["token", "doc_id", "pos"])
             toks = rows["token"].to_pylist()
             assert all(
                 f"b{b}" == part for b in token_bucket(list(set(toks)), NB)
             )
-            seen |= set(zip(toks, rows["doc_id"].to_pylist()))
-        want = set()
+            seen += list(
+                zip(toks, rows["doc_id"].to_pylist(), rows["pos"].to_pylist())
+            )
+        want = []
         for i in range(t.num_rows):
             txt = t["text"][i].as_py() or ""
-            for tok in set(txt.split(" ")):
-                want.add((tok, i))
-        assert seen == want
+            for p, tok in enumerate(txt.split(" "), start=1):
+                want.append((tok, i, p))
+        assert sorted(seen) == sorted(want)
 
     def test_pruned_fileset_and_equal_rows(self, tmp_path, ray_session):
         t = _mk_docs()
@@ -138,7 +141,7 @@ class TestTextIndex:
         }
         assert mtimes == after  # completed partitions never rewritten
 
-    def test_postings_rows_null_and_dupes(self):
+    def test_postings_rows_null_and_positions(self):
         b = pa.table(
             {
                 "doc_id": pa.array([1, 2], pa.int64()),
@@ -146,6 +149,71 @@ class TestTextIndex:
             }
         )
         rows = postings_rows(b, "text", "doc_id", NB)
-        pairs = sorted(zip(rows["token"].to_pylist(), rows["doc_id"].to_pylist()))
-        # doc 1's duplicate 'a' deduped; null text -> [''] posting
-        assert pairs == [("", 2), ("a", 1), ("b", 1)]
+        trips = sorted(
+            zip(
+                rows["token"].to_pylist(),
+                rows["doc_id"].to_pylist(),
+                rows["pos"].to_pylist(),
+            )
+        )
+        # v2 positional: duplicate 'a' keeps both occurrences with
+        # 1-based positions; null text -> [''] posting at pos 1
+        assert trips == [("", 2, 1), ("a", 1, 1), ("a", 1, 2), ("b", 1, 3)]
+
+
+def _ref_phrase(table: pa.Table, phrase: "list[str]") -> dict:
+    """Pure-python reference: doc_id -> n occurrences of the consecutive
+    token sequence."""
+    out = {}
+    k = len(phrase)
+    for i in range(table.num_rows):
+        w = (table["text"][i].as_py() or "").split(" ")
+        n = sum(1 for j in range(len(w) - k + 1) if w[j : j + k] == phrase)
+        if n:
+            out[table["doc_id"][i].as_py()] = n
+    return out
+
+
+class TestPhraseQuery:
+    def _got(self, out, phrase):
+        from gis_scripts_ray.stages.text_index import phrase_query
+
+        df = phrase_query(out, phrase, n_buckets=NB).to_pandas()
+        return {int(r.doc_id): int(r.n_occurrences) for r in df.itertuples()}
+
+    def test_matches_reference(self, tmp_path, ray_session):
+        t = _mk_docs()
+        out = _build(tmp_path, t)
+        for phrase in (["sort", "merge"], ["the"], ["scan", "join", "hash"]):
+            assert self._got(out, phrase) == _ref_phrase(t, phrase), phrase
+        assert self._got(out, ["sort", "merge"])  # fixture has matches
+
+    def test_repeated_term_phrase(self, tmp_path, ray_session):
+        import ray.data
+        from gis_scripts_ray.stages.text_index import write_token_index
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["a b a b a", "a b c a b", "b a a b"], pa.string()
+                ),
+            }
+        )
+        out = str(tmp_path / "tidx2")
+        write_token_index(ray.data.from_arrow(t), out, n_buckets=NB)
+        # "a b a" occurs twice (overlapping) in doc 0, never in 1 or 2
+        assert self._got(out, ["a", "b", "a"]) == {0: 2}
+        assert self._got(out, ["a", "a"]) == {2: 1}
+        assert self._got(out, ["a", "b", "a"]) == _ref_phrase(t, ["a", "b", "a"])
+
+    def test_absent_phrase_empty(self, tmp_path, ray_session):
+        t = _mk_docs()
+        out = _build(tmp_path, t)
+        assert self._got(out, ["zzz-missing", "sort"]) == {}
+
+    def test_empty_phrase_rejected(self):
+        from gis_scripts_ray.stages.text_index import phrase_query
+
+        with pytest.raises(ValueError):
+            phrase_query("/nonexistent", [], n_buckets=NB)
