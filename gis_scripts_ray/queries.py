@@ -3877,6 +3877,40 @@ def _sql_term_search_pushdown() -> str:
 
 
 _PHRASE_QUERY = ["sort", "merge"]
+_OR_TOPK_TERMS = ["sort", "merge", "window", "scan"]
+_OR_TOPK_K = 15
+
+
+def q_term_or_topk(sf_dir: str):
+    """Ranked OR retrieval over the positional inverted index (round 5):
+    top-k docs by matched distinct terms with the engine-wide
+    deterministic tie rule (value DESC, doc_id ASC) — folded through the
+    distributed per-group top-k machinery, never a global sort, reading
+    only the terms' bucket partitions. The twin's ORDER BY ... LIMIT
+    with the same tie-break selects the identical row SET, so the value
+    hash pins ranking and counting both."""
+    from gis_scripts_ray.stages.text_index import term_or_topk, write_token_index
+
+    out = _text_index_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    write_token_index(ds, out, n_buckets=_TEXT_INDEX_BUCKETS)
+    return term_or_topk(
+        out, _OR_TOPK_TERMS, k=_OR_TOPK_K, n_buckets=_TEXT_INDEX_BUCKETS
+    )
+
+
+def _sql_term_or_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in _OR_TOPK_TERMS)
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents), "
+        f"m AS (SELECT doc_id, COUNT(DISTINCT tok) AS nm FROM toks "
+        f"WHERE tok IN ({terms}) GROUP BY doc_id) "
+        "SELECT doc_id, CAST(nm AS BIGINT) AS n_matched FROM m "
+        f"ORDER BY nm DESC, doc_id LIMIT {_OR_TOPK_K}"
+    )
 
 
 def q_phrase_search_pushdown(sf_dir: str):
@@ -5504,6 +5538,7 @@ QUERIES: dict[str, Callable] = {
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
     "phrase_search_pushdown": q_phrase_search_pushdown,
+    "term_or_topk": q_term_or_topk,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -5633,6 +5668,7 @@ ORACLES: dict[str, str] = {
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
     "phrase_search_pushdown": _sql_phrase_search_pushdown(),
+    "term_or_topk": _sql_term_or_topk(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),

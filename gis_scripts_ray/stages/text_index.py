@@ -186,6 +186,89 @@ def term_and_query(
     return counts.map_batches(finish, batch_format="pyarrow")
 
 
+def term_or_topk(
+    out_dir: str,
+    terms: "list[str]",
+    k: int = 10,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Ranked OR retrieval: the top ``k`` docs matching ANY of ``terms``,
+    ranked by (matched distinct terms DESC, doc_id ASC) — the
+    deterministic tie rule every top-k path in this engine uses. Reads
+    only the terms' bucket partitions; the match-count table folds
+    through the distributed per-group top-k machinery (constant group),
+    never a global sort. Returns (doc_id:int64, n_matched:int64)."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("term_or_topk needs at least one term")
+    paths = partition_paths_for_terms(out_dir, terms, n_buckets)
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_matched": pa.array([], pa.int64()),
+                }
+            )
+        )
+    term_arr = pa.array(terms, pa.string())
+    ds = ray.data.read_parquet(paths, columns=["token", "doc_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch["token"], value_set=term_arr))
+        t = pa.table(
+            {
+                "doc_id": hit["doc_id"],
+                "token": hit["token"],
+                "one": pa.array(np.ones(hit.num_rows, dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["doc_id", "token"])
+            .aggregate([("one", "min")])
+            .rename_columns(["doc_id", "token", "one"])
+        )
+
+    pairs = coalesce_shuffle_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["doc_id", "token"],
+        {"one": "min"},
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_matched": batch["one"],
+                "_g": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+        return (
+            t.group_by(["doc_id", "_g"])
+            .aggregate([("n_matched", "sum")])
+            .rename_columns(["doc_id", "_g", "n_matched"])
+        )
+
+    counts = coalesce_shuffle_agg(
+        pairs.map_batches(count_partial, batch_format="pyarrow"),
+        ["doc_id", "_g"],
+        {"n_matched": "sum"},
+    )
+    top = topk_per_group(counts, "_g", "n_matched", "doc_id", k)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "n_matched": b["n_matched"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def phrase_query(
     out_dir: str,
     phrase: "list[str]",

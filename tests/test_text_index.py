@@ -217,3 +217,49 @@ class TestPhraseQuery:
 
         with pytest.raises(ValueError):
             phrase_query("/nonexistent", [], n_buckets=NB)
+
+
+class TestOrTopk:
+    def test_matches_reference_ranking(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import term_or_topk
+
+        t = _mk_docs()
+        out = _build(tmp_path, t)
+        terms = ["sort", "merge", "window"]
+        df = term_or_topk(out, terms, k=7, n_buckets=NB).to_pandas()
+        # reference: count matched distinct terms per doc, rank (n DESC, id ASC)
+        ref = []
+        for i in range(t.num_rows):
+            toks = set((t["text"][i].as_py() or "").split(" "))
+            n = len(toks & set(terms))
+            if n:
+                ref.append((-n, t["doc_id"][i].as_py()))
+        want = [(doc, -neg) for neg, doc in sorted(ref)[:7]]
+        got = sorted(
+            zip(df["doc_id"].astype(int), df["n_matched"].astype(int)),
+            key=lambda r: (-r[1], r[0]),
+        )
+        assert got == want
+
+    def test_k_larger_than_matches(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import term_or_topk
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["sort x", "y", "z sort"], pa.string()),
+            }
+        )
+        out = str(tmp_path / "tidx3")
+        write_token_index(ray.data.from_arrow(t), out, n_buckets=NB)
+        from gis_scripts_ray.stages.text_index import term_or_topk as tq
+
+        df = tq(out, ["sort"], k=50, n_buckets=NB).to_pandas()
+        assert sorted(df["doc_id"]) == [0, 2]
+        assert (df["n_matched"] == 1).all()
+
+    def test_empty_terms_rejected(self):
+        from gis_scripts_ray.stages.text_index import term_or_topk
+
+        with pytest.raises(ValueError):
+            term_or_topk("/nonexistent", [], n_buckets=NB)
