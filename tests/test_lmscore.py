@@ -113,3 +113,27 @@ class TestLmScore:
         )
         assert out["lang"].tolist() == ["en", "fr"]
         assert out["p_sum_micro"].tolist() == [SCALE, SCALE]
+
+
+class TestBlockInvariance:
+    def test_scores_partition_invariant(self, ray_session):
+        """House rule: results must not depend on block structure."""
+        import ray.data
+
+        texts = _corpus(seed=29)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        outs = []
+        for nparts in (1, 7):
+            df = (
+                lm_bigram_scores(ray.data.from_arrow(t).repartition(nparts))
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1])

@@ -111,3 +111,33 @@ class TestPagerankParity:
                 a = np.array([s], dtype=np.int64)
                 got = DAMP * (a // SCALE) + (DAMP * (a % SCALE)) // SCALE
                 assert int(got[0]) == whole
+
+
+class TestBlockInvariance:
+    def test_ranks_partition_invariant(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(31)
+        n = 30
+        edges = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 150), rng.integers(0, n, 150))
+        ]
+        t = pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        outs = []
+        for nparts in (1, 6):
+            df = (
+                pagerank_fixed_point(
+                    ray.data.from_arrow(t).repartition(nparts), n_nodes=n
+                )
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        assert outs[0].equals(outs[1])

@@ -263,3 +263,28 @@ class TestOrTopk:
 
         with pytest.raises(ValueError):
             term_or_topk("/nonexistent", [], n_buckets=NB)
+
+
+class TestBlockInvariance:
+    def test_phrase_counts_partition_invariant(self, tmp_path, ray_session):
+        """Build the index from 1-block and 5-block inputs into two
+        stores; phrase counts and AND results must be identical (the
+        additive-partials claim, pinned)."""
+        t = _mk_docs(seed=41)
+        from gis_scripts_ray.stages.text_index import phrase_query
+
+        results = []
+        for j, nparts in enumerate((1, 5)):
+            out = str(tmp_path / f"inv{j}")
+            write_token_index(
+                ray.data.from_arrow(t).repartition(nparts), out, n_buckets=NB
+            )
+            got_p = phrase_query(out, ["sort", "merge"], n_buckets=NB).to_pandas()
+            got_a = term_and_query(out, ["sort", "the"], n_buckets=NB).to_pandas()
+            results.append(
+                (
+                    sorted(zip(got_p["doc_id"], got_p["n_occurrences"])),
+                    sorted(got_a["doc_id"]),
+                )
+            )
+        assert results[0] == results[1]
