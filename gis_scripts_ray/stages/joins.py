@@ -15,7 +15,6 @@ equi-join. Two paths:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -42,9 +41,7 @@ def hash_join(
             on=on_t,
             right_on=right_on_t,
         )
-    if len(on_t) > 1:
-        raise NotImplementedError("composite-key bucketed_join fallback")
-    return bucketed_join(left, right, on_t[0], right_on_t[0], num_partitions)
+    return bucketed_join(left, right, on_t, right_on_t, num_partitions)
 
 
 def bloom_semi_join(
@@ -318,16 +315,53 @@ def range_join_lookup(
     return ds.map_batches(lookup, batch_format="pyarrow")
 
 
+def _key_hash_i64(col) -> "np.ndarray":
+    """Stable per-column int64 hash for bucketing. The path is chosen
+    from the column TYPE only — never from per-batch data like
+    null_count — so a given key value lands in the same bucket in every
+    block (block-structure independence, CLAUDE.md). Integer columns
+    take the multiplicative path with nulls filled to 0 (the value is
+    irrelevant: null keys are dropped at join time; array multiply wraps
+    silently in numpy); everything else (strings, floats) routes through
+    polars' null-safe 64-bit content hash."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_integer(col.type):
+        keys = pc.fill_null(col, 0).to_numpy().astype(np.int64, copy=False)
+        return keys * np.int64(2654435761)
+    import polars as pl
+
+    s = pl.from_arrow(col)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    return s.hash(seed=3).to_numpy().view(np.int64)
+
+
 def bucketed_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    on: str,
-    right_on: str | None = None,
+    on: "str | tuple[str, ...]",
+    right_on: "str | tuple[str, ...] | None" = None,
     num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join (inner): bucket both sides by key
-    hash, union with a side tag, join within each bucket group."""
-    right_on = right_on or on
+    hash, union with a side tag, join within each bucket group.
+
+    ``on`` / ``right_on`` may be a single column or a composite-key tuple
+    (positionally matched). Inner semantics throughout: rows with a NULL
+    in any key column are dropped BEFORE the per-bucket merge — SQL
+    equality never matches NULL, and pandas' merge would otherwise both
+    match NaN==NaN and silently float-promote null-padded int64 columns
+    (the >2^53 rounding hazard, CLAUDE.md). The per-bucket finish
+    therefore splits sides from ARROW, merges only renamed key columns
+    plus a row position, and gathers payload values with Arrow ``take`` —
+    no payload value ever round-trips through pandas."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    right_on_t = on_t if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    if len(on_t) != len(right_on_t):
+        raise ValueError("on and right_on must have the same arity")
     # union requires one schema: pad each side with typed nulls for the
     # other side's columns
     def _pa_type(t):
@@ -344,7 +378,8 @@ def bucketed_join(
     r_schema = right.schema()
     l_fields = {n: _pa_type(t) for n, t in zip(l_schema.names, l_schema.types)}
     r_fields = {n: _pa_type(t) for n, t in zip(r_schema.names, r_schema.types)}
-    overlap = (set(l_fields) & set(r_fields)) - ({on} if on == right_on else set())
+    shared_keys = {a for a, b in zip(on_t, right_on_t) if a == b}
+    overlap = (set(l_fields) & set(r_fields)) - shared_keys
     if overlap:
         # the native join path suffixes these; the fallback would silently
         # emit pandas _x/_y columns and diverge — reject up front
@@ -353,25 +388,18 @@ def bucketed_join(
             "rename them before joining (matches Dataset.join's accepted inputs)"
         )
 
-    def tag(side: str, key: str, missing: dict):
+    def tag(side: str, keys: tuple, missing: dict):
         def fn(batch: pa.Table) -> pa.Table:
-            col = batch[key]
-            if pa.types.is_integer(col.type):
-                keys = col.to_numpy().astype(np.int64, copy=False)
-                bucket = (keys * np.int64(2654435761)) % num_buckets
-            else:
-                # string/binary/etc. keys: stable 64-bit content hash
-                import polars as pl
-
-                s = pl.from_arrow(col)
-                if isinstance(s, pl.DataFrame):
-                    s = s.to_series()
-                bucket = (s.hash(seed=3).to_numpy() % num_buckets).astype(np.int64)
+            h = np.zeros(len(batch), np.int64)
+            for k in keys:
+                # polynomial combine; array ops wrap silently in int64
+                h = h * np.int64(1000003) + _key_hash_i64(batch[k])
+            bucket = h % num_buckets  # numpy % positive divisor: >= 0
             out = batch
             for name, typ in sorted(missing.items()):
                 out = out.append_column(name, pa.nulls(len(batch), typ))
             return out.append_column(
-                "__bucket", pa.array(np.abs(bucket), pa.int64())
+                "__bucket", pa.array(bucket, pa.int64())
             ).append_column(
                 "__side", pa.array(np.full(len(batch), side), pa.string())
             )
@@ -381,17 +409,40 @@ def bucketed_join(
     l_missing = {k: v for k, v in r_fields.items() if k not in l_fields}
     r_missing = {k: v for k, v in l_fields.items() if k not in r_fields}
     col_order = sorted(set(l_fields) | set(r_fields)) + ["__bucket", "__side"]
-    lt = left.map_batches(tag("l", on, l_missing), batch_format="pyarrow").select_columns(col_order)
-    rt = right.map_batches(tag("r", right_on, r_missing), batch_format="pyarrow").select_columns(col_order)
+    lt = left.map_batches(tag("l", on_t, l_missing), batch_format="pyarrow").select_columns(col_order)
+    rt = right.map_batches(tag("r", right_on_t, r_missing), batch_format="pyarrow").select_columns(col_order)
     both = lt.union(rt)
 
     l_names = list(l_fields)
     r_names = list(r_fields)
+    # output = left columns + right columns minus same-name matched keys
+    # (pandas-merge convention the single-key fallback always had)
+    r_out_names = [c for c in r_names if c not in shared_keys]
+    lk_names = [f"__lk{i}" for i in range(len(on_t))]
+    rk_names = [f"__rk{i}" for i in range(len(right_on_t))]
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][l_names]
-        rg = g[g["__side"] == "r"][r_names]
-        out = lg.merge(rg, left_on=on, right_on=right_on, how="inner")
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lg = g.filter(pc.equal(g["__side"], "l")).select(l_names)
+        rg = g.filter(pc.equal(g["__side"], "r")).select(r_names)
+        for k in on_t:
+            lg = lg.filter(pc.is_valid(lg[k]))
+        for k in right_on_t:
+            rg = rg.filter(pc.is_valid(rg[k]))
+        # keys are non-null here, so the pandas frames carry exact int64;
+        # payloads never enter pandas — positions gather them from Arrow
+        lkf = lg.select(list(on_t)).rename_columns(lk_names).to_pandas()
+        rkf = rg.select(list(right_on_t)).rename_columns(rk_names).to_pandas()
+        lkf["__lpos"] = np.arange(len(lg), dtype=np.int64)
+        rkf["__rpos"] = np.arange(len(rg), dtype=np.int64)
+        m = lkf.merge(rkf, left_on=lk_names, right_on=rk_names, how="inner")
+        out = lg.take(pa.array(m["__lpos"].to_numpy(), pa.int64()))
+        rout = rg.select(r_out_names).take(
+            pa.array(m["__rpos"].to_numpy(), pa.int64())
+        )
+        for c in r_out_names:
+            out = out.append_column(c, rout[c])
         return out
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

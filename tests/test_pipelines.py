@@ -212,6 +212,153 @@ class TestJoins:
         assert got["a"].tolist() == want["a"].tolist()
         assert got["b"].tolist() == want["b"].tolist()
 
+    def test_bucketed_join_composite_key(self, ray_session):
+        import ray
+
+        from gis_scripts_ray.stages.joins import bucketed_join
+
+        rng = np.random.default_rng(17)
+        left = pd.DataFrame(
+            {
+                "g": rng.choice(["x", "y", "z"], 200),
+                "k": rng.integers(0, 12, 200),
+                "a": np.arange(200),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "g2": rng.choice(["x", "y", "z"], 60),
+                "k2": rng.integers(0, 12, 60),
+                "b": np.arange(60) * 7,
+            }
+        )
+        got = (
+            bucketed_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(3),
+                on=("g", "k"),
+                right_on=("g2", "k2"),
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, left_on=["g", "k"], right_on=["g2", "k2"], how="inner")
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert got["a"].tolist() == want["a"].tolist()
+        assert got["b"].tolist() == want["b"].tolist()
+        assert got["g2"].tolist() == want["g2"].tolist()
+
+    def test_bucketed_join_exact_beyond_2p53(self, ray_session):
+        # payload int64 > 2^53 must survive the union's null padding —
+        # the pandas NaN-promotion rounding hazard (CLAUDE.md). The old
+        # pandas-group finish silently rounded these.
+        import ray
+
+        from gis_scripts_ray.stages.joins import bucketed_join
+
+        base = 2**62 + 1
+        left = pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "big_a": pa.array([base + i for i in range(4)], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k2": pa.array([2, 3, 5], pa.int64()),
+                "big_b": pa.array([base + 100 + i for i in range(3)], pa.int64()),
+            }
+        )
+        got = (
+            bucketed_join(
+                ray.data.from_arrow(left).repartition(2),
+                ray.data.from_arrow(right).repartition(2),
+                on="k",
+                right_on="k2",
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got["big_a"].tolist() == [base + 1, base + 2]
+        assert got["big_b"].tolist() == [base + 100, base + 101]
+
+    def test_bucketed_join_null_keys_never_match(self, ray_session):
+        # SQL inner-join semantics: NULL = NULL is not a match. pandas'
+        # merge matches NaN==NaN, so the finish must drop null keys first.
+        import ray
+
+        from gis_scripts_ray.stages.joins import bucketed_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, None, 2, None], pa.int64()),
+                "a": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k2": pa.array([None, 2, 9], pa.int64()),
+                "b": pa.array([20, 21, 22], pa.int64()),
+            }
+        )
+        got = (
+            bucketed_join(
+                ray.data.from_arrow(left).repartition(2),
+                ray.data.from_arrow(right).repartition(2),
+                on="k",
+                right_on="k2",
+                num_buckets=4,
+            )
+            .to_pandas()
+        )
+        assert got["a"].tolist() == [12] and got["b"].tolist() == [21]
+
+    def test_hash_join_composite_routes_to_fallback(self, ray_session):
+        # the composite-key fallback must agree with the native Dataset.join
+        import ray
+
+        from gis_scripts_ray.stages.joins import bucketed_join, hash_join
+
+        rng = np.random.default_rng(23)
+        left = pd.DataFrame(
+            {
+                "g": rng.integers(0, 4, 150),
+                "k": rng.integers(0, 9, 150),
+                "a": np.arange(150),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "g": rng.integers(0, 4, 40),
+                "k": rng.integers(0, 9, 40),
+                "b": np.arange(40) * 3,
+            }
+        )
+        lds = ray.data.from_pandas(left).repartition(3)
+        rds = ray.data.from_pandas(right).repartition(2)
+        native = (
+            hash_join(lds, rds, on=("g", "k"), num_partitions=4)
+            .to_pandas()[["a", "b"]]
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        fallback = (
+            bucketed_join(lds, rds, on=("g", "k"), num_buckets=4)
+            .to_pandas()[["a", "b"]]
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        assert native["a"].tolist() == fallback["a"].tolist()
+        assert native["b"].tolist() == fallback["b"].tolist()
+
     def test_split_train_val_disjoint_and_stable(self, ray_session):
         import ray
 
