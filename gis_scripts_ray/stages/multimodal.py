@@ -9,10 +9,12 @@ Decoders: REAL pure-numpy/stdlib codecs for BMP, PPM, PNG (zlib inflate +
 vectorized unfiltering), GIF (variable-width LZW, interlace, local/global
 palettes) and baseline JPEG (canonical Huffman entropy decode, 8x8 IDCT,
 chroma upsampling, restart markers) — every image format the fixture
-pipeline ships decodes for real — plus the RIFF-AVI Motion-JPEG video
-container (round 5). Only mp4/webm remain an explicit
-``NotImplementedError`` boundary: their CODECS (H.264/VP9) need external
-entropy decoders not present in this container (production swaps
+pipeline ships decodes for real — plus the RIFF-AVI and ISO-BMFF (mp4)
+Motion-JPEG video containers (round 5): both containers parse for real
+through full chunk/sample-table machinery. The remaining explicit
+``NotImplementedError`` boundary is pure CODEC entropy decoders
+(H.264/HEVC/VP9/AV1 samples inside mp4, webm's Matroska+VP9) that need
+external libraries not present in this container (production swaps
 ``_decode_thumb_and_sum``). Payload sniffing (magic bytes) and
 byte-level features are real.
 """
@@ -42,6 +44,8 @@ def sniff_type(payload: bytes) -> str:
     for magic, name in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return name
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"  # ISO-BMFF magic sits at offset 4, not 0
     return "unknown"
 
 
@@ -1140,11 +1144,12 @@ def _decode_thumb_and_sum(
             "jpeg": decode_jpeg,
         }[kind](payload)
         return _subsample_gray(rgb, target_size), int(rgb.sum(dtype=np.int64))
-    if kind in ("riff", "pdf"):
+    if kind in ("riff", "mp4", "pdf"):
         raise NotImplementedError(
-            f"{kind} is not a still image: RIFF routes through the audio/"
-            "video stages (AVI-MJPEG decodes for real there); pdf needs a "
-            "renderer not present here — production swaps _decode_thumb_and_sum"
+            f"{kind} is not a still image: RIFF/mp4 route through the audio/"
+            "video stages (AVI-MJPEG and mp4-MJPEG decode for real there); "
+            "pdf needs a renderer not present here — production swaps "
+            "_decode_thumb_and_sum"
         )
     h, w = target_size
     b = np.frombuffer(payload[: h * w] or b"\x00", dtype=np.uint8)
@@ -1229,11 +1234,11 @@ _GVID_MAGIC = b"GVID"
 def encode_gvid(frames: "list[bytes]") -> bytes:
     """Minimal deterministic video container: ``GVID | u32 n_frames |
     (u32 size | frame_bytes)*`` — each frame any self-contained image
-    payload. For a real interchange container see
-    :func:`encode_avi_mjpeg` (RIFF-AVI with Motion-JPEG frames, fully
-    decoded here since round 5); mp4/webm remain the stub boundary
-    because their CODECS (H.264/VP9) need external libs, not because of
-    the container walk."""
+    payload. For real interchange containers see :func:`encode_avi_mjpeg`
+    (RIFF-AVI) and :func:`encode_mp4_mjpeg` (ISO-BMFF), both with
+    Motion-JPEG frames fully decoded here since round 5; the remaining
+    boundary is compressed CODECS (H.264/VP9/AV1), which need external
+    libs, not container walks."""
     import struct
 
     out = [_GVID_MAGIC, struct.pack("<I", len(frames))]
@@ -1377,10 +1382,250 @@ def avi_mjpeg_frames(payload: bytes) -> "list[bytes]":
     return frames
 
 
+def encode_mp4_mjpeg(
+    jpeg_frames: "list[bytes]", size: "tuple[int, int]", fps: int = 10
+) -> bytes:
+    """REAL ISO-BMFF (MPEG-4 Part 12) container around Motion-JPEG
+    frames — the second interchange video mux after RIFF-AVI. Layout:
+    ``ftyp | mdat | moov`` with a full sample-table track: ``moov > mvhd,
+    trak > tkhd, mdia > (mdhd, hdlr 'vide', minf > (vmhd, dinf > dref >
+    'url ', stbl > (stsd 'jpeg', stts, stsc, stsz, stco)))``. The sample
+    entry fourcc is ``jpeg`` (the QuickTime/ISO registration for
+    ISO/IEC 10918-1 video samples), one sample per chunk, timescale =
+    fps so every sample has duration 1. ``size`` is (width, height)."""
+    import struct
+
+    w, h = size
+    n = len(jpeg_frames)
+    fps = max(fps, 1)
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def full(typ: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return box(typ, struct.pack(">I", (version << 24) | flags) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat_body = b"".join(jpeg_frames)
+    # per-sample absolute file offsets: ftyp, then mdat's 8-byte header
+    offs, pos = [], len(ftyp) + 8
+    for f in jpeg_frames:
+        offs.append(pos)
+        pos += len(f)
+    mdat = box(b"mdat", mdat_body)
+
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)          # created/modified/timescale/duration
+        + struct.pack(">iHHII", 0x10000, 0x100, 0, 0, 0)  # rate/volume/reserved
+        + matrix
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2),                      # next_track_id
+    )
+    tkhd = full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, n)         # created/modified/track/res/duration
+        + struct.pack(">IIHHHH", 0, 0, 0, 0, 0, 0)   # reserved/layer/group/volume/res
+        + matrix
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    mdhd = full(
+        b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0)
+    )
+    hdlr = full(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"vide" + struct.pack(">3I", 0, 0, 0)
+        + b"VideoHandler\x00",
+    )
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">4H", 0, 0, 0, 0))
+    dref = full(
+        b"dref", 0, 0, struct.pack(">I", 1) + full(b"url ", 0, 1, b"")
+    )
+    dinf = box(b"dinf", dref)
+    compressor = bytes([4]) + b"MJPG" + b"\x00" * 27  # 32-byte pascal name
+    sample_entry = box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)           # reserved + data_ref_index
+        + struct.pack(">HH3I", 0, 0, 0, 0, 0)        # pre_defined/reserved
+        + struct.pack(">HHIIIH", w, h, 0x480000, 0x480000, 0, 1)
+        + compressor
+        + struct.pack(">Hh", 24, -1),                # depth, pre_defined
+    )
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = full(b"stts", 0, 0, struct.pack(">III", 1, n, 1)) if n else full(
+        b"stts", 0, 0, struct.pack(">I", 0)
+    )
+    stsc = full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1)) if n else full(
+        b"stsc", 0, 0, struct.pack(">I", 0)
+    )
+    stsz = full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in jpeg_frames),
+    )
+    stco = full(
+        b"stco", 0, 0,
+        struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+_MP4_COMPRESSED_CODECS = {
+    b"avc1", b"avc3", b"hvc1", b"hev1", b"vp08", b"vp09", b"av01", b"mp4v",
+}
+
+
+def _mp4_boxes(payload: bytes, lo: int, hi: int):
+    """Yield (fourcc, body_lo, body_hi) for each ISO-BMFF box in
+    [lo, hi); handles 64-bit largesize and size==0 (to end of scope)."""
+    import struct
+
+    pos = lo
+    while pos < hi:
+        if pos + 8 > hi:
+            raise ValueError("mp4: truncated box header")
+        (sz,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        body_lo = pos + 8
+        if sz == 1:
+            if pos + 16 > hi:
+                raise ValueError("mp4: truncated largesize header")
+            (sz,) = struct.unpack_from(">Q", payload, pos + 8)
+            body_lo = pos + 16
+        elif sz == 0:
+            sz = hi - pos
+        if sz < body_lo - pos or pos + sz > hi:
+            raise ValueError("mp4: box size out of bounds")
+        yield typ, body_lo, pos + sz
+        pos += sz
+
+
+def _mp4_child(payload: bytes, lo: int, hi: int, typ: bytes):
+    for t, a, b in _mp4_boxes(payload, lo, hi):
+        if t == typ:
+            return a, b
+    raise ValueError(f"mp4: missing {typ.decode('latin-1')} box")
+
+
+def mp4_mjpeg_frames(payload: bytes) -> "list[bytes]":
+    """Parse an ISO-BMFF file and return the video track's JPEG sample
+    blobs, reconstructed through the REAL sample-table machinery: stsd
+    (sample-entry fourcc must be a JPEG registration — ``jpeg``/``mjpg``/
+    ``MJPG``), stsc expanded chunk-by-chunk, stsz sizes, stco/co64
+    offsets. Compressed-codec sample entries (avc1/hev1/vp09/av01/...)
+    raise ``NotImplementedError`` — the codec, not the container, is the
+    environment boundary. Malformed structure raises ValueError
+    (quarantined, never silent)."""
+    import struct
+
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (mp4) payload")
+    moov = None
+    for typ, lo, hi in _mp4_boxes(payload, 0, len(payload)):
+        if typ == b"moov":
+            moov = (lo, hi)
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+
+    last_err = "mp4: no video ('vide') track"
+    for typ, lo, hi in _mp4_boxes(payload, *moov):
+        if typ != b"trak":
+            continue
+        mdia = _mp4_child(payload, lo, hi, b"mdia")
+        h_lo, h_hi = _mp4_child(payload, *mdia, b"hdlr")
+        if payload[h_lo + 8 : h_lo + 12] != b"vide":
+            continue
+        minf = _mp4_child(payload, *mdia, b"minf")
+        stbl = _mp4_child(payload, *minf, b"stbl")
+
+        sd_lo, sd_hi = _mp4_child(payload, *stbl, b"stsd")
+        (n_entries,) = struct.unpack_from(">I", payload, sd_lo + 4)
+        if n_entries < 1:
+            raise ValueError("mp4: empty stsd")
+        fmt = next(iter(_mp4_boxes(payload, sd_lo + 8, sd_hi)))[0]
+        if fmt in _MP4_COMPRESSED_CODECS:
+            raise NotImplementedError(
+                f"mp4 sample codec {fmt.decode('latin-1')!r} needs an "
+                "entropy decoder not present in this environment"
+            )
+        if fmt not in (b"jpeg", b"mjpg", b"MJPG"):
+            raise ValueError(f"mp4: unrecognized sample entry {fmt!r}")
+
+        sz_lo, sz_hi = _mp4_child(payload, *stbl, b"stsz")
+        fixed_sz, n_samples = struct.unpack_from(">II", payload, sz_lo + 4)
+        if fixed_sz:
+            sizes = [fixed_sz] * n_samples
+        else:
+            if sz_lo + 12 + 4 * n_samples > sz_hi:
+                raise ValueError("mp4: truncated stsz")
+            sizes = list(
+                struct.unpack_from(f">{n_samples}I", payload, sz_lo + 12)
+            )
+        try:
+            co_lo, co_hi = _mp4_child(payload, *stbl, b"stco")
+            (n_chunks,) = struct.unpack_from(">I", payload, co_lo + 4)
+            if co_lo + 8 + 4 * n_chunks > co_hi:
+                raise ValueError("mp4: truncated stco")
+            chunk_offs = struct.unpack_from(f">{n_chunks}I", payload, co_lo + 8)
+        except ValueError:
+            co_lo, co_hi = _mp4_child(payload, *stbl, b"co64")
+            (n_chunks,) = struct.unpack_from(">I", payload, co_lo + 4)
+            if co_lo + 8 + 8 * n_chunks > co_hi:
+                raise ValueError("mp4: truncated co64")
+            chunk_offs = struct.unpack_from(f">{n_chunks}Q", payload, co_lo + 8)
+
+        sc_lo, sc_hi = _mp4_child(payload, *stbl, b"stsc")
+        (n_sc,) = struct.unpack_from(">I", payload, sc_lo + 4)
+        if sc_lo + 8 + 12 * n_sc > sc_hi:
+            raise ValueError("mp4: truncated stsc")
+        sc = [
+            struct.unpack_from(">III", payload, sc_lo + 8 + 12 * i)
+            for i in range(n_sc)
+        ]
+        if n_chunks == 0:
+            if n_samples:
+                raise ValueError("mp4: samples listed but no chunks")
+            return []
+        if not sc or sc[0][0] != 1:
+            raise ValueError("mp4: stsc must start at chunk 1")
+
+        frames: list[bytes] = []
+        si = 0
+        for ei, (first, per_chunk, _sdi) in enumerate(sc):
+            last = sc[ei + 1][0] - 1 if ei + 1 < len(sc) else n_chunks
+            if last < first:
+                raise ValueError("mp4: stsc chunk runs not increasing")
+            for ci in range(first - 1, last):
+                off = chunk_offs[ci]
+                for _ in range(per_chunk):
+                    if si >= n_samples:
+                        raise ValueError("mp4: stsc walks past stsz count")
+                    if off + sizes[si] > len(payload):
+                        raise ValueError("mp4: sample past end of payload")
+                    frames.append(payload[off : off + sizes[si]])
+                    off += sizes[si]
+                    si += 1
+        if si != n_samples:
+            raise ValueError(
+                f"mp4: sample table yields {si} samples, stsz lists {n_samples}"
+            )
+        return frames
+    raise ValueError(last_err)
+
+
 def _container_frames(payload: bytes) -> "list[bytes]":
-    """Dispatch video-container parsing: GVID or RIFF-AVI(MJPEG)."""
+    """Dispatch video-container parsing: GVID, RIFF-AVI(MJPEG), or
+    ISO-BMFF mp4 (MJPEG samples; compressed codecs are the boundary)."""
     if payload is not None and payload[:4] == b"RIFF":
         return avi_mjpeg_frames(payload)
+    if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return mp4_mjpeg_frames(payload)
     return gvid_frames(payload)
 
 

@@ -209,6 +209,177 @@ class TestAviMjpeg:
         assert df[df["doc"] == 2]["decoded_ok"].all()
 
 
+class TestMp4Mjpeg:
+    """Round-5: REAL ISO-BMFF (mp4) container over Motion-JPEG samples —
+    the second interchange video format; frames reconstruct through the
+    full stsd/stsc/stsz/stco sample-table machinery."""
+
+    @staticmethod
+    def _jpeg_frame(seed: int) -> bytes:
+        from gis_scripts_ray.stages.multimodal import encode_jpeg
+
+        g = ((seed + 16 * np.arange(4, dtype=np.int64)) % 256).astype(np.uint8)
+        img = np.repeat(np.repeat(g.reshape(2, 2), 8, 0), 8, 1)
+        return encode_jpeg(np.repeat(img[:, :, None], 3, 2), quant=1)
+
+    def test_roundtrip_and_decode(self):
+        from gis_scripts_ray.stages.multimodal import (
+            decode_jpeg,
+            encode_mp4_mjpeg,
+            mp4_mjpeg_frames,
+            sniff_type,
+        )
+
+        frames = [self._jpeg_frame(s) for s in (3, 77, 200)]
+        pay = encode_mp4_mjpeg(frames, size=(16, 16), fps=12)
+        assert sniff_type(pay) == "mp4"
+        assert mp4_mjpeg_frames(pay) == frames
+        for f in frames:
+            decode_jpeg(f)  # every sample is a decodable JPEG
+
+    def test_structure_golden(self):
+        """Box framing is hand-checkable: ftyp first, every stco offset
+        points at exactly its sample's bytes inside mdat, stsz sizes are
+        the frame lengths."""
+        import struct
+
+        from gis_scripts_ray.stages.multimodal import encode_mp4_mjpeg
+
+        frames = [b"\xff\xd8odd", b"\xff\xd8even!"]
+        pay = encode_mp4_mjpeg(frames, size=(4, 4))
+        assert pay[4:8] == b"ftyp"
+        for four in (b"moov", b"mvhd", b"trak", b"tkhd", b"mdia", b"mdhd",
+                     b"vide", b"minf", b"stbl", b"stsd", b"jpeg", b"stts",
+                     b"stsc", b"stsz", b"stco", b"mdat"):
+            assert four in pay, four
+        i = pay.index(b"stsz")
+        fixed, n = struct.unpack_from(">II", pay, i + 8)
+        assert (fixed, n) == (0, 2)
+        sizes = struct.unpack_from(">2I", pay, i + 16)
+        assert list(sizes) == [len(f) for f in frames]
+        i = pay.index(b"stco")
+        (nc,) = struct.unpack_from(">I", pay, i + 8)
+        offs = struct.unpack_from(f">{nc}I", pay, i + 12)
+        assert nc == 2
+        for off, size, f in zip(offs, sizes, frames):
+            assert pay[off : off + size] == f
+
+    def test_malformed_rejected_and_codec_boundary(self):
+        from gis_scripts_ray.stages.multimodal import (
+            encode_mp4_mjpeg,
+            mp4_mjpeg_frames,
+        )
+
+        pay = encode_mp4_mjpeg([self._jpeg_frame(9)], size=(16, 16))
+        for bad in (
+            b"",
+            b"\x00\x00\x00\x08free",        # no ftyp
+            pay[: pay.index(b"moov") - 4],  # moov missing
+            pay[:-6],                        # moov box truncated
+        ):
+            with pytest.raises(ValueError):
+                mp4_mjpeg_frames(bad)
+        # stsz count mutated: sample-table walk must notice
+        mut = bytearray(pay)
+        i = pay.index(b"stsz")
+        mut[i + 12 : i + 16] = (3).to_bytes(4, "big")
+        with pytest.raises(ValueError):
+            mp4_mjpeg_frames(bytes(mut))
+        # compressed codec fourcc: the documented boundary, not ValueError
+        mut = bytearray(pay)
+        i = pay.index(b"jpeg", pay.index(b"stsd"))
+        mut[i : i + 4] = b"avc1"
+        with pytest.raises(NotImplementedError, match="avc1"):
+            mp4_mjpeg_frames(bytes(mut))
+
+    def test_cross_container_agreement(self):
+        """The SAME frames muxed into RIFF-AVI and ISO-BMFF come back
+        byte-identical through the two unrelated container walks."""
+        from gis_scripts_ray.stages.multimodal import (
+            avi_mjpeg_frames,
+            encode_avi_mjpeg,
+            encode_mp4_mjpeg,
+            mp4_mjpeg_frames,
+        )
+
+        frames = [self._jpeg_frame(s) for s in (10, 60, 110)]
+        assert (
+            mp4_mjpeg_frames(encode_mp4_mjpeg(frames, size=(16, 16)))
+            == avi_mjpeg_frames(encode_avi_mjpeg(frames, size=(16, 16)))
+            == frames
+        )
+
+    def test_multi_sample_chunks_and_co64(self):
+        """Hand-built mp4 exercising what the encoder never emits: two
+        samples per chunk (stsc expansion) and 64-bit co64 offsets."""
+        import struct
+
+        from gis_scripts_ray.stages.multimodal import mp4_mjpeg_frames
+
+        def box(typ, body):
+            return struct.pack(">I", 8 + len(body)) + typ + body
+
+        def full(typ, body):
+            return box(typ, b"\x00\x00\x00\x00" + body)
+
+        frames = [b"AA", b"BBB", b"CCCC", b"D"]
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+        mdat = box(b"mdat", b"".join(frames))
+        off0 = len(ftyp) + 8                      # chunk 1: samples 0,1
+        off1 = off0 + len(frames[0]) + len(frames[1])  # chunk 2: samples 2,3
+        entry = box(b"jpeg", b"\x00" * 70)
+        stbl = box(
+            b"stbl",
+            full(b"stsd", struct.pack(">I", 1) + entry)
+            + full(b"stts", struct.pack(">III", 1, 4, 1))
+            + full(b"stsc", struct.pack(">IIII", 1, 1, 2, 1))  # 1 entry: chunk 1, 2/chunk
+            + full(
+                b"stsz",
+                struct.pack(">II", 0, 4)
+                + b"".join(struct.pack(">I", len(f)) for f in frames),
+            )
+            + full(b"co64", struct.pack(">IQQ", 2, off0, off1)),
+        )
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+        mdia = box(b"mdia", hdlr + box(b"minf", stbl))
+        moov = box(b"moov", box(b"trak", mdia))
+        assert mp4_mjpeg_frames(ftyp + mdat + moov) == frames
+
+    def test_framesample_stage_decodes_mp4(self):
+        """Per-row dispatch across all three containers; compressed-codec
+        mp4 rows are flagged (frame_idx -1), never dropped."""
+        from gis_scripts_ray.stages.multimodal import (
+            decode_jpeg,
+            encode_mp4_mjpeg,
+        )
+
+        frames = [self._jpeg_frame(s) for s in (10, 60, 110, 160)]
+        good = encode_mp4_mjpeg(frames, size=(16, 16))
+        mut = bytearray(good)
+        i = good.index(b"jpeg", good.index(b"stsd"))
+        mut[i : i + 4] = b"avc1"
+        t = pa.table(
+            {
+                "doc": pa.array([1, 2, 3], pa.int64()),
+                "video": pa.array(
+                    [good, bytes(mut), encode_gvid([_frame(7)])], pa.binary()
+                ),
+            }
+        )
+        df = FrameSampleStage("video", stride=2)(t).to_pandas()
+        mp4_rows = df[df["doc"] == 1]
+        assert mp4_rows["frame_idx"].tolist() == [0, 2]
+        assert mp4_rows["decoded_ok"].all()
+        assert mp4_rows["pixel_sum"].tolist() == [
+            int(decode_jpeg(frames[0]).astype(np.int64).sum()),
+            int(decode_jpeg(frames[2]).astype(np.int64).sum()),
+        ]
+        flagged = df[df["doc"] == 2]
+        assert flagged["frame_idx"].tolist() == [-1]
+        assert not flagged["decoded_ok"].any()
+        assert df[df["doc"] == 3]["decoded_ok"].all()
+
+
 class TestWavPcm16:
     def _samples(self, seed=5, n=300):
         rng = np.random.default_rng(seed)
