@@ -3606,6 +3606,7 @@ def _sql_multimodal_thumbnails() -> str:
 _JPEG_PAYLOAD_MEMO: dict = {}
 _MJPEG_PAYLOAD_MEMO: dict = {}
 _MP4_PAYLOAD_MEMO: dict = {}
+_MKV_PAYLOAD_MEMO: dict = {}
 
 
 def q_jpeg_decode(sf_dir: str):
@@ -3902,6 +3903,88 @@ def _sql_mp4_video_sample() -> str:
     return (
         "WITH per AS (SELECT d.lang, d.doc_id, f.range AS f, "
         "SUM(192*((d.doc_id*19 + f.range*41 + t.range*16) % 256)) AS ps "
+        "FROM documents d, range(0, 4, 2) f, range(4) t "
+        "WHERE f.range < 2 + d.doc_id % 3 "
+        "GROUP BY d.lang, d.doc_id, f.range) "
+        "SELECT lang, CAST(SUM(ps) AS BIGINT) AS sum_pixel_sum, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY lang"
+    )
+
+
+def q_webm_video_sample(sf_dir: str):
+    """Matroska/WebM (EBML) Motion-JPEG video end-to-end (round 5, the
+    third real interchange container): each doc gets a webm-doctype
+    Matroska file of (2 + doc_id % 3) V_MJPEG SimpleBlocks, one Cluster
+    per frame; frame f is a 16x16 image of four flat 8x8 gray blocks
+    (block b gray = (doc_id*23 + f*43 + b*16) % 256), Huffman-encoded at
+    quant=1 with chroma subsampling cycling by doc_id. ``sample_frames``
+    walks the EBML tree (variable-length ids/sizes), filters blocks to
+    the video track, keeps every 2nd frame, and entropy-decodes each.
+    Flat blocks at quant=1 round-trip exactly, so the twin recomputes
+    per-frame pixel sums in closed form — any EBML-walk, block-header,
+    stride, Huffman, or IDCT defect breaks the value hash."""
+    from gis_scripts_ray.stages.multimodal import (
+        encode_jpeg,
+        encode_mkv_mjpeg,
+        sample_frames,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def make_video(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        b4 = 16 * np.arange(4, dtype=np.int64)
+        # pure function of (d%256, d%3): memoized per worker so fixture
+        # generation scales with pattern count, not corpus size
+        memo: dict = _MKV_PAYLOAD_MEMO
+        blobs = []
+        for d in ids:
+            d = int(d)
+            key = (d % 256, d % 3)
+            pay = memo.get(key)
+            if pay is None:
+                frames = []
+                for f in range(2 + d % 3):
+                    g = ((d * 23 + f * 43 + b4) % 256).astype(np.uint8).reshape(2, 2)
+                    img = np.repeat(np.repeat(g, 8, 0), 8, 1)
+                    frames.append(
+                        encode_jpeg(
+                            np.repeat(img[:, :, None], 3, 2),
+                            quant=1,
+                            subsampling=("444", "422", "420")[d % 3],
+                        )
+                    )
+                pay = encode_mkv_mjpeg(frames, size=(16, 16), doctype="webm")
+                memo[key] = pay
+            blobs.append(pay)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "video": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_video, batch_format="pyarrow")
+    sampled = sample_frames(payloads, payload_col="video", stride=2, concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table({"lang": batch["lang"], "pixel_sum": batch["pixel_sum"]})
+
+    return cell_sum_count(
+        sampled.map_batches(slim, batch_format="pyarrow"), ["lang"], ["pixel_sum"]
+    )
+
+
+def _sql_webm_video_sample() -> str:
+    # sampled frames f in {0, 2}, f < 2 + doc_id % 3; per frame: 4 blocks
+    # of 64 px x 3 channels at gray (doc_id*23 + f*43 + b*16) % 256
+    return (
+        "WITH per AS (SELECT d.lang, d.doc_id, f.range AS f, "
+        "SUM(192*((d.doc_id*23 + f.range*43 + t.range*16) % 256)) AS ps "
         "FROM documents d, range(0, 4, 2) f, range(4) t "
         "WHERE f.range < 2 + d.doc_id % 3 "
         "GROUP BY d.lang, d.doc_id, f.range) "
@@ -5619,6 +5702,7 @@ QUERIES: dict[str, Callable] = {
     "video_frame_sample": q_video_frame_sample,
     "mjpeg_video_sample": q_mjpeg_video_sample,
     "mp4_video_sample": q_mp4_video_sample,
+    "webm_video_sample": q_webm_video_sample,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -5750,6 +5834,7 @@ ORACLES: dict[str, str] = {
     "video_frame_sample": _sql_video_frame_sample(),
     "mjpeg_video_sample": _sql_mjpeg_video_sample(),
     "mp4_video_sample": _sql_mp4_video_sample(),
+    "webm_video_sample": _sql_webm_video_sample(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),

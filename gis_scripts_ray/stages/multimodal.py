@@ -35,6 +35,7 @@ _MAGIC = {
     b"%PDF": "pdf",
     b"BM": "bmp",
     b"P6": "ppm",
+    b"\x1a\x45\xdf\xa3": "mkv",
 }
 
 
@@ -1144,12 +1145,12 @@ def _decode_thumb_and_sum(
             "jpeg": decode_jpeg,
         }[kind](payload)
         return _subsample_gray(rgb, target_size), int(rgb.sum(dtype=np.int64))
-    if kind in ("riff", "mp4", "pdf"):
+    if kind in ("riff", "mp4", "mkv", "pdf"):
         raise NotImplementedError(
-            f"{kind} is not a still image: RIFF/mp4 route through the audio/"
-            "video stages (AVI-MJPEG and mp4-MJPEG decode for real there); "
-            "pdf needs a renderer not present here — production swaps "
-            "_decode_thumb_and_sum"
+            f"{kind} is not a still image: RIFF/mp4/mkv route through the "
+            "audio/video stages (AVI, mp4 and Matroska MJPEG decode for "
+            "real there); pdf needs a renderer not present here — "
+            "production swaps _decode_thumb_and_sum"
         )
     h, w = target_size
     b = np.frombuffer(payload[: h * w] or b"\x00", dtype=np.uint8)
@@ -1619,13 +1620,242 @@ def mp4_mjpeg_frames(payload: bytes) -> "list[bytes]":
     raise ValueError(last_err)
 
 
+# --- Matroska / WebM (EBML) ------------------------------------------------
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKNUMBER = 0xD7
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+_MKV_COMPRESSED_CODECS = {
+    "V_MPEG4/ISO/AVC", "V_MPEGH/ISO/HEVC", "V_VP8", "V_VP9", "V_AV1",
+    "V_MPEG1", "V_MPEG2", "V_THEORA",
+}
+
+
+def _ebml_id_bytes(eid: int) -> bytes:
+    """Matroska element IDs are written verbatim (marker bits included)."""
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size(n: int) -> bytes:
+    """EBML variable-length size: leading-1 marker in the first byte;
+    the all-ones pattern of each width is reserved for 'unknown'."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("ebml: size too large")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    return _ebml_id_bytes(eid) + _ebml_size(len(body)) + body
+
+
+def _ebml_uint(eid: int, v: int) -> bytes:
+    return _ebml_el(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def encode_mkv_mjpeg(
+    jpeg_frames: "list[bytes]",
+    size: "tuple[int, int]",
+    fps: int = 10,
+    doctype: str = "matroska",
+    codec_id: str = "V_MJPEG",
+) -> bytes:
+    """REAL Matroska/WebM (EBML) container around Motion-JPEG frames
+    (CodecID ``V_MJPEG``, a registered Matroska codec id). Layout:
+    ``EBML header | Segment > (Info{TimestampScale}, Tracks>TrackEntry
+    {TrackNumber, TrackUID, TrackType=video, CodecID, Video{PixelWidth,
+    PixelHeight}}, one Cluster per frame with Timestamp=i and a
+    keyframe SimpleBlock, no lacing)``. Pass ``doctype="webm"`` for the
+    WebM profile of the same structure; a ``codec_id`` other than
+    ``V_MJPEG`` produces a file the decoder refuses (fixture generator
+    for the codec boundary)."""
+    w, h = size
+    fps = max(fps, 1)
+    header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_uint(0x4286, 1)            # EBMLVersion
+        + _ebml_uint(0x42F7, 1)          # EBMLReadVersion
+        + _ebml_uint(0x42F2, 4)          # EBMLMaxIDLength
+        + _ebml_uint(0x42F3, 8)          # EBMLMaxSizeLength
+        + _ebml_el(0x4282, doctype.encode())  # DocType
+        + _ebml_uint(0x4287, 4)          # DocTypeVersion
+        + _ebml_uint(0x4285, 2),         # DocTypeReadVersion
+    )
+    info = _ebml_el(
+        0x1549A966,
+        _ebml_uint(0x2AD7B1, 1_000_000_000 // fps),  # TimestampScale
+    )
+    video = _ebml_el(0xE0, _ebml_uint(0xB0, w) + _ebml_uint(0xBA, h))
+    track = _ebml_el(
+        _MKV_TRACKENTRY,
+        _ebml_uint(_MKV_TRACKNUMBER, 1)
+        + _ebml_uint(0x73C5, 1)          # TrackUID
+        + _ebml_uint(_MKV_TRACKTYPE, 1)  # video
+        + _ebml_el(_MKV_CODECID, codec_id.encode())
+        + video,
+    )
+    tracks = _ebml_el(_MKV_TRACKS, track)
+    clusters = b"".join(
+        _ebml_el(
+            _MKV_CLUSTER,
+            _ebml_uint(0xE7, i)          # cluster Timestamp
+            # SimpleBlock: VINT track 1, s16 rel timestamp 0, keyframe,
+            # no lacing, then the frame bytes
+            + _ebml_el(_MKV_SIMPLEBLOCK, b"\x81\x00\x00\x80" + f),
+        )
+        for i, f in enumerate(jpeg_frames)
+    )
+    return header + _ebml_el(_MKV_SEGMENT, info + tracks + clusters)
+
+
+def _ebml_read_id(payload: bytes, pos: int, hi: int) -> "tuple[int, int]":
+    if pos >= hi:
+        raise ValueError("mkv: truncated element id")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("mkv: invalid element id")
+    length = 8 - first.bit_length() + 1
+    if length > 4 or pos + length > hi:
+        raise ValueError("mkv: bad element id")
+    return int.from_bytes(payload[pos : pos + length], "big"), pos + length
+
+
+def _ebml_read_size(payload: bytes, pos: int, hi: int) -> "tuple[int, int]":
+    """Returns (size, new_pos); size -1 means 'unknown' (to end of parent)."""
+    if pos >= hi:
+        raise ValueError("mkv: truncated element size")
+    first = payload[pos]
+    if first == 0:
+        raise ValueError("mkv: size wider than 8 bytes")
+    length = 8 - first.bit_length() + 1
+    if pos + length > hi:
+        raise ValueError("mkv: truncated size field")
+    raw = int.from_bytes(payload[pos : pos + length], "big")
+    val = raw - (1 << (7 * length))
+    if val == (1 << (7 * length)) - 1:
+        return -1, pos + length
+    return val, pos + length
+
+
+def _ebml_walk(payload: bytes, lo: int, hi: int):
+    """Yield (element_id, body_lo, body_hi); unknown-size elements
+    (legal for Segment/Cluster in streamed files) extend to the end of
+    the enclosing scope."""
+    pos = lo
+    while pos < hi:
+        eid, pos = _ebml_read_id(payload, pos, hi)
+        sz, pos = _ebml_read_size(payload, pos, hi)
+        if sz == -1:
+            if eid not in (_MKV_SEGMENT, _MKV_CLUSTER):
+                raise ValueError("mkv: unknown-size element outside Segment/Cluster")
+            yield eid, pos, hi
+            return
+        if pos + sz > hi:
+            raise ValueError("mkv: element body past end of scope")
+        yield eid, pos, pos + sz
+        pos += sz
+
+
+def _mkv_block_frame(payload: bytes, lo: int, hi: int) -> "tuple[int, bytes]":
+    """Parse a (Simple)Block: returns (track_number, frame bytes)."""
+    first = payload[lo] if lo < hi else 0
+    if first == 0:
+        raise ValueError("mkv: block track number wider than 8 bytes")
+    tlen = 8 - first.bit_length() + 1
+    if lo + tlen + 3 > hi:
+        raise ValueError("mkv: truncated block header")
+    track = int.from_bytes(payload[lo : lo + tlen], "big") - (1 << (7 * tlen))
+    flags = payload[lo + tlen + 2]
+    if flags & 0x06:
+        raise ValueError("mkv: laced blocks unsupported")
+    return track, payload[lo + tlen + 3 : hi]
+
+
+def mkv_mjpeg_frames(payload: bytes) -> "list[bytes]":
+    """Parse a Matroska/WebM file and return the video track's JPEG
+    frame blobs from SimpleBlock/BlockGroup elements, through the real
+    EBML machinery (variable-length ids/sizes, unknown-size Segment/
+    Cluster). CodecID must be ``V_MJPEG``; compressed codec ids
+    (V_VP9, V_MPEG4/ISO/AVC, V_AV1, ...) raise ``NotImplementedError``
+    — the codec, not the container, is the environment boundary.
+    Malformed structure raises ValueError (quarantined, never silent)."""
+    if payload is None or payload[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML (Matroska/WebM) payload")
+    segment = None
+    for eid, lo, hi in _ebml_walk(payload, 0, len(payload)):
+        if eid == _MKV_SEGMENT:
+            segment = (lo, hi)
+    if segment is None:
+        raise ValueError("mkv: no Segment element")
+
+    video_track = None
+    for eid, lo, hi in _ebml_walk(payload, *segment):
+        if eid != _MKV_TRACKS:
+            continue
+        for e2, lo2, hi2 in _ebml_walk(payload, lo, hi):
+            if e2 != _MKV_TRACKENTRY:
+                continue
+            tnum, ttype, codec = None, None, None
+            for e3, lo3, hi3 in _ebml_walk(payload, lo2, hi2):
+                if e3 == _MKV_TRACKNUMBER:
+                    tnum = int.from_bytes(payload[lo3:hi3], "big")
+                elif e3 == _MKV_TRACKTYPE:
+                    ttype = int.from_bytes(payload[lo3:hi3], "big")
+                elif e3 == _MKV_CODECID:
+                    codec = payload[lo3:hi3].decode("latin-1")
+            if ttype != 1:
+                continue
+            if codec in _MKV_COMPRESSED_CODECS:
+                raise NotImplementedError(
+                    f"mkv video codec {codec!r} needs an entropy decoder "
+                    "not present in this environment"
+                )
+            if codec != "V_MJPEG":
+                raise ValueError(f"mkv: unrecognized video codec {codec!r}")
+            if tnum is None:
+                raise ValueError("mkv: video TrackEntry without TrackNumber")
+            video_track = tnum
+            break
+    if video_track is None:
+        raise ValueError("mkv: no video track")
+
+    frames: list[bytes] = []
+    for eid, lo, hi in _ebml_walk(payload, *segment):
+        if eid != _MKV_CLUSTER:
+            continue
+        for e2, lo2, hi2 in _ebml_walk(payload, lo, hi):
+            if e2 == _MKV_SIMPLEBLOCK:
+                track, frame = _mkv_block_frame(payload, lo2, hi2)
+                if track == video_track:
+                    frames.append(frame)
+            elif e2 == _MKV_BLOCKGROUP:
+                for e3, lo3, hi3 in _ebml_walk(payload, lo2, hi2):
+                    if e3 == _MKV_BLOCK:
+                        track, frame = _mkv_block_frame(payload, lo3, hi3)
+                        if track == video_track:
+                            frames.append(frame)
+    return frames
+
+
 def _container_frames(payload: bytes) -> "list[bytes]":
-    """Dispatch video-container parsing: GVID, RIFF-AVI(MJPEG), or
-    ISO-BMFF mp4 (MJPEG samples; compressed codecs are the boundary)."""
+    """Dispatch video-container parsing: GVID, RIFF-AVI(MJPEG), ISO-BMFF
+    mp4, or Matroska/WebM (MJPEG frames; compressed codecs are the
+    boundary)."""
     if payload is not None and payload[:4] == b"RIFF":
         return avi_mjpeg_frames(payload)
     if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
         return mp4_mjpeg_frames(payload)
+    if payload is not None and payload[:4] == _EBML_MAGIC:
+        return mkv_mjpeg_frames(payload)
     return gvid_frames(payload)
 
 

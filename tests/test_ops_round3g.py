@@ -380,6 +380,118 @@ class TestMp4Mjpeg:
         assert df[df["doc"] == 3]["decoded_ok"].all()
 
 
+class TestMkvMjpeg:
+    """Round-5: REAL Matroska/WebM (EBML) container over Motion-JPEG
+    frames (CodecID V_MJPEG) — variable-length ids/sizes, Cluster/
+    SimpleBlock walk, unknown-size Segment tolerated."""
+
+    @staticmethod
+    def _jpeg_frame(seed: int) -> bytes:
+        from gis_scripts_ray.stages.multimodal import encode_jpeg
+
+        g = ((seed + 16 * np.arange(4, dtype=np.int64)) % 256).astype(np.uint8)
+        img = np.repeat(np.repeat(g.reshape(2, 2), 8, 0), 8, 1)
+        return encode_jpeg(np.repeat(img[:, :, None], 3, 2), quant=1)
+
+    def test_roundtrip_both_doctypes(self):
+        from gis_scripts_ray.stages.multimodal import (
+            encode_mkv_mjpeg,
+            mkv_mjpeg_frames,
+            sniff_type,
+        )
+
+        frames = [self._jpeg_frame(s) for s in (3, 77, 200)]
+        for doctype in ("matroska", "webm"):
+            pay = encode_mkv_mjpeg(frames, size=(16, 16), doctype=doctype)
+            assert sniff_type(pay) == "mkv"
+            assert mkv_mjpeg_frames(pay) == frames
+            assert doctype.encode() in pay
+
+    def test_unknown_size_segment(self):
+        """Streamed Matroska commonly writes the Segment with the
+        reserved 'unknown' size; the walk must extend it to EOF."""
+        from gis_scripts_ray.stages.multimodal import (
+            encode_mkv_mjpeg,
+            mkv_mjpeg_frames,
+        )
+
+        frames = [self._jpeg_frame(9), self._jpeg_frame(40)]
+        pay = encode_mkv_mjpeg(frames, size=(16, 16))
+        # Segment id is 4 bytes; its size field follows. Our encoder's
+        # sizes here are < 2^14-1 so the field is 2 bytes — replace with
+        # the 2-byte unknown pattern 0x7FFF.
+        i = pay.index(b"\x18\x53\x80\x67")
+        mut = bytearray(pay)
+        assert mut[i + 4] & 0x40  # 2-byte size marker
+        mut[i + 4 : i + 6] = b"\x7f\xff"
+        assert mkv_mjpeg_frames(bytes(mut)) == frames
+
+    def test_malformed_and_codec_boundary(self):
+        from gis_scripts_ray.stages.multimodal import (
+            encode_mkv_mjpeg,
+            mkv_mjpeg_frames,
+        )
+
+        pay = encode_mkv_mjpeg([self._jpeg_frame(5)], size=(16, 16))
+        for bad in (b"", b"\x1a\x45\xdf\xa3", pay[:30], pay[:-3]):
+            with pytest.raises(ValueError):
+                mkv_mjpeg_frames(bad)
+        # compressed codec ids: the documented boundary, not ValueError
+        for codec in ("V_VP9", "V_MPEG4/ISO/AVC", "V_AV1"):
+            vp = encode_mkv_mjpeg(
+                [self._jpeg_frame(5)], size=(16, 16), codec_id=codec
+            )
+            with pytest.raises(NotImplementedError, match="entropy decoder"):
+                mkv_mjpeg_frames(vp)
+        # an unknown codec id is malformed data, not a boundary
+        with pytest.raises(ValueError, match="unrecognized"):
+            mkv_mjpeg_frames(
+                encode_mkv_mjpeg([], size=(4, 4), codec_id="V_NOPE")
+            )
+
+    def test_framesample_stage_decodes_mkv(self):
+        from gis_scripts_ray.stages.multimodal import (
+            decode_jpeg,
+            encode_mkv_mjpeg,
+        )
+
+        frames = [self._jpeg_frame(s) for s in (10, 60, 110, 160)]
+        t = pa.table(
+            {
+                "doc": pa.array([1], pa.int64()),
+                "video": pa.array(
+                    [encode_mkv_mjpeg(frames, size=(16, 16), doctype="webm")],
+                    pa.binary(),
+                ),
+            }
+        )
+        df = FrameSampleStage("video", stride=2)(t).to_pandas()
+        assert df["frame_idx"].tolist() == [0, 2]
+        assert df["decoded_ok"].all()
+        assert df["pixel_sum"].tolist() == [
+            int(decode_jpeg(frames[0]).astype(np.int64).sum()),
+            int(decode_jpeg(frames[2]).astype(np.int64).sum()),
+        ]
+
+    def test_cross_container_agreement_three_ways(self):
+        from gis_scripts_ray.stages.multimodal import (
+            avi_mjpeg_frames,
+            encode_avi_mjpeg,
+            encode_mkv_mjpeg,
+            encode_mp4_mjpeg,
+            mkv_mjpeg_frames,
+            mp4_mjpeg_frames,
+        )
+
+        frames = [self._jpeg_frame(s) for s in (11, 66)]
+        assert (
+            mkv_mjpeg_frames(encode_mkv_mjpeg(frames, size=(16, 16)))
+            == mp4_mjpeg_frames(encode_mp4_mjpeg(frames, size=(16, 16)))
+            == avi_mjpeg_frames(encode_avi_mjpeg(frames, size=(16, 16)))
+            == frames
+        )
+
+
 class TestWavPcm16:
     def _samples(self, seed=5, n=300):
         rng = np.random.default_rng(seed)

@@ -217,6 +217,16 @@ class TestCodecRoundtripProps:
 
     @settings(max_examples=25, deadline=None)
     @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=6))
+    def test_mkv_container_roundtrip(self, frames):
+        from gis_scripts_ray.stages.multimodal import (
+            encode_mkv_mjpeg, mkv_mjpeg_frames,
+        )
+
+        pay = encode_mkv_mjpeg(frames, size=(8, 8))
+        assert mkv_mjpeg_frames(pay) == frames
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=6))
     def test_gvid_container_roundtrip(self, frames):
         from gis_scripts_ray.stages.multimodal import encode_gvid, gvid_frames
 
