@@ -4300,6 +4300,88 @@ def _sql_audio_features() -> str:
     )
 
 
+def q_audio_formats_features(sf_dir: str):
+    """Multi-format audio parse end-to-end (round 5): even doc_ids ship
+    AIFF (big-endian PCM16, 80-bit-extended sample rate in COMM) with
+    samples s_i = ((doc_id*11 + i*17) % 4001) - 2000; odd doc_ids ship
+    G.711 mu-law WAV (format tag 7) whose 8-bit CODES are c_i =
+    (doc_id*7 + i*13) % 256 — the REAL companding expansion runs in the
+    engine while the SQL twin spells the same segment arithmetic
+    ((m*8+132) << e) - 132 on the complemented code, so any byte-order,
+    chunk-walk, 80-bit-float, or expansion defect breaks the hash.
+
+    Output: (lang, sum_sq, sum_zc, n) per language."""
+    from gis_scripts_ray.stages.multimodal import (
+        audio_features,
+        encode_aiff_pcm16,
+        encode_wav_mulaw,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def make_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        i = np.arange(48, dtype=np.int64)
+        blobs = []
+        for d in ids:
+            d = int(d)
+            if d % 2 == 0:
+                s = ((d * 11 + i * 17) % 4001 - 2000).astype(np.int16)
+                blobs.append(encode_aiff_pcm16(s))
+            else:
+                c = ((d * 7 + i * 13) % 256).astype(np.uint8)
+                blobs.append(encode_wav_mulaw(c))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "audio": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_audio, batch_format="pyarrow")
+    feats = audio_features(payloads, payload_col="audio", concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "sq": batch["sum_sq"],
+                "zc": batch["n_zero_cross"],
+            }
+        )
+
+    return cell_sum_count(
+        feats.map_batches(slim, batch_format="pyarrow"), ["lang"], ["sq", "zc"]
+    )
+
+
+def _sql_audio_formats_features() -> str:
+    # even docs: AIFF PCM16 samples; odd docs: G.711 mu-law expansion of
+    # the complemented code u (e = (u//16)%8, m = u%16, all non-negative
+    # so DuckDB // truncation == floor)
+    return (
+        "WITH b AS (SELECT doc_id, lang, r.range AS si, "
+        "255 - ((doc_id*7 + r.range*13) % 256) AS u "
+        "FROM documents, range(0, 48) r), "
+        "s AS (SELECT doc_id, lang, si, "
+        "CASE WHEN doc_id % 2 = 0 THEN ((doc_id*11 + si*17) % 4001) - 2000 "
+        "ELSE (CASE WHEN u >= 128 THEN -1 ELSE 1 END) * "
+        "((((u % 16)*8 + 132) << ((u // 16) % 8)) - 132) END AS v FROM b), "
+        "w AS (SELECT doc_id, lang, si, v, "
+        "LAG(v) OVER (PARTITION BY doc_id ORDER BY si) AS pv FROM s), "
+        "f AS (SELECT doc_id, lang, CAST(SUM(v*v) AS BIGINT) AS sq, "
+        "CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0)) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS zc FROM w GROUP BY doc_id, lang) "
+        "SELECT lang, CAST(SUM(sq) AS BIGINT) AS sum_sq, "
+        "CAST(SUM(zc) AS BIGINT) AS sum_zc, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY lang"
+    )
+
+
 _STRAT_RATES_BP = {"en": 2500, "de": 7500, "fr": 10000, "es": 500, "zh": 0}
 
 
@@ -5703,6 +5785,7 @@ QUERIES: dict[str, Callable] = {
     "mjpeg_video_sample": q_mjpeg_video_sample,
     "mp4_video_sample": q_mp4_video_sample,
     "webm_video_sample": q_webm_video_sample,
+    "audio_formats_features": q_audio_formats_features,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -5835,6 +5918,7 @@ ORACLES: dict[str, str] = {
     "mjpeg_video_sample": _sql_mjpeg_video_sample(),
     "mp4_video_sample": _sql_mp4_video_sample(),
     "webm_video_sample": _sql_webm_video_sample(),
+    "audio_formats_features": _sql_audio_formats_features(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),

@@ -1864,8 +1864,9 @@ class FrameSampleStage:
     ``stride``-th frame (frame_idx % stride == 0), decode each kept frame
     with the REAL pure-numpy image decoders, emit ONE ROW PER SAMPLED
     FRAME with carry columns preserved — the video half of the decode
-    plumbing. Containers: GVID and REAL RIFF-AVI (MJPEG); frame codecs:
-    every real image decoder (bmp/ppm/png/gif/jpeg).
+    plumbing. Containers: GVID and REAL RIFF-AVI, ISO-BMFF mp4 and
+    Matroska/WebM (all MJPEG); frame codecs: every real image decoder
+    (bmp/ppm/png/gif/jpeg).
 
     Output columns: carry... , frame_idx, height, width, pixel_sum,
     decoded_ok. Malformed containers/frames emit one flagged row
@@ -2000,10 +2001,192 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
     return int(rate), samples
 
 
+# --- G.711 mu-law (ITU-T, table-free segment companding) --------------------
+
+
+def _mulaw_expand_one(code: int) -> int:
+    """Per-sample G.711 mu-law expansion — the bit-exact scalar oracle
+    for the vectorized kernel (repo rule: every vectorized kernel keeps
+    a per-row reference)."""
+    u = ~code & 0xFF
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _mulaw_compress_one(x: int) -> int:
+    """Per-sample G.711 mu-law compression (bias-132 algorithm)."""
+    sign = 0x80 if x < 0 else 0
+    mag = min(-x if x < 0 else x, 32635) + 0x84
+    e = mag.bit_length() - 8  # mag >= 0x84 so bit_length in [8, 15]
+    m = (mag >> (e + 3)) & 0x0F
+    return ~(sign | (e << 4) | m) & 0xFF
+
+
+_MULAW_TABLE = np.array([_mulaw_expand_one(c) for c in range(256)], np.int16)
+_MULAW_SEG_ENDS = np.array([1 << (8 + e) for e in range(8)], np.int32)
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 expansion: 8-bit codes -> int16 samples (exact
+    256-entry table built from the scalar oracle)."""
+    return _MULAW_TABLE[np.asarray(codes, np.uint8)]
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 compression: int16 samples -> 8-bit codes.
+    Exponent via searchsorted on the segment ends (no float log2 —
+    power-of-two edges must not wobble)."""
+    x = np.asarray(samples, np.int32)
+    sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    e = np.searchsorted(_MULAW_SEG_ENDS, mag, side="right").astype(np.int32)
+    m = (mag >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
+def encode_wav_mulaw(codes: np.ndarray, rate: int = 8000) -> bytes:
+    """RIFF/WAVE with format tag 7 (G.711 mu-law), mono 8-bit: the
+    second REAL audio codec — companded, not entropy-coded, so both
+    sides stay pure numpy. Takes the raw 8-bit CODES (fixture
+    generators write codes directly; :func:`mulaw_compress` produces
+    them from PCM)."""
+    import struct
+
+    body = np.asarray(codes, np.uint8).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, rate, rate, 1, 8)
+    data = b"data" + struct.pack("<I", len(body))
+    return hdr + fmt + data + body
+
+
+# --- AIFF (big-endian PCM, IEEE-754 80-bit extended sample rate) ------------
+
+
+def _f80_encode(rate: int) -> bytes:
+    """Encode a positive integer as the 80-bit extended float AIFF's
+    COMM chunk requires (sign 0, 15-bit biased exponent, explicit-1
+    64-bit mantissa)."""
+    if rate <= 0:
+        raise ValueError("aiff: rate must be positive")
+    k = rate.bit_length() - 1
+    exp = 16383 + k
+    mant = rate << (63 - k)
+    return exp.to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _f80_decode(b: bytes) -> int:
+    """Decode an 80-bit extended float to the nearest integer (sample
+    rates are integral in practice; rounds half up)."""
+    if len(b) != 10:
+        raise ValueError("aiff: bad extended float width")
+    exp = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    if exp & 0x8000:
+        raise ValueError("aiff: negative sample rate")
+    if exp == 0 and mant == 0:
+        return 0
+    shift = exp - 16383 - 63
+    if shift >= 0:
+        return mant << shift
+    return (mant + (1 << (-shift - 1))) >> -shift
+
+
+def encode_aiff_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """AIFF (IFF FORM/AIFF) mono 16-bit big-endian PCM — the second REAL
+    audio interchange container: COMM with the 80-bit extended sample
+    rate, SSND with offset/blocksize 0."""
+    import struct
+
+    pcm = np.asarray(samples, dtype=">i2").tobytes()
+    comm = b"COMM" + struct.pack(">IHIH", 18, 1, len(pcm) // 2, 16) + _f80_encode(rate)
+    ssnd = b"SSND" + struct.pack(">III", 8 + len(pcm), 0, 0) + pcm
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Unified audio decode to (rate, int16 samples): RIFF/WAVE mono
+    PCM16 (fmt 1) and G.711 mu-law (fmt 7, REAL expansion) and AIFF
+    mono big-endian PCM16. Entropy-coded formats (MP3 inside WAV fmt
+    0x55, AAC, ...) raise ``NotImplementedError`` — the codec boundary;
+    malformed structure raises ValueError."""
+    import struct
+
+    if payload is not None and len(payload) >= 12 and payload[:4] == b"FORM":
+        if payload[8:12] != b"AIFF":
+            raise ValueError("aiff: not an AIFF FORM")
+        (form_len,) = struct.unpack_from(">I", payload, 4)
+        if 8 + form_len > len(payload):
+            raise ValueError("aiff: FORM size past end of payload")
+        off, rate, n_frames, samples = 12, None, None, None
+        while off + 8 <= 8 + form_len:
+            cid = payload[off : off + 4]
+            (sz,) = struct.unpack_from(">I", payload, off + 4)
+            body = payload[off + 8 : off + 8 + sz]
+            if len(body) < sz:
+                raise ValueError("aiff: truncated chunk")
+            if cid == b"COMM":
+                if sz < 18:
+                    raise ValueError("aiff: short COMM chunk")
+                channels, n_frames, bits = struct.unpack_from(">HIH", body, 0)
+                if channels != 1 or bits != 16:
+                    raise ValueError("aiff: only mono 16-bit PCM supported")
+                rate = _f80_decode(body[8:18])
+            elif cid == b"SSND":
+                if sz < 8:
+                    raise ValueError("aiff: short SSND chunk")
+                data_off, _block = struct.unpack_from(">II", body, 0)
+                samples = np.frombuffer(body[8 + data_off :], dtype=">i2")
+            off += 8 + sz + (sz & 1)
+        if rate is None or samples is None:
+            raise ValueError("aiff: missing COMM or SSND chunk")
+        if n_frames is not None and n_frames != len(samples):
+            raise ValueError(
+                f"aiff: COMM lists {n_frames} frames, SSND has {len(samples)}"
+            )
+        return int(rate), samples.astype(np.int16)
+
+    # RIFF/WAVE: chunk walk shared with the strict PCM16 reader, plus
+    # the mu-law branch and the entropy-codec boundary
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE or AIFF payload")
+    off, rate, fmt_tag, bits, raw = 12, None, None, None, None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        (sz,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if sz < 16:
+                raise ValueError("short fmt chunk")
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if channels != 1:
+                raise ValueError("only mono audio supported")
+        elif cid == b"data":
+            raw = body
+        off += 8 + sz + (sz & 1)
+    if rate is None or raw is None:
+        raise ValueError("missing fmt or data chunk")
+    if fmt_tag == 1 and bits == 16:
+        return int(rate), np.frombuffer(raw, dtype="<i2")
+    if fmt_tag == 7 and bits == 8:
+        return int(rate), mulaw_expand(np.frombuffer(raw, dtype=np.uint8))
+    if fmt_tag in (0x55, 0x2000, 0x2001, 0xFF, 0x161, 0x162):
+        raise NotImplementedError(
+            f"WAV format tag 0x{fmt_tag:x} needs an entropy decoder not "
+            "present in this environment"
+        )
+    raise ValueError(f"unsupported WAV format tag {fmt_tag} / {bits} bits")
+
+
 class AudioFeatureStage:
-    """Actor-pool audio feature extraction over a binary WAV column: REAL
-    PCM parse, exact integer features — n_samples, sum of squares
-    (energy, int64), zero crossings (strict sign change between
+    """Actor-pool audio feature extraction over a binary audio column:
+    REAL parse of WAV PCM16, WAV G.711 mu-law and AIFF PCM16 (see
+    :func:`decode_audio`), exact integer features — n_samples, sum of
+    squares (energy, int64), zero crossings (strict sign change between
     consecutive samples), peak |amplitude|. Malformed/unsupported
     payloads emit a flagged row (decoded_ok = False), never a drop."""
 
@@ -2015,7 +2198,7 @@ class AudioFeatureStage:
         n_out, sq_out, zc_out, pk_out, ok_out = [], [], [], [], []
         for payload in batch[self.payload_col].to_pylist():
             try:
-                _, s = decode_wav_pcm16(payload)
+                _, s = decode_audio(payload)
                 x = s.astype(np.int64)
                 neg = x < 0
                 n_out.append(len(x))
@@ -2023,7 +2206,7 @@ class AudioFeatureStage:
                 zc_out.append(int(np.count_nonzero(neg[1:] != neg[:-1])))
                 pk_out.append(int(np.abs(x).max()) if len(x) else 0)
                 ok_out.append(True)
-            except ValueError:
+            except (ValueError, NotImplementedError):
                 n_out.append(0)
                 sq_out.append(0)
                 zc_out.append(0)

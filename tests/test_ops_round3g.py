@@ -492,6 +492,128 @@ class TestMkvMjpeg:
         )
 
 
+class TestMulawAiff:
+    """Round-5: G.711 mu-law (real companding codec, WAV fmt tag 7) and
+    AIFF (big-endian PCM16, 80-bit extended sample rate)."""
+
+    def test_mulaw_vectorized_matches_scalar_oracle(self):
+        from gis_scripts_ray.stages.multimodal import (
+            _mulaw_compress_one,
+            _mulaw_expand_one,
+            mulaw_compress,
+            mulaw_expand,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        assert mulaw_expand(codes).tolist() == [
+            _mulaw_expand_one(c) for c in range(256)
+        ]
+        x = np.arange(-32768, 32768, dtype=np.int16)
+        got = mulaw_compress(x)
+        # scalar oracle on the hostile points: extremes, segment edges,
+        # bias neighborhood, zero crossings
+        pts = np.concatenate(
+            [
+                np.array([-32768, -32767, -32635, -1, 0, 1, 32635, 32767]),
+                np.array([(1 << k) + d for k in range(2, 15) for d in (-1, 0, 1)]),
+            ]
+        ).astype(np.int64)
+        for p in pts:
+            assert got[int(p) + 32768] == _mulaw_compress_one(int(p)), p
+        # full-domain agreement
+        assert got.tolist() == [_mulaw_compress_one(int(v)) for v in x]
+
+    def test_mulaw_code_idempotence(self):
+        """compress(expand(c)) == c for every code except 0x7F (negative
+        zero aliases to positive zero 0xFF — the standard exception)."""
+        from gis_scripts_ray.stages.multimodal import mulaw_compress, mulaw_expand
+
+        codes = np.arange(256, dtype=np.uint8)
+        back = mulaw_compress(mulaw_expand(codes))
+        mism = np.nonzero(back != codes)[0]
+        assert mism.tolist() == [0x7F]
+        assert back[0x7F] == 0xFF
+
+    def test_wav_mulaw_roundtrip_and_boundary(self):
+        from gis_scripts_ray.stages.multimodal import (
+            decode_audio,
+            encode_wav_mulaw,
+            mulaw_expand,
+        )
+
+        codes = ((np.arange(100) * 37 + 5) % 256).astype(np.uint8)
+        rate, s = decode_audio(encode_wav_mulaw(codes, rate=8000))
+        assert rate == 8000
+        assert (s == mulaw_expand(codes)).all()
+        # entropy-coded WAV (fmt 0x55 = MP3): the documented boundary
+        import struct
+
+        body = b"\x00" * 16
+        mp3 = (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 0x55, 1, 8000, 8000, 1, 0)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        with pytest.raises(NotImplementedError, match="0x55"):
+            decode_audio(mp3)
+
+    def test_aiff_roundtrip_and_f80(self):
+        from gis_scripts_ray.stages.multimodal import (
+            _f80_decode,
+            _f80_encode,
+            decode_audio,
+            encode_aiff_pcm16,
+        )
+
+        for rate in (1, 8000, 22050, 44100, 48000, 96000, 2**30):
+            assert _f80_decode(_f80_encode(rate)) == rate
+        rng = np.random.default_rng(7)
+        s = rng.integers(-32768, 32768, 137).astype(np.int16)
+        rate, got = decode_audio(encode_aiff_pcm16(s, rate=44100))
+        assert rate == 44100 and (got == s).all()
+        # malformed AIFF rejected
+        pay = encode_aiff_pcm16(s, rate=8000)
+        for bad in (pay[:11], pay[:-4], pay[:8] + b"XXXX" + pay[12:]):
+            with pytest.raises(ValueError):
+                decode_audio(bad)
+
+    def test_audio_stage_mixed_formats(self):
+        from gis_scripts_ray.stages.multimodal import (
+            AudioFeatureStage,
+            encode_aiff_pcm16,
+            encode_wav_mulaw,
+            encode_wav_pcm16,
+            mulaw_expand,
+        )
+
+        s = np.array([100, -200, 300, -400], np.int16)
+        codes = np.array([0, 50, 200, 255], np.uint8)
+        t = pa.table(
+            {
+                "doc": pa.array([1, 2, 3, 4], pa.int64()),
+                "audio": pa.array(
+                    [
+                        encode_wav_pcm16(s),
+                        encode_aiff_pcm16(s),
+                        encode_wav_mulaw(codes),
+                        b"not audio",
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        df = AudioFeatureStage("audio")(t).to_pandas()
+        # WAV and AIFF of the same samples agree feature-for-feature
+        assert (
+            df.loc[0, ["n_samples", "sum_sq", "n_zero_cross", "peak"]].tolist()
+            == df.loc[1, ["n_samples", "sum_sq", "n_zero_cross", "peak"]].tolist()
+        )
+        mu = mulaw_expand(codes).astype(np.int64)
+        assert df.loc[2, "sum_sq"] == int((mu * mu).sum())
+        assert bool(df.loc[2, "decoded_ok"]) is True
+        assert bool(df.loc[3, "decoded_ok"]) is False
+
+
 class TestWavPcm16:
     def _samples(self, seed=5, n=300):
         rng = np.random.default_rng(seed)

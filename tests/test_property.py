@@ -226,6 +226,31 @@ class TestCodecRoundtripProps:
         assert mkv_mjpeg_frames(pay) == frames
 
     @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=120
+        ),
+        st.sampled_from([1, 8000, 44100, 48000]),
+    )
+    def test_aiff_roundtrip(self, samples, rate):
+        from gis_scripts_ray.stages.multimodal import decode_audio, encode_aiff_pcm16
+
+        s = np.array(samples, np.int16)
+        r, got = decode_audio(encode_aiff_pcm16(s, rate=rate))
+        assert r == rate and got.tolist() == samples
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=120))
+    def test_wav_mulaw_roundtrip(self, codes):
+        from gis_scripts_ray.stages.multimodal import (
+            decode_audio, encode_wav_mulaw, mulaw_expand,
+        )
+
+        c = np.array(codes, np.uint8)
+        r, got = decode_audio(encode_wav_mulaw(c, rate=8000))
+        assert r == 8000 and (got == mulaw_expand(c)).all()
+
+    @settings(max_examples=25, deadline=None)
     @given(st.lists(st.binary(min_size=0, max_size=40), min_size=0, max_size=6))
     def test_gvid_container_roundtrip(self, frames):
         from gis_scripts_ray.stages.multimodal import encode_gvid, gvid_frames
