@@ -4382,6 +4382,84 @@ def _sql_audio_formats_features() -> str:
     )
 
 
+def q_pdf_text_tokens(sf_dir: str):
+    """PDF text extraction end-to-end (round 5): each doc gets a REAL
+    single-page PDF (FlateDecode-compressed content stream for even
+    doc_ids, raw for odd — both real paths) whose text layer carries 12
+    tokens t_k = 't' || ((doc_id*31 + k*17) % 1000), newline every 4
+    tokens, plus a hostile constant line 'h(x)\\\\y' that exercises the
+    paren/backslash escape machinery. ``PdfTextStage`` extracts the text
+    (object scan, zlib inflate, content-operator string scanner); a
+    vectorized polars pass parses the token values back and sums them
+    per doc. The twin recomputes the sums in closed form — any object/
+    stream/escape/operator defect breaks the value hash.
+
+    Output: (lang, sum_val, n) per language."""
+    import polars as pl
+
+    from gis_scripts_ray.stages.pdftext import encode_pdf_text, pdf_texts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def make_pdf(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        blobs = []
+        for d in ids:
+            d = int(d)
+            toks = [f"t{(d * 31 + k * 17) % 1000}" for k in range(12)]
+            lines = [" ".join(toks[j : j + 4]) for j in range(0, 12, 4)]
+            text = "\n".join(lines) + "\nh(x)\\y"
+            blobs.append(encode_pdf_text(text, compress=(d % 2 == 0)))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pdf": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    payloads = ds.map_batches(make_pdf, batch_format="pyarrow")
+    texts = pdf_texts(payloads, payload_col="pdf", concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        if len(batch):
+            # the escape-machinery canary must have survived extraction
+            assert pc.all(
+                pc.match_substring(batch["pdf_text"], "h(x)\\y")
+            ).as_py()
+        s = pl.from_arrow(batch["pdf_text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        vals = (
+            s.str.extract_all(r"t\d+")
+            .list.eval(pl.element().str.slice(1).cast(pl.Int64))
+            .list.sum()
+        )
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "val": pa.array(vals.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cell_sum_count(
+        texts.map_batches(slim, batch_format="pyarrow"), ["lang"], ["val"]
+    )
+
+
+def _sql_pdf_text_tokens() -> str:
+    return (
+        "WITH per AS (SELECT doc_id, lang, "
+        "SUM((doc_id*31 + k.range*17) % 1000) AS v "
+        "FROM documents, range(0, 12) k GROUP BY doc_id, lang) "
+        "SELECT lang, CAST(SUM(v) AS BIGINT) AS sum_val, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY lang"
+    )
+
+
 _STRAT_RATES_BP = {"en": 2500, "de": 7500, "fr": 10000, "es": 500, "zh": 0}
 
 
@@ -5786,6 +5864,7 @@ QUERIES: dict[str, Callable] = {
     "mp4_video_sample": q_mp4_video_sample,
     "webm_video_sample": q_webm_video_sample,
     "audio_formats_features": q_audio_formats_features,
+    "pdf_text_tokens": q_pdf_text_tokens,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -5919,6 +5998,7 @@ ORACLES: dict[str, str] = {
     "mp4_video_sample": _sql_mp4_video_sample(),
     "webm_video_sample": _sql_webm_video_sample(),
     "audio_formats_features": _sql_audio_formats_features(),
+    "pdf_text_tokens": _sql_pdf_text_tokens(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),

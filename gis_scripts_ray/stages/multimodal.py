@@ -1149,8 +1149,9 @@ def _decode_thumb_and_sum(
         raise NotImplementedError(
             f"{kind} is not a still image: RIFF/mp4/mkv route through the "
             "audio/video stages (AVI, mp4 and Matroska MJPEG decode for "
-            "real there); pdf needs a renderer not present here — "
-            "production swaps _decode_thumb_and_sum"
+            "real there); pdf routes through stages/pdftext.py (real text "
+            "extraction) — RENDERING a pdf to pixels needs libs not "
+            "present here, so production swaps _decode_thumb_and_sum"
         )
     h, w = target_size
     b = np.frombuffer(payload[: h * w] or b"\x00", dtype=np.uint8)

@@ -1,0 +1,111 @@
+"""PDF text extraction (stages/pdftext.py): roundtrip, escape/string
+machinery, Flate vs raw streams, boundaries, and the actor stage."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gis_scripts_ray.stages.pdftext import (
+    PdfTextStage,
+    decode_pdf_text,
+    encode_pdf_text,
+    extract_content_text,
+)
+
+
+class TestPdfCodec:
+    def test_roundtrip_exact_both_stream_modes(self):
+        texts = [
+            "hello world",
+            "line one\nline two\nline three",
+            "",
+            "par(en)s and \\back\\slashes",
+            "unbalanced ) close ( open",
+            "tabs\tand\x07ctrl bytes",
+        ]
+        for t in texts:
+            for comp in (False, True):
+                assert decode_pdf_text(encode_pdf_text(t, compress=comp)) == t
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+            max_size=120,
+        ),
+        st.booleans(),
+    )
+    def test_roundtrip_property(self, text, comp):
+        assert decode_pdf_text(encode_pdf_text(text, compress=comp)) == text
+
+    def test_string_scanner_corners(self):
+        # nested balanced parens need no escaping per ISO 32000
+        assert extract_content_text(b"BT (a (nested) b) Tj ET") == "a (nested) b"
+        # escape table + octal + line continuation
+        hostile = (
+            b"BT (x" + b"\\n" + b"\\t" + b"\\(" + b"y" + b"\\)" + b"\\\\"
+            + b" " + b"\\101" + b"\\54" + b" a" + b"\\" + b"\n" + b"z) Tj ET"
+        )
+        assert extract_content_text(hostile) == "x\n\t(y)\\ A, az"
+        # hex strings, odd nibble padded with 0
+        assert extract_content_text(b"BT <48656C6C6F> Tj <4> Tj ET") == "Hello@"
+        # ' and \" start new lines and show their string
+        assert extract_content_text(b"BT (a) Tj (b) ' 2 3 (c) \" ET") == "a\nb\nc"
+        # strings not consumed by a text operator are dropped
+        assert extract_content_text(b"BT (gone) Tz (kept) Tj ET") == "kept"
+
+    def test_unterminated_string_rejected(self):
+        with pytest.raises(ValueError, match="unterminated"):
+            extract_content_text(b"BT (never closes Tj ET")
+        with pytest.raises(ValueError, match="unterminated"):
+            extract_content_text(b"BT <48656 Tj ET")
+
+    def test_boundaries_and_malformed(self):
+        pay = encode_pdf_text("secret text")
+        with pytest.raises(NotImplementedError, match="crypto"):
+            decode_pdf_text(pay.replace(b"/Root", b"/Encrypt"))
+        with pytest.raises(ValueError):
+            decode_pdf_text(b"not a pdf")
+        with pytest.raises(ValueError):
+            decode_pdf_text(None)
+        # corrupt Flate stream is structural, not silent-empty
+        comp = encode_pdf_text("zzz", compress=True)
+        i = comp.index(b"stream\n") + 7
+        mut = bytearray(comp)
+        mut[i : i + 4] = b"\xff\xfe\xfd\xfc"
+        with pytest.raises(ValueError, match="FlateDecode"):
+            decode_pdf_text(bytes(mut))
+
+    def test_non_flate_filters_skipped(self):
+        """A DCTDecode (JPEG image) stream must not contribute garbage
+        text — image objects are skipped, the text layer survives."""
+        pay = encode_pdf_text("real text")
+        img_obj = (
+            b"9 0 obj\n<< /Length 6 /Filter /DCTDecode >>\n"
+            b"stream\n(fake) endstream\nendobj\n"
+        )
+        i = pay.index(b"xref")
+        assert decode_pdf_text(pay[:i] + img_obj + pay[i:]) == "real text"
+
+    def test_stage_flags_never_drops(self):
+        t = pa.table(
+            {
+                "doc": pa.array([1, 2, 3], pa.int64()),
+                "pdf": pa.array(
+                    [
+                        encode_pdf_text("a\nb", compress=True),
+                        b"broken",
+                        encode_pdf_text("ok").replace(b"/Root", b"/Encrypt"),
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        df = PdfTextStage("pdf")(t).to_pandas()
+        assert df["doc"].tolist() == [1, 2, 3]
+        assert df["pdf_text"].tolist() == ["a\nb", "", ""]
+        assert df["n_chars"].tolist() == [3, 0, 0]
+        assert df["n_lines"].tolist() == [1, 0, 0]
+        assert df["decoded_ok"].tolist() == [True, False, False]
