@@ -4382,6 +4382,145 @@ def _sql_audio_formats_features() -> str:
     )
 
 
+_WARC_SHARDS = 8
+
+
+def _warc_fixture_dir(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/graft_warc/v1_{h}_s{_WARC_SHARDS}"
+
+
+def _build_warc_fixture(sf_dir: str, out: str) -> None:
+    """Materialize the documents table as {_WARC_SHARDS} member-per-
+    record .warc.gz shards (the CommonCrawl layout) — built
+    DISTRIBUTED (per-batch record encode, per-shard group write with
+    tmp+rename), warm-cached behind a _DONE marker."""
+    from gis_scripts_ray.sources.warc import encode_warc_gz, http_response
+
+    if os.path.exists(f"{out}/_DONE"):
+        return
+    os.makedirs(out, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_members(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        shard, member = [], []
+        for d in ids:
+            d = int(d)
+            host = f"h{d % 50}.example"
+            uri = f"http://{host}/d{d}"
+            status = 404 if d % 7 == 0 else 200
+            body = b"x" * (1 + d % 97)
+            recs = [
+                {
+                    "headers": {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": uri,
+                        "WARC-Record-ID": f"<urn:uuid:{d:032x}>",
+                    },
+                    "payload": http_response(status, body),
+                }
+            ]
+            if d % 11 == 0:  # interleaved non-response records
+                recs.append(
+                    {
+                        "headers": {
+                            "WARC-Type": "request",
+                            "WARC-Target-URI": uri,
+                        },
+                        "payload": f"GET /d{d} HTTP/1.1\r\n\r\n".encode(),
+                    }
+                )
+            member.append(encode_warc_gz(recs))
+            shard.append(d % _WARC_SHARDS)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "member": pa.array(member, pa.binary()),
+            }
+        )
+
+    members = ds.map_batches(to_members, batch_format="pyarrow")
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        g = g.sort_by("doc_id")
+        s = g["shard"][0].as_py()
+        tmp = f"{out}/part-{s:04d}.warc.gz.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            for m in g["member"]:
+                f.write(m.as_py())
+        os.replace(tmp, f"{out}/part-{s:04d}.warc.gz")
+        return pa.table({"shard": pa.array([s], pa.int64())})
+
+    n = (
+        members.groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .count()
+    )
+    assert n == _WARC_SHARDS, f"warc fixture wrote {n} shards"
+    with open(f"{out}/_DONE", "w") as f:
+        f.write("ok\n")
+
+
+def q_warc_host_stats(sf_dir: str):
+    """WARC source end-to-end (round 5): the documents table
+    materializes as 8 member-per-record .warc.gz shards (the
+    CommonCrawl layout — each record its own gzip member, so records
+    split without decompressing the shard), then ``read_warc`` streams
+    the members back (one task per shard file, the web-archive parallel
+    unit), parses WARC headers + embedded HTTP status lines, filters to
+    response records, and aggregates per host. The twin recomputes
+    host/status/body-length from documents in closed form — any gzip-
+    member walk, header framing, Content-Length, or HTTP parse defect
+    breaks the value hash.
+
+    Output: (host, sum_blen, sum_is404, n) per host."""
+    import glob as _glob
+
+    import polars as pl
+
+    from gis_scripts_ray.sources.warc import read_warc
+
+    out = _warc_fixture_dir(sf_dir)
+    _build_warc_fixture(sf_dir, out)
+    files = sorted(_glob.glob(f"{out}/part-*.warc.gz"))
+    ds = read_warc(files)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        resp = batch.filter(pc.equal(batch["warc_type"], "response"))
+        s = pl.from_arrow(resp["target_uri"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        host = s.str.extract(r"^http://([^/]+)/", 1)
+        return pa.table(
+            {
+                "host": pa.array(host.to_list(), pa.string()),
+                "blen": pc.cast(pc.binary_length(resp["body"]), pa.int64()),
+                "is404": pc.cast(
+                    pc.equal(resp["http_status"], 404), pa.int64()
+                ),
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(slim, batch_format="pyarrow"), ["host"], ["blen", "is404"]
+    )
+
+
+def _sql_warc_host_stats() -> str:
+    return (
+        "WITH f AS (SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' "
+        "AS host, 1 + doc_id % 97 AS blen, "
+        "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is404 FROM documents) "
+        "SELECT host, CAST(SUM(blen) AS BIGINT) AS sum_blen, "
+        "CAST(SUM(is404) AS BIGINT) AS sum_is404, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY host"
+    )
+
+
 def q_pdf_text_tokens(sf_dir: str):
     """PDF text extraction end-to-end (round 5): each doc gets a REAL
     single-page PDF (FlateDecode-compressed content stream for even
@@ -5865,6 +6004,7 @@ QUERIES: dict[str, Callable] = {
     "webm_video_sample": q_webm_video_sample,
     "audio_formats_features": q_audio_formats_features,
     "pdf_text_tokens": q_pdf_text_tokens,
+    "warc_host_stats": q_warc_host_stats,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -5999,6 +6139,7 @@ ORACLES: dict[str, str] = {
     "webm_video_sample": _sql_webm_video_sample(),
     "audio_formats_features": _sql_audio_formats_features(),
     "pdf_text_tokens": _sql_pdf_text_tokens(),
+    "warc_host_stats": _sql_warc_host_stats(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
