@@ -4382,6 +4382,46 @@ def _sql_audio_formats_features() -> str:
     )
 
 
+def q_substr_dedup(sf_dir: str):
+    """ExactSubstr-shape duplicated-substring removal (round 5, Lee et
+    al. 2022): every token extent covered by a word 5-gram occurring
+    MORE THAN ONCE in the corpus (cross-doc or within-doc) is removed
+    from every document. Distributed plan: one count pass (per-batch
+    n-gram hash partials -> adaptive combine -> count>1 set), then an
+    adaptive-delivery rewrite pass (broadcast ``is_in`` + difference-
+    array coverage + polars reassembly; hash-join fallback equivalence-
+    tested). The twin removes the same extents by matching n-gram
+    STRINGS, so the full REWRITTEN TEXT of every doc is value-hashed.
+
+    Output: (doc_id, dedup_text) for every document."""
+    from gis_scripts_ray.stages.substrdedup import substr_dedup_rows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return substr_dedup_rows(ds, n=5).sort("doc_id")
+
+
+def _sql_substr_dedup() -> str:
+    return (
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "cg AS (SELECT doc_id, i, array_to_string(list_slice(w, i, i + 4), ' ') AS g "
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM ws)), "
+        "dup AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) > 1), "
+        "cov AS (SELECT DISTINCT c.doc_id, c.i + o.range AS q "
+        "FROM cg c JOIN dup USING (g), range(5) o), "
+        "tok AS (SELECT doc_id, i AS pos, w[i] AS tk "
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws)), "
+        "kept AS (SELECT t.doc_id, t.pos, t.tk FROM tok t "
+        "LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.q "
+        "WHERE cov.q IS NULL), "
+        "agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS t2 "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.t2, '') AS dedup_text "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
 _WARC_SHARDS = 8
 
 
@@ -6005,6 +6045,7 @@ QUERIES: dict[str, Callable] = {
     "audio_formats_features": q_audio_formats_features,
     "pdf_text_tokens": q_pdf_text_tokens,
     "warc_host_stats": q_warc_host_stats,
+    "substr_dedup": q_substr_dedup,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6140,6 +6181,7 @@ ORACLES: dict[str, str] = {
     "audio_formats_features": _sql_audio_formats_features(),
     "pdf_text_tokens": _sql_pdf_text_tokens(),
     "warc_host_stats": _sql_warc_host_stats(),
+    "substr_dedup": _sql_substr_dedup(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
