@@ -4382,6 +4382,37 @@ def _sql_audio_formats_features() -> str:
     )
 
 
+def q_sequence_packing(sf_dir: str):
+    """Sample packing for LLM pretraining (round 5): documents
+    concatenate in doc-id order into fixed 2048-token windows; each doc
+    reports the pack it starts in and its offset — a DISTRIBUTED
+    ORDERED PREFIX SUM (range-bucketed per-bucket totals -> broadcast
+    exclusive bucket prefix -> per-bucket sorted cumsum finish; the
+    only driver traffic is the n_buckets-row prefix table). The twin is
+    the SUM() OVER (ORDER BY doc_id) window, so any bucket-boundary,
+    prefix, or cumsum defect breaks the hash.
+
+    Output: (doc_id, n_tokens, pack_id, pack_offset) for every doc."""
+    from gis_scripts_ray.stages.packing import sequence_packing
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return sequence_packing(ds, window=2048).sort("doc_id")
+
+
+def _sql_sequence_packing() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "len(string_split(COALESCE(text, ''), ' ')) AS n FROM documents), "
+        "c AS (SELECT doc_id, n, COALESCE(SUM(n) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+        "CAST(cum // 2048 AS BIGINT) AS pack_id, "
+        "CAST(cum % 2048 AS BIGINT) AS pack_offset FROM c ORDER BY doc_id"
+    )
+
+
 def q_substr_dedup(sf_dir: str):
     """ExactSubstr-shape duplicated-substring removal (round 5, Lee et
     al. 2022): every token extent covered by a word 5-gram occurring
@@ -6046,6 +6077,7 @@ QUERIES: dict[str, Callable] = {
     "pdf_text_tokens": q_pdf_text_tokens,
     "warc_host_stats": q_warc_host_stats,
     "substr_dedup": q_substr_dedup,
+    "sequence_packing": q_sequence_packing,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6182,6 +6214,7 @@ ORACLES: dict[str, str] = {
     "pdf_text_tokens": _sql_pdf_text_tokens(),
     "warc_host_stats": _sql_warc_host_stats(),
     "substr_dedup": _sql_substr_dedup(),
+    "sequence_packing": _sql_sequence_packing(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
