@@ -4382,6 +4382,118 @@ def _sql_audio_formats_features() -> str:
     )
 
 
+_WDS_SHARDS = 6
+
+
+def _wds_fixture_dir(sf_dir: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/graft_wds/v1_{h}_s{_WDS_SHARDS}"
+
+
+def _build_wds_fixture(sf_dir: str, out: str) -> None:
+    """Materialize documents as {_WDS_SHARDS} WebDataset tar shards
+    ({key}.txt + {key}.cls members, adjacent per key) — built
+    distributed (per-row member bytes, per-shard ordered group write),
+    warm-cached behind a _DONE marker."""
+    from gis_scripts_ray.sources.webdataset import encode_tar
+
+    if os.path.exists(f"{out}/_DONE"):
+        return
+    os.makedirs(out, exist_ok=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    trailer = 2 * 512
+
+    def to_members(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        shard, member = [], []
+        for d, lang, text in zip(ids, langs, texts):
+            d = int(d)
+            key = f"{d:012d}"
+            pair = encode_tar(
+                [
+                    (f"{key}.txt", (text or "").encode("utf-8")),
+                    (f"{key}.cls", (lang or "").encode("utf-8")),
+                ]
+            )[:-trailer]  # member blocks only; trailer added per shard
+            member.append(pair)
+            shard.append(d % _WDS_SHARDS)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int64()),
+                "doc_id": batch["doc_id"],
+                "member": pa.array(member, pa.binary()),
+            }
+        )
+
+    members = ds.map_batches(to_members, batch_format="pyarrow")
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        g = g.sort_by("doc_id")
+        s = g["shard"][0].as_py()
+        tmp = f"{out}/part-{s:04d}.tar.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            for m in g["member"]:
+                f.write(m.as_py())
+            f.write(b"\x00" * trailer)
+        os.replace(tmp, f"{out}/part-{s:04d}.tar")
+        return pa.table({"shard": pa.array([s], pa.int64())})
+
+    n = (
+        members.groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .count()
+    )
+    assert n == _WDS_SHARDS, f"wds fixture wrote {n} shards"
+    with open(f"{out}/_DONE", "w") as f:
+        f.write("ok\n")
+
+
+def q_webdataset_read(sf_dir: str):
+    """WebDataset tar source end-to-end (round 5): documents
+    materialize as 6 tar shards of adjacent {key}.txt/{key}.cls member
+    pairs (pure-stdlib ustar writer, checksummed headers, mtime-0
+    deterministic bytes); ``read_webdataset`` walks the headers back
+    (checksum-verified), groups members into samples, and the query
+    aggregates text BYTE lengths per class label recovered from the
+    .cls member. The twin recomputes from documents directly — any
+    header/checksum/padding/grouping defect breaks the value hash.
+
+    Output: (lang, sum_blen, n) per language."""
+    import glob as _glob
+
+    from gis_scripts_ray.sources.webdataset import read_webdataset
+
+    out = _wds_fixture_dir(sf_dir)
+    _build_wds_fixture(sf_dir, out)
+    files = sorted(_glob.glob(f"{out}/part-*.tar"))
+    ds = read_webdataset(files, extensions=["txt", "cls"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pc.cast(batch["cls"], pa.string()),
+                "blen": pc.cast(pc.binary_length(batch["txt"]), pa.int64()),
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(slim, batch_format="pyarrow"), ["lang"], ["blen"]
+    )
+
+
+def _sql_webdataset_read() -> str:
+    return (
+        "SELECT lang, CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT) "
+        "AS sum_blen, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+    )
+
+
 def q_sequence_packing(sf_dir: str):
     """Sample packing for LLM pretraining (round 5): documents
     concatenate in doc-id order into fixed 2048-token windows; each doc
@@ -6078,6 +6190,7 @@ QUERIES: dict[str, Callable] = {
     "warc_host_stats": q_warc_host_stats,
     "substr_dedup": q_substr_dedup,
     "sequence_packing": q_sequence_packing,
+    "webdataset_read": q_webdataset_read,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6215,6 +6328,7 @@ ORACLES: dict[str, str] = {
     "warc_host_stats": _sql_warc_host_stats(),
     "substr_dedup": _sql_substr_dedup(),
     "sequence_packing": _sql_sequence_packing(),
+    "webdataset_read": _sql_webdataset_read(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
