@@ -4565,6 +4565,67 @@ def _sql_substr_dedup() -> str:
     )
 
 
+_BLOCKLIST_DOMAINS = ["b3.example.org", "spam.net", "a1.b7.example.org"]
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Domain-blocklist URL filtering (round 5, crawl hygiene): hosts
+    derive deterministically from doc_id (three shapes cycling by
+    doc_id % 3: deep subdomain, registrable-domain page, spam host);
+    the blocklist blocks a registrable domain AND every subdomain but
+    never a non-boundary lookalike — the reversed-label-prefix kernel
+    (`functions/blocklist.py`, per-distinct-host ancestor walk). The
+    twin spells the same semantics as NOT EXISTS (= OR LIKE '%.'||d),
+    so every kept (doc_id, host) row value-hashes.
+
+    Output: kept (doc_id, host) rows."""
+    from gis_scripts_ray.functions.blocklist import blocked_mask, build_blocklist
+
+    keys = build_blocklist(_BLOCKLIST_DOMAINS)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(batch["doc_id"])
+        if isinstance(d, pl.DataFrame):
+            d = d.to_series()
+        host = (
+            pl.when(d % 3 == 0)
+            .then(
+                "a" + (d % 4).cast(pl.Utf8) + ".b" + (d % 10).cast(pl.Utf8)
+                + ".example.org"
+            )
+            .when(d % 3 == 1)
+            .then("b" + (d % 10).cast(pl.Utf8) + ".example.org")
+            .otherwise("site" + (d % 20).cast(pl.Utf8) + ".spam.net")
+        )
+        host = pl.select(host.alias("h"))["h"]
+        hosts = host.to_arrow()
+        keep = ~blocked_mask(hosts, keys)
+        out = pa.table({"doc_id": batch["doc_id"], "host": hosts})
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_blocklist_filter() -> str:
+    vals = ", ".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)
+    return (
+        "WITH h AS (SELECT doc_id, CASE "
+        "WHEN doc_id % 3 = 0 THEN 'a' || CAST(doc_id % 4 AS VARCHAR) || "
+        "'.b' || CAST(doc_id % 10 AS VARCHAR) || '.example.org' "
+        "WHEN doc_id % 3 = 1 THEN 'b' || CAST(doc_id % 10 AS VARCHAR) || "
+        "'.example.org' "
+        "ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.spam.net' END AS host "
+        "FROM documents), "
+        f"b(d) AS (VALUES {vals}) "
+        "SELECT doc_id, host FROM h WHERE NOT EXISTS "
+        "(SELECT 1 FROM b WHERE h.host = b.d OR h.host LIKE '%.' || b.d) "
+        "ORDER BY doc_id"
+    )
+
+
 _WARC_SHARDS = 8
 
 
@@ -6191,6 +6252,7 @@ QUERIES: dict[str, Callable] = {
     "substr_dedup": q_substr_dedup,
     "sequence_packing": q_sequence_packing,
     "webdataset_read": q_webdataset_read,
+    "blocklist_filter": q_blocklist_filter,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6329,6 +6391,7 @@ ORACLES: dict[str, str] = {
     "substr_dedup": _sql_substr_dedup(),
     "sequence_packing": _sql_sequence_packing(),
     "webdataset_read": _sql_webdataset_read(),
+    "blocklist_filter": _sql_blocklist_filter(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
