@@ -4633,7 +4633,7 @@ def _warc_fixture_dir(sf_dir: str) -> str:
     import hashlib
 
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return f"/tmp/graft_warc/v1_{h}_s{_WARC_SHARDS}"
+    return f"/tmp/graft_warc/v2_{h}_s{_WARC_SHARDS}"
 
 
 def _build_warc_fixture(sf_dir: str, out: str) -> None:
@@ -4690,13 +4690,35 @@ def _build_warc_fixture(sf_dir: str, out: str) -> None:
     members = ds.map_batches(to_members, batch_format="pyarrow")
 
     def write_shard(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
         g = g.sort_by("doc_id")
         s = g["shard"][0].as_py()
-        tmp = f"{out}/part-{s:04d}.warc.gz.tmp-{os.getpid()}"
+        path = f"{out}/part-{s:04d}.warc.gz"
+        tmp = f"{path}.tmp-{os.getpid()}"
+        offs, lens, uris = [], [], []
+        pos = 0
         with open(tmp, "wb") as f:
-            for m in g["member"]:
-                f.write(m.as_py())
-        os.replace(tmp, f"{out}/part-{s:04d}.warc.gz")
+            for did, m in zip(g["doc_id"].to_pylist(), g["member"]):
+                blob = m.as_py()
+                f.write(blob)
+                offs.append(pos)
+                lens.append(len(blob))
+                uris.append(f"http://h{did % 50}.example/d{did}")
+                pos += len(blob)
+        os.replace(tmp, path)
+        # CDX-style member index: (uri, shard file, byte offset, length)
+        idx = pa.table(
+            {
+                "target_uri": pa.array(uris, pa.string()),
+                "warc_file": pa.array([path] * len(offs), pa.string()),
+                "offset": pa.array(offs, pa.int64()),
+                "length": pa.array(lens, pa.int64()),
+            }
+        )
+        itmp = f"{out}/index-{s:04d}.parquet.tmp-{os.getpid()}"
+        pq.write_table(idx, itmp)
+        os.replace(itmp, f"{out}/index-{s:04d}.parquet")
         return pa.table({"shard": pa.array([s], pa.int64())})
 
     n = (
@@ -4759,6 +4781,85 @@ def _sql_warc_host_stats() -> str:
         "WITH f AS (SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' "
         "AS host, 1 + doc_id % 97 AS blen, "
         "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is404 FROM documents) "
+        "SELECT host, CAST(SUM(blen) AS BIGINT) AS sum_blen, "
+        "CAST(SUM(is404) AS BIGINT) AS sum_is404, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY host"
+    )
+
+
+def q_warc_record_fetch(sf_dir: str):
+    """CDX-style record-level random access (round 5 — the payoff of
+    member-per-record gzip and the third storage-pushdown path after
+    ``clip_pushdown`` and ``term_search_pushdown``): fetch ONLY the
+    docs with doc_id % 37 == 0 from the WARC shards via the byte-offset
+    index written at fixture-build time — the index filters first, then
+    each shard task seeks to exactly the hit members' offsets and
+    decompresses those members alone (bytes read = the hits' lengths,
+    never the corpus; asserted in tests/test_warc.py). The twin
+    recomputes the same docs from documents in closed form.
+
+    Output: (host, sum_blen, sum_is404, n) over the fetched subset."""
+    import glob as _glob
+
+    import polars as pl
+
+    from gis_scripts_ray.sources.warc import fetch_warc_records
+
+    out = _warc_fixture_dir(sf_dir)
+    _build_warc_fixture(sf_dir, out)
+    index = ray.data.read_parquet(sorted(_glob.glob(f"{out}/index-*.parquet")))
+    wanted = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def to_uris(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sel = ids[ids % 37 == 0]
+        return pa.table(
+            {
+                "u": pa.array(
+                    [f"http://h{int(d) % 50}.example/d{int(d)}" for d in sel],
+                    pa.string(),
+                )
+            }
+        )
+
+    uris = [
+        u
+        for b in wanted.map_batches(to_uris, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        for u in b["u"].to_pylist()
+    ]  # the probe set is small by construction (1/37 of ids)
+    ds = fetch_warc_records(index, uris)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        resp = batch.filter(pc.equal(batch["warc_type"], "response"))
+        s = pl.from_arrow(resp["target_uri"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        host = s.str.extract(r"^http://([^/]+)/", 1)
+        return pa.table(
+            {
+                "host": pa.array(host.to_list(), pa.string()),
+                "blen": pc.cast(pc.binary_length(resp["body"]), pa.int64()),
+                "is404": pc.cast(
+                    pc.equal(resp["http_status"], 404), pa.int64()
+                ),
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(slim, batch_format="pyarrow"), ["host"], ["blen", "is404"]
+    )
+
+
+def _sql_warc_record_fetch() -> str:
+    return (
+        "WITH f AS (SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' "
+        "AS host, 1 + doc_id % 97 AS blen, "
+        "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS is404 FROM documents "
+        "WHERE doc_id % 37 = 0) "
         "SELECT host, CAST(SUM(blen) AS BIGINT) AS sum_blen, "
         "CAST(SUM(is404) AS BIGINT) AS sum_is404, "
         "CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY host"
@@ -6253,6 +6354,7 @@ QUERIES: dict[str, Callable] = {
     "sequence_packing": q_sequence_packing,
     "webdataset_read": q_webdataset_read,
     "blocklist_filter": q_blocklist_filter,
+    "warc_record_fetch": q_warc_record_fetch,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6392,6 +6494,7 @@ ORACLES: dict[str, str] = {
     "sequence_packing": _sql_sequence_packing(),
     "webdataset_read": _sql_webdataset_read(),
     "blocklist_filter": _sql_blocklist_filter(),
+    "warc_record_fetch": _sql_warc_record_fetch(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),

@@ -177,6 +177,77 @@ def _records_table(data: bytes, path: str) -> pa.Table:
     )
 
 
+def fetch_warc_members(
+    path: str, offsets: "list[int]", lengths: "list[int]"
+):
+    """Record-level random access — the payoff of member-per-record
+    gzip: seek to a member's byte offset, read exactly its length,
+    decompress that member ALONE, and parse its records. Never touches
+    the rest of the shard (the CommonCrawl CDX access pattern). Yields
+    record dicts in the given order; raises ValueError if a range does
+    not decode to a complete member."""
+    with open(path, "rb") as f:
+        for off, ln in zip(offsets, lengths):
+            f.seek(off)
+            blob = f.read(ln)
+            if len(blob) != ln:
+                raise ValueError("warc: index range past end of shard")
+            rest = blob
+            while rest:
+                d = zlib.decompressobj(wbits=31)
+                try:
+                    block = d.decompress(rest)
+                except zlib.error as e:
+                    raise ValueError(f"warc: corrupt indexed member: {e}")
+                if not d.eof:
+                    raise ValueError(
+                        "warc: index range does not end on a member boundary"
+                    )
+                pos = 0
+                while pos < len(block):
+                    rec, pos = _parse_warc_block(block, pos)
+                    yield rec
+                rest = d.unused_data
+
+
+def fetch_warc_records(
+    index: ray.data.Dataset, uris: "list[str]"
+) -> ray.data.Dataset:
+    """Fetch ONLY the requested URIs from WARC shards via a CDX-style
+    index dataset with columns (target_uri, warc_file, offset, length):
+    filter the (small, compacted) index to the wanted URIs, group hits
+    by shard, and byte-range-read just those members — one task per
+    shard, bytes read = sum of the hit members' lengths, never the
+    corpus. Output schema matches :func:`read_warc`. Contract: ``uris``
+    is a driver-sized probe set (a point-lookup API); a corpus-sized
+    wanted set is a semi-join of the index instead
+    (``joins.hash_join`` on target_uri), not this function."""
+    import pyarrow.compute as pc
+
+    wanted = pa.array(sorted(set(uris)), pa.string())
+    hits = index.map_batches(
+        lambda b: b.filter(pc.is_in(b["target_uri"], value_set=wanted)),
+        batch_format="pyarrow",
+    )
+
+    def fetch_group(g: pa.Table) -> pa.Table:
+        path = g["warc_file"][0].as_py()
+        g = g.sort_by("offset")
+        recs = list(
+            fetch_warc_members(
+                path,
+                g["offset"].to_pylist(),
+                g["length"].to_pylist(),
+            )
+        )
+        block = encode_warc_records(recs)
+        return _records_table(block, path)
+
+    return hits.groupby("warc_file").map_groups(
+        fetch_group, batch_format="pyarrow"
+    )
+
+
 def read_warc(paths: "str | list[str]") -> ray.data.Dataset:
     """Read WARC shard(s) into rows (warc_type, target_uri, http_status,
     content_type, body, warc_file). Parallel unit = file, matching the

@@ -106,6 +106,65 @@ class TestWarcCodec:
         ]
 
 
+class TestIndexedFetch:
+    def _shard_with_index(self, tmp_path, n=10):
+        from gis_scripts_ray.sources.warc import encode_warc_gz
+
+        recs = _recs(n)
+        members = [encode_warc_gz([r]) for r in recs]
+        path = tmp_path / "s.warc.gz"
+        path.write_bytes(b"".join(members))
+        offs, pos = [], 0
+        for m in members:
+            offs.append(pos)
+            pos += len(m)
+        idx = pa.table(
+            {
+                "target_uri": pa.array(
+                    [r["headers"]["WARC-Target-URI"] for r in recs], pa.string()
+                ),
+                "warc_file": pa.array([str(path)] * n, pa.string()),
+                "offset": pa.array(offs, pa.int64()),
+                "length": pa.array([len(m) for m in members], pa.int64()),
+            }
+        )
+        return recs, str(path), idx
+
+    def test_members_fetch_exact_ranges(self, tmp_path):
+        from gis_scripts_ray.sources.warc import fetch_warc_members
+
+        recs, path, idx = self._shard_with_index(tmp_path)
+        # fetch three members by byte range; bytes touched << shard size
+        pick = [1, 4, 8]
+        offs = [idx["offset"][i].as_py() for i in pick]
+        lens = [idx["length"][i].as_py() for i in pick]
+        got = list(fetch_warc_members(path, offs, lens))
+        assert [g["payload"] for g in got] == [recs[i]["payload"] for i in pick]
+        import os
+
+        assert sum(lens) < os.path.getsize(path) / 2
+        # a misaligned range is rejected, not silently misparsed
+        with pytest.raises(ValueError):
+            list(fetch_warc_members(path, [offs[0] + 1], [lens[0]]))
+
+    def test_fetch_warc_records_dataset(self, ray_session, tmp_path):
+        import ray
+
+        from gis_scripts_ray.sources.warc import fetch_warc_records
+
+        recs, path, idx = self._shard_with_index(tmp_path)
+        wanted = [recs[2]["headers"]["WARC-Target-URI"],
+                  recs[7]["headers"]["WARC-Target-URI"]]
+        df = (
+            fetch_warc_records(ray.data.from_arrow(idx), wanted)
+            .to_pandas()
+            .sort_values("target_uri")
+            .reset_index(drop=True)
+        )
+        assert df["target_uri"].tolist() == sorted(wanted)
+        assert df["http_status"].tolist() == [404, 200]  # i%2 fixture rule
+
+
 class TestReadWarc:
     def test_read_warc_rows(self, ray_session, tmp_path):
         shard_a = tmp_path / "a.warc.gz"
