@@ -4568,6 +4568,66 @@ def _sql_substr_dedup() -> str:
 _BLOCKLIST_DOMAINS = ["b3.example.org", "spam.net", "a1.b7.example.org"]
 
 
+def q_html_text_extract(sf_dir: str):
+    """HTML text extraction end-to-end (round 5): each doc gets a real
+    HTML page (head/title, style and script subtrees, headings,
+    paragraphs, an entity) built from doc_id; ``HtmlTextStage`` runs the
+    stdlib-tokenizer extractor (suppressed subtrees, block-tag
+    newlines, entity decoding, newline collapsing) and the twin
+    constructs the EXPECTED EXTRACTED TEXT directly in SQL — the full
+    output string of every doc is value-hashed, so any tokenizer-state,
+    suppression, entity, or collapsing defect breaks the hash.
+
+    Output: (doc_id, html_text) for every document."""
+    from gis_scripts_ray.stages.htmltext import html_texts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_html(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        blobs = []
+        for d in ids:
+            d = int(d)
+            blobs.append(
+                (
+                    f"<html><head><title>T{d % 100}</title>"
+                    "<style>body { color: red; }</style></head>"
+                    f"<body><h1>H{d % 50}</h1>"
+                    f"<p>alpha {d % 7} <b>beta</b></p>"
+                    "<script>var x = '<p>not text</p>';</script>"
+                    f"<p>gamma &amp; delta {d % 11}</p></body></html>"
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "html": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    pages = ds.map_batches(make_html, batch_format="pyarrow")
+    texts = html_texts(pages, payload_col="html", concurrency=2)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html_text": batch["html_text"]}
+        )
+
+    return texts.map_batches(slim, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_html_text_extract() -> str:
+    return (
+        "SELECT doc_id, "
+        "'T' || CAST(doc_id % 100 AS VARCHAR) || chr(10) || "
+        "'H' || CAST(doc_id % 50 AS VARCHAR) || chr(10) || "
+        "'alpha ' || CAST(doc_id % 7 AS VARCHAR) || ' beta' || chr(10) || "
+        "'gamma & delta ' || CAST(doc_id % 11 AS VARCHAR) AS html_text "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def q_blocklist_filter(sf_dir: str):
     """Domain-blocklist URL filtering (round 5, crawl hygiene): hosts
     derive deterministically from doc_id (three shapes cycling by
@@ -6355,6 +6415,7 @@ QUERIES: dict[str, Callable] = {
     "webdataset_read": q_webdataset_read,
     "blocklist_filter": q_blocklist_filter,
     "warc_record_fetch": q_warc_record_fetch,
+    "html_text_extract": q_html_text_extract,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6495,6 +6556,7 @@ ORACLES: dict[str, str] = {
     "webdataset_read": _sql_webdataset_read(),
     "blocklist_filter": _sql_blocklist_filter(),
     "warc_record_fetch": _sql_warc_record_fetch(),
+    "html_text_extract": _sql_html_text_extract(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
