@@ -4628,6 +4628,84 @@ def _sql_html_text_extract() -> str:
     )
 
 
+def q_html_link_graph(sf_dir: str):
+    """Hyperlink extraction + RFC 3986 resolution (round 5): each doc
+    gets a page at https://h{hid}.example.com/d{doc_id%5}/p.html
+    (hid = doc_id // 16, the pagerank host derivation) carrying one
+    absolute link, one up-path-relative link (../rel{k}.html), one
+    root-relative link (/root{k}), a fake <a> inside a <script> body
+    (CDATA to the tokenizer — must NOT be collected), and — for
+    doc_id % 11 == 0 — a <base href> pointing at a CDN origin that
+    re-roots both relative links. ``HtmlLinkStage`` explodes pages into
+    (doc_id, link_no, link_url) rows; the twin constructs every
+    expected resolved URL analytically, so base-tag honoring, dot-segment
+    removal, root-relative resolution, document order, and script-CDATA
+    suppression are all value-hash pinned.
+
+    Output: (doc_id, link_no, link_url), one row per link."""
+    from gis_scripts_ray.stages.htmltext import html_links
+
+    nh = (_id_shift(sf_dir, "documents", "doc_id") - 1) // 16 + 1
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_pages(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        urls, blobs = [], []
+        for d in ids:
+            d = int(d)
+            hid = d // 16
+            base = (
+                f'<base href="https://cdn.example.org/b{d % 4}/">'
+                if d % 11 == 0
+                else ""
+            )
+            urls.append(f"https://h{hid}.example.com/d{d % 5}/p.html")
+            blobs.append(
+                (
+                    f"<html><head>{base}<title>t</title></head><body>"
+                    f'<a href="https://h{(hid + 1) % nh}.example.com/abs{d % 9}">a</a>'
+                    f'<p><a href="../rel{d % 3}.html">r</a></p>'
+                    "<script>document.write('<a href=\"https://evil.example.com/x\">');"
+                    "</script>"
+                    f'<a href="/root{d % 7}">q</a></body></html>'
+                ).encode("utf-8")
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    pages = ds.map_batches(make_pages, batch_format="pyarrow")
+    return html_links(pages, payload_col="html", url_col="url", concurrency=2).sort(
+        ["doc_id", "link_no"]
+    )
+
+
+def _sql_html_link_graph() -> str:
+    nh = "(SELECT MAX(doc_id) // 16 + 1 FROM documents)"
+    return (
+        "WITH expect AS ("
+        "SELECT doc_id, 0 AS link_no, "
+        f"'https://h' || CAST((doc_id // 16 + 1) % {nh} AS VARCHAR) || "
+        "'.example.com/abs' || CAST(doc_id % 9 AS VARCHAR) AS link_url "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 1, "
+        "CASE WHEN doc_id % 11 = 0 THEN 'https://cdn.example.org/rel' "
+        "ELSE 'https://h' || CAST(doc_id // 16 AS VARCHAR) || '.example.com/rel' "
+        "END || CAST(doc_id % 3 AS VARCHAR) || '.html' FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 2, "
+        "CASE WHEN doc_id % 11 = 0 THEN 'https://cdn.example.org/root' "
+        "ELSE 'https://h' || CAST(doc_id // 16 AS VARCHAR) || '.example.com/root' "
+        "END || CAST(doc_id % 7 AS VARCHAR) FROM documents) "
+        "SELECT doc_id, link_no, link_url FROM expect ORDER BY doc_id, link_no"
+    )
+
+
 def q_blocklist_filter(sf_dir: str):
     """Domain-blocklist URL filtering (round 5, crawl hygiene): hosts
     derive deterministically from doc_id (three shapes cycling by
@@ -6416,6 +6494,7 @@ QUERIES: dict[str, Callable] = {
     "blocklist_filter": q_blocklist_filter,
     "warc_record_fetch": q_warc_record_fetch,
     "html_text_extract": q_html_text_extract,
+    "html_link_graph": q_html_link_graph,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6557,6 +6636,7 @@ ORACLES: dict[str, str] = {
     "blocklist_filter": _sql_blocklist_filter(),
     "warc_record_fetch": _sql_warc_record_fetch(),
     "html_text_extract": _sql_html_text_extract(),
+    "html_link_graph": _sql_html_link_graph(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),

@@ -27,9 +27,11 @@ the stage. The actor stage mirrors ``PdfTextStage``.
 from __future__ import annotations
 
 from html.parser import HTMLParser
+from urllib.parse import urljoin
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _SUPPRESS = {"script", "style", "template", "noscript"}
@@ -110,6 +112,104 @@ class HtmlTextStage:
         cols["n_chars"] = pa.array(np.array(nch, np.int64), pa.int64())
         cols["decoded_ok"] = pa.array(ok, pa.bool_())
         return pa.table(cols)
+
+
+class _LinkExtractor(HTMLParser):
+    """Collects ``<a href>`` values in document order plus the FIRST
+    ``<base href>`` (the only one the HTML spec honors). Tag-shaped
+    text inside ``<script>``/``<style>`` is CDATA to the tokenizer, so
+    fake links in script bodies are never collected."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self.base: str | None = None
+
+    def _handle(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+                    break
+        elif tag == "base" and self.base is None:
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.base = v
+                    break
+
+    handle_starttag = _handle
+    handle_startendtag = _handle
+
+
+def extract_links(markup: str, page_url: str) -> list[str]:
+    """All ``<a href>`` targets of a page, resolved to absolute URLs per
+    RFC 3986 (stdlib ``urljoin``) against the page URL — or against the
+    page's first ``<base href>`` (itself resolved against the page URL)
+    when one is present, which is how browsers resolve. Order preserved;
+    duplicates preserved (frontier dedup is a separate stage's job —
+    see ``canonical_url_dedup``)."""
+    p = _LinkExtractor()
+    p.feed(markup)
+    p.close()
+    base = urljoin(page_url, p.base) if p.base is not None else page_url
+    return [urljoin(base, h) for h in p.hrefs]
+
+
+class HtmlLinkStage:
+    """Actor-pool hyperlink extraction: explodes each page into one row
+    per outgoing link. Output columns: carry columns (repeated per
+    link) + ``link_no:int64`` (document order) + ``link_url:string``
+    (absolute). Pages with no links contribute no rows — the link graph
+    is an edge list, not a page table."""
+
+    def __init__(self, payload_col: str, url_col: str):
+        self.payload_col = payload_col
+        self.url_col = url_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        carry_cols = [
+            c for c in batch.column_names if c not in (self.payload_col, self.url_col)
+        ]
+        urls = batch[self.url_col].to_pylist()
+        take_idx: list[int] = []
+        link_no: list[int] = []
+        link_url: list[str] = []
+        for i, payload in enumerate(batch[self.payload_col].to_pylist()):
+            if payload is None:
+                continue
+            markup = (
+                payload
+                if isinstance(payload, str)
+                else payload.decode("utf-8", "replace")
+            )
+            for j, u in enumerate(extract_links(markup, urls[i] or "")):
+                take_idx.append(i)
+                link_no.append(j)
+                link_url.append(u)
+        idx = pa.array(np.array(take_idx, np.int64))
+        cols = {c: pc.take(batch[c], idx) for c in carry_cols}
+        cols["link_no"] = pa.array(np.array(link_no, np.int64), pa.int64())
+        cols["link_url"] = pa.array(link_url, pa.string())
+        return pa.table(cols)
+
+
+def html_links(
+    ds: ray.data.Dataset,
+    payload_col: str = "html",
+    url_col: str = "url",
+    concurrency: "int | tuple[int, int]" = 4,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Hyperlink-extraction stage (actor pool): page rows in, one row
+    per resolved outgoing link out."""
+    return ds.map_batches(
+        HtmlLinkStage,
+        fn_constructor_kwargs={"payload_col": payload_col, "url_col": url_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
 
 
 def html_texts(

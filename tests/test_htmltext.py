@@ -1,8 +1,13 @@
-"""HTML text extraction (stages/htmltext.py)."""
+"""HTML text extraction + hyperlink extraction (stages/htmltext.py)."""
 
 import pyarrow as pa
 
-from gis_scripts_ray.stages.htmltext import HtmlTextStage, html_to_text
+from gis_scripts_ray.stages.htmltext import (
+    HtmlLinkStage,
+    HtmlTextStage,
+    extract_links,
+    html_to_text,
+)
 
 
 class TestHtmlToText:
@@ -38,6 +43,68 @@ class TestHtmlToText:
         assert html_to_text(
             "<html><head><title>The Title</title></head><body>x</body></html>"
         ) == "The Title\nx"
+
+
+class TestExtractLinks:
+    PAGE = "https://a.example.com/d1/p.html"
+
+    def test_absolute_and_relative(self):
+        h = (
+            '<a href="https://b.example.com/x">x</a>'
+            '<a href="../up.html">u</a><a href="/rooted">r</a>'
+            '<a href="sib.html">s</a>'
+        )
+        assert extract_links(h, self.PAGE) == [
+            "https://b.example.com/x",
+            "https://a.example.com/up.html",
+            "https://a.example.com/rooted",
+            "https://a.example.com/d1/sib.html",
+        ]
+
+    def test_base_href_reroots(self):
+        h = '<base href="https://cdn.example.org/b/"><a href="../r.html">r</a>'
+        assert extract_links(h, self.PAGE) == ["https://cdn.example.org/r.html"]
+        # only the FIRST base counts; a relative base resolves vs the page
+        h2 = (
+            '<base href="q/"><base href="https://z.example.com/">'
+            '<a href="f.html">f</a>'
+        )
+        assert extract_links(h2, self.PAGE) == [
+            "https://a.example.com/d1/q/f.html"
+        ]
+
+    def test_script_body_links_are_cdata(self):
+        h = (
+            "<script>document.write('<a href=\"https://evil.example.com/x\">');"
+            '</script><a href="/ok">k</a>'
+        )
+        assert extract_links(h, self.PAGE) == ["https://a.example.com/ok"]
+
+    def test_anchors_without_href_and_duplicates(self):
+        h = '<a name="top">t</a><a href="/d">d</a><a href="/d">d</a>'
+        assert extract_links(h, self.PAGE) == [
+            "https://a.example.com/d",
+            "https://a.example.com/d",
+        ]
+
+    def test_stage_explodes_and_carries(self):
+        t = pa.table(
+            {
+                "doc": pa.array([7, 8], pa.int64()),
+                "url": pa.array([self.PAGE, self.PAGE], pa.string()),
+                "html": pa.array(
+                    [b'<a href="/x">x</a><a href="/y">y</a>', b"no links"],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = HtmlLinkStage("html", "url")(t).to_pandas()
+        assert out["doc"].tolist() == [7, 7]
+        assert out["link_no"].tolist() == [0, 1]
+        assert out["link_url"].tolist() == [
+            "https://a.example.com/x",
+            "https://a.example.com/y",
+        ]
 
 
 class TestHtmlTextStage:
