@@ -4706,6 +4706,88 @@ def _sql_html_link_graph() -> str:
     )
 
 
+def q_charset_decode(sf_dir: str):
+    """Charset sniff + decode + text extraction (round 5): payloads
+    cycle four encodings by doc_id % 4 — (0) plain UTF-8 with no
+    declaration (strict-probe path), (1) windows-1252 whose EURO SIGN
+    0x80 lead byte is invalid UTF-8 (fallback path, web-1252 table),
+    (2) UTF-16-LE with BOM (BOM path, BOM stripped from content),
+    (3) latin-1 bytes behind ``<meta charset="iso-8859-1">`` (prescan
+    path; the label normalizes to windows-1252 per WHATWG). Decoded
+    text runs through ``html_to_text`` and the twin writes the expected
+    final string of every doc with literal non-ASCII characters, so the
+    sniff order, label normalization, C1 table, and BOM stripping are
+    all value-hash pinned.
+
+    Output: (doc_id, encoding, enc_source, text)."""
+    from gis_scripts_ray.stages.charset import decode_charsets
+    from gis_scripts_ray.stages.htmltext import html_to_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_payloads(batch: pa.Table) -> pa.Table:
+        import codecs as _codecs
+
+        blobs = []
+        for d in batch["doc_id"].to_numpy():
+            d = int(d)
+            mode = d % 4
+            if mode == 0:
+                blobs.append(f"<p>café {d % 7} naïve</p>".encode("utf-8"))
+            elif mode == 1:
+                blobs.append(f"<p>€uro {d % 9} café</p>".encode("cp1252"))
+            elif mode == 2:
+                blobs.append(
+                    _codecs.BOM_UTF16_LE
+                    + f"<p>wide {d % 5} ✓</p>".encode("utf-16-le")
+                )
+            else:
+                blobs.append(
+                    f'<meta charset="iso-8859-1"><p>café {d % 11}</p>'.encode(
+                        "latin-1"
+                    )
+                )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "payload": pa.array(blobs, pa.binary())}
+        )
+
+    decoded = decode_charsets(
+        ds.map_batches(make_payloads, batch_format="pyarrow"), concurrency=2
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        assert pc.all(batch["decoded_ok"]).as_py() in (True, None)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "encoding": batch["encoding"],
+                "enc_source": batch["enc_source"],
+                "text": pa.array(
+                    [html_to_text(t) for t in batch["text"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return decoded.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _sql_charset_decode() -> str:
+    return (
+        "SELECT doc_id, "
+        "CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252' "
+        "WHEN 2 THEN 'utf-16-le' ELSE 'windows-1252' END AS encoding, "
+        "CASE doc_id % 4 WHEN 0 THEN 'utf8-valid' WHEN 1 THEN 'fallback' "
+        "WHEN 2 THEN 'bom' ELSE 'meta' END AS enc_source, "
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN 'café ' || CAST(doc_id % 7 AS VARCHAR) || ' naïve' "
+        "WHEN 1 THEN '€uro ' || CAST(doc_id % 9 AS VARCHAR) || ' café' "
+        "WHEN 2 THEN 'wide ' || CAST(doc_id % 5 AS VARCHAR) || ' ✓' "
+        "ELSE 'café ' || CAST(doc_id % 11 AS VARCHAR) END AS text "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def q_blocklist_filter(sf_dir: str):
     """Domain-blocklist URL filtering (round 5, crawl hygiene): hosts
     derive deterministically from doc_id (three shapes cycling by
@@ -6495,6 +6577,7 @@ QUERIES: dict[str, Callable] = {
     "warc_record_fetch": q_warc_record_fetch,
     "html_text_extract": q_html_text_extract,
     "html_link_graph": q_html_link_graph,
+    "charset_decode": q_charset_decode,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6637,6 +6720,7 @@ ORACLES: dict[str, str] = {
     "warc_record_fetch": _sql_warc_record_fetch(),
     "html_text_extract": _sql_html_text_extract(),
     "html_link_graph": _sql_html_link_graph(),
+    "charset_decode": _sql_charset_decode(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
