@@ -4788,6 +4788,84 @@ def _sql_charset_decode() -> str:
     )
 
 
+def q_robots_filter(sf_dir: str):
+    """robots.txt politeness gate (round 5, RFC 9309): every host
+    (hid = doc_id // 16) serves a robots body whose ``badbot`` group
+    disallows everything (must NOT govern our agent 'graftbot' — pins
+    group selection) and whose ``*`` group carries prefix, longest-match
+    Allow-override, ``*``-wildcard and ``$``-anchored rules; hosts with
+    hid % 3 == 0 add one host-specific anchored rule. Paths cycle six
+    shapes by doc_id % 6 exercising every precedence branch (prefix
+    block, Allow longer than Disallow, $-anchor hit AND $-anchor miss,
+    wildcard). The twin derives the expected verdict per doc
+    analytically.
+
+    Output: (doc_id, path, allowed) for every document."""
+    from gis_scripts_ray.stages.robots import robots_filter
+
+    nh = (_id_shift(sf_dir, "documents", "doc_id") - 1) // 16 + 1
+    base = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /*.pdf$\nDisallow: /tmp*\n"
+    )
+    robots_by_host = {
+        f"h{h}.example.com": base
+        + ("Disallow: /public/a7$\n" if h % 3 == 0 else "")
+        for h in range(nh)
+    }
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_urls(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        hosts, paths = [], []
+        for d in ids:
+            d = int(d)
+            hosts.append(f"h{d // 16}.example.com")
+            k = d % 13
+            mode = d % 6
+            paths.append(
+                [
+                    f"/public/a{k}",
+                    f"/private/p{k}",
+                    f"/private/ok{k}",
+                    f"/doc{k}.pdf",
+                    f"/doc{k}.pdfx",
+                    f"/tmp{k}",
+                ][mode]
+            )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "host": pa.array(hosts, pa.string()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+
+    urls = ds.map_batches(make_urls, batch_format="pyarrow")
+    out = robots_filter(urls, robots_by_host, agent="graftbot", concurrency=2)
+    return out.select_columns(["doc_id", "path", "allowed"]).sort("doc_id")
+
+
+def _sql_robots_filter() -> str:
+    return (
+        "SELECT doc_id, "
+        "CASE doc_id % 6 "
+        "WHEN 0 THEN '/public/a' || CAST(doc_id % 13 AS VARCHAR) "
+        "WHEN 1 THEN '/private/p' || CAST(doc_id % 13 AS VARCHAR) "
+        "WHEN 2 THEN '/private/ok' || CAST(doc_id % 13 AS VARCHAR) "
+        "WHEN 3 THEN '/doc' || CAST(doc_id % 13 AS VARCHAR) || '.pdf' "
+        "WHEN 4 THEN '/doc' || CAST(doc_id % 13 AS VARCHAR) || '.pdfx' "
+        "ELSE '/tmp' || CAST(doc_id % 13 AS VARCHAR) END AS path, "
+        "CASE doc_id % 6 "
+        "WHEN 0 THEN NOT ((doc_id // 16) % 3 = 0 AND doc_id % 13 = 7) "
+        "WHEN 1 THEN FALSE WHEN 2 THEN TRUE WHEN 3 THEN FALSE "
+        "WHEN 4 THEN TRUE ELSE FALSE END AS allowed "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def q_blocklist_filter(sf_dir: str):
     """Domain-blocklist URL filtering (round 5, crawl hygiene): hosts
     derive deterministically from doc_id (three shapes cycling by
@@ -6578,6 +6656,7 @@ QUERIES: dict[str, Callable] = {
     "html_text_extract": q_html_text_extract,
     "html_link_graph": q_html_link_graph,
     "charset_decode": q_charset_decode,
+    "robots_filter": q_robots_filter,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6721,6 +6800,7 @@ ORACLES: dict[str, str] = {
     "html_text_extract": _sql_html_text_extract(),
     "html_link_graph": _sql_html_link_graph(),
     "charset_decode": _sql_charset_decode(),
+    "robots_filter": _sql_robots_filter(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
