@@ -4866,6 +4866,86 @@ def _sql_robots_filter() -> str:
     )
 
 
+def q_sitemap_urls(sf_dir: str):
+    """Sitemap discovery end-to-end (round 5): every host (doc_id//16,
+    doc_ids contiguous 0..N-1 — asserted via _id_shift) publishes a
+    <sitemapindex> naming two child sitemaps; child k lists the host's
+    docs with doc_id % 2 == k as <url> entries carrying loc, lastmod
+    (2025-01-{d%28+1}) and priority (0.{d%10}, xs:decimal). The plan is
+    index parse → hash-join fetch of child XML on its loc → urlset
+    parse: all streaming, no driver-side sitemap walk. The twin derives
+    every loc/lastmod/priority analytically from documents, so XML
+    construction, namespace-lenient parsing, the join fetch, and exact
+    Decimal priority conversion are all value-hash pinned.
+
+    Output: (host, url, lastmod, priority_tenths) ordered by url."""
+    from gis_scripts_ray.sources.sitemap import sitemap_urls
+
+    shift = _id_shift(sf_dir, "documents", "doc_id")
+    nh = (shift - 1) // 16 + 1
+    hosts_base = ray.data.range(nh)
+
+    def make_index(batch: pa.Table) -> pa.Table:
+        hs, xmls = [], []
+        for h in batch["id"].to_numpy():
+            h = int(h)
+            kids = "".join(
+                f"<sitemap><loc>https://h{h}.example.com/sm{k}.xml</loc>"
+                "</sitemap>"
+                for k in range(2)
+            )
+            hs.append(f"h{h}.example.com")
+            xmls.append(
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+                f'sitemap/0.9">{kids}</sitemapindex>'
+            )
+        return pa.table(
+            {"host": pa.array(hs, pa.string()), "xml": pa.array(xmls, pa.string())}
+        )
+
+    def make_children(batch: pa.Table) -> pa.Table:
+        locs, xmls = [], []
+        for h in batch["id"].to_numpy():
+            h = int(h)
+            for k in range(2):
+                entries = "".join(
+                    f"<url><loc>https://h{h}.example.com/d{d % 5}/p{d}.html"
+                    f"</loc><lastmod>2025-01-{d % 28 + 1:02d}</lastmod>"
+                    f"<priority>0.{d % 10}</priority></url>"
+                    for d in range(h * 16, min(h * 16 + 16, shift))
+                    if d % 2 == k
+                )
+                locs.append(f"https://h{h}.example.com/sm{k}.xml")
+                xmls.append(f"<urlset>{entries}</urlset>")
+        return pa.table(
+            {
+                "loc": pa.array(locs, pa.string()),
+                "xml": pa.array(xmls, pa.string()),
+            }
+        )
+
+    urls = sitemap_urls(
+        hosts_base.map_batches(make_index, batch_format="pyarrow"),
+        hosts_base.map_batches(make_children, batch_format="pyarrow"),
+    )
+    return urls.select_columns(
+        ["host", "url", "lastmod", "priority_tenths"]
+    ).sort("url")
+
+
+def _sql_sitemap_urls() -> str:
+    return (
+        "SELECT 'h' || CAST(doc_id // 16 AS VARCHAR) || '.example.com' AS host, "
+        "'https://h' || CAST(doc_id // 16 AS VARCHAR) || '.example.com/d' || "
+        "CAST(doc_id % 5 AS VARCHAR) || '/p' || CAST(doc_id AS VARCHAR) || "
+        "'.html' AS url, "
+        "'2025-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') "
+        "AS lastmod, "
+        "doc_id % 10 AS priority_tenths "
+        "FROM documents ORDER BY url"
+    )
+
+
 def q_blocklist_filter(sf_dir: str):
     """Domain-blocklist URL filtering (round 5, crawl hygiene): hosts
     derive deterministically from doc_id (three shapes cycling by
@@ -6657,6 +6737,7 @@ QUERIES: dict[str, Callable] = {
     "html_link_graph": q_html_link_graph,
     "charset_decode": q_charset_decode,
     "robots_filter": q_robots_filter,
+    "sitemap_urls": q_sitemap_urls,
     "pagerank_hosts": q_pagerank_hosts,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
@@ -6801,6 +6882,7 @@ ORACLES: dict[str, str] = {
     "html_link_graph": _sql_html_link_graph(),
     "charset_decode": _sql_charset_decode(),
     "robots_filter": _sql_robots_filter(),
+    "sitemap_urls": _sql_sitemap_urls(),
     "pagerank_hosts": _sql_pagerank_hosts(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
