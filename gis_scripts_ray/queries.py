@@ -6646,11 +6646,115 @@ def _sql_canonical_url_dedup() -> str:
     )
 
 
+_DBSCAN_EPS_M = 1_500_000.0
+# eps sits 32.7 km clear of EVERY realized inter-host great-circle distance
+# (host_geo_table is fixed at seed 42; verified by tests/test_dbscan.py), so
+# a cross-engine haversine ULP difference can never flip a <=eps decision.
+
+
+def q_spatial_dbscan(sf_dir: str):
+    """Distributed weighted DBSCAN over the geocoded host locations —
+    density clustering of the corpus geography (the vector-side sibling of
+    the M3 raster components; reference clusters rasters by adjacency in
+    ``stages/components.py``'s source scripts).
+
+    Docs aggregate to DISTINCT locations first (weight = doc count — the
+    number of distinct geocoded sites is bounded by geography, not corpus
+    size), then the grid-bucketed stage clusters the weighted site table:
+    core site = within-1500km doc weight >= corpus//200 (exact integer
+    domain), clusters = min-id connected components of core sites, border
+    sites take the min core-neighbor cluster, noise = -1. Equivalent to
+    classic per-doc DBSCAN because co-located docs share neighborhoods
+    (pinned in tests/test_dbscan.py).
+    """
+    import pyarrow.parquet as pq_mod
+
+    from gis_scripts_ray.stages.dbscan import dbscan
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    total = pq_mod.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = located_documents(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lat": b["lat"],
+                "lon": b["lon"],
+                "site_id": b["doc_id"].cast(pa.int64()),
+                "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    sites = coalesce_shuffle_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["lat", "lon"],
+        {"site_id": "min", "n_docs": "sum"},
+    )
+    res = dbscan(
+        sites,
+        eps_m=_DBSCAN_EPS_M,
+        min_weight=total // 200,
+        id_col="site_id",
+        weight_col="n_docs",
+    )
+    return res.map_batches(
+        lambda b: pa.table(
+            {
+                "site_id": b["id"],
+                "n_docs": b["weight"],
+                "is_core": b["is_core"],
+                "cluster": b["cluster"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_PAIR_HAVERSINE_SQL = (
+    "2.0*6371008.8*ASIN(SQRT("
+    "POWER(SIN((b.lat*(PI()/180.0)-a.lat*(PI()/180.0))/2.0),2) + "
+    "COS(a.lat*(PI()/180.0))*COS(b.lat*(PI()/180.0))*"
+    "POWER(SIN((b.lon*(PI()/180.0)-a.lon*(PI()/180.0))/2.0),2)))"
+)
+
+
+def _sql_spatial_dbscan() -> str:
+    """Full analytic twin: neighbor self-join + recursive-CTE min-label
+    transitive closure (DuckDB computes the same clusters independently)."""
+    return (
+        _located_cte("d.doc_id").replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", sites AS (SELECT MIN(doc_id) AS site_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, lat, lon FROM located "
+        "GROUP BY lat, lon)"
+        f", nbr AS (SELECT a.site_id AS sa, b.site_id AS sb, b.n_docs AS nb "
+        f"FROM sites a JOIN sites b ON {_PAIR_HAVERSINE_SQL} <= {_DBSCAN_EPS_M!r})"
+        ", deg AS (SELECT sa, SUM(nb) AS within FROM nbr GROUP BY sa)"
+        ", core AS (SELECT sa AS node FROM deg WHERE within >= "
+        "(SELECT COUNT(*) // 200 FROM documents))"
+        ", ce AS (SELECT n.sa, n.sb FROM nbr n WHERE n.sa IN "
+        "(SELECT node FROM core) AND n.sb IN (SELECT node FROM core))"
+        ", reach(node, lab) AS (SELECT node, node FROM core UNION "
+        "SELECT ce.sb, reach.lab FROM reach JOIN ce ON ce.sa = reach.node)"
+        ", roots AS (SELECT node, MIN(lab) AS root FROM reach GROUP BY node)"
+        ", border AS (SELECT n.sa AS node, MIN(r.root) AS root FROM nbr n "
+        "JOIN roots r ON n.sb = r.node WHERE n.sa NOT IN "
+        "(SELECT node FROM core) GROUP BY n.sa)"
+        " SELECT s.site_id, s.n_docs, "
+        "CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_core, "
+        "CAST(COALESCE(r.root, b2.root, -1) AS BIGINT) AS cluster "
+        "FROM sites s LEFT JOIN core c ON s.site_id = c.node "
+        "LEFT JOIN roots r ON s.site_id = r.node "
+        "LEFT JOIN border b2 ON s.site_id = b2.node"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable] = {
+    "spatial_dbscan": q_spatial_dbscan,
     "geo_tile_counts": q_geo_tile_counts,
     "geo_pip_class_stats": q_geo_pip_class_stats,
     "agreement_test": q_agreement_test,
@@ -6892,4 +6996,6 @@ ORACLES: dict[str, str] = {
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),
     "multimodal_decode": _sql_multimodal_decode(),
+    # round-5: grid-bucketed weighted DBSCAN, recursive-CTE twin
+    "spatial_dbscan": _sql_spatial_dbscan(),
 }
