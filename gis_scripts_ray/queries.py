@@ -6749,12 +6749,81 @@ def _sql_spatial_dbscan() -> str:
     )
 
 
+def q_crawl_schedule(sf_dir: str):
+    """Crawl-frontier politeness scheduling: every URL gets a per-host
+    fetch slot — rank r within its host (discovery order = doc_id) is
+    dispatched at (r-1) x the host's crawl delay (hot hosts 1 s, long-tail
+    hosts 5 s — the per-host crawl-delay directive a polite crawler reads
+    from robots.txt). The distributed per-key ordered rank runs through
+    ``grouped_running_sum`` (value=1 => dense rank; hot-key presplit
+    engages automatically past 2M rows/host at open-web scale); the delay
+    table is a broadcast small-side lookup, never a shuffle."""
+    from gis_scripts_ray.sources.webpages import host_names
+    from gis_scripts_ray.stages.windows import grouped_running_sum
+    from gis_scripts_ray.state.geocoder import extract_host
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        urls = urls_for_doc_ids(ids)
+        return pa.table(
+            {
+                "host": extract_host(urls),
+                "ord": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    ranked = grouped_running_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="host",
+        ts_col="ord",
+        id_col="doc_id",
+        value_col="one",
+        out_col="fetch_rank",
+    )
+    # zero-padded host names sort lexicographically == numerically, so the
+    # sorted-array searchsorted lookup recovers the host index exactly
+    hosts_sorted = np.array(sorted(host_names()), dtype=object)
+
+    def sched(b: pa.Table) -> pa.Table:
+        host = b["host"].to_numpy(zero_copy_only=False)
+        rank = b["fetch_rank"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(hosts_sorted, host)
+        delay = np.where(idx < 40, 1_000_000, 5_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "host": b["host"],
+                "fetch_rank": b["fetch_rank"],
+                "sched_us": pa.array((rank - 1) * delay, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(sched, batch_format="pyarrow")
+
+
+def _sql_crawl_schedule() -> str:
+    return (
+        f"WITH hx AS (SELECT doc_id, {_HIDX_SQL} AS hidx FROM documents), "
+        "r AS (SELECT doc_id, hidx, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY hidx ORDER BY doc_id) AS BIGINT) AS fetch_rank FROM hx) "
+        "SELECT doc_id, printf('site%03d.example.org', CAST(hidx AS INT)) "
+        "AS host, fetch_rank, "
+        "CAST((fetch_rank - 1) * (CASE WHEN hidx < 40 THEN 1000000 "
+        "ELSE 5000000 END) AS BIGINT) AS sched_us FROM r"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable] = {
     "spatial_dbscan": q_spatial_dbscan,
+    "crawl_schedule": q_crawl_schedule,
     "geo_tile_counts": q_geo_tile_counts,
     "geo_pip_class_stats": q_geo_pip_class_stats,
     "agreement_test": q_agreement_test,
@@ -6998,4 +7067,6 @@ ORACLES: dict[str, str] = {
     "multimodal_decode": _sql_multimodal_decode(),
     # round-5: grid-bucketed weighted DBSCAN, recursive-CTE twin
     "spatial_dbscan": _sql_spatial_dbscan(),
+    # round-5: per-host politeness fetch-slot assignment
+    "crawl_schedule": _sql_crawl_schedule(),
 }
