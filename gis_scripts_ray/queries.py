@@ -6749,6 +6749,51 @@ def _sql_spatial_dbscan() -> str:
     )
 
 
+def q_geo_knn_join(sf_dir: str):
+    """Radius-bounded kNN SELF-JOIN over the geocoded host locations:
+    each site's 2 nearest other sites within 150 km (same-site host
+    lattices — inter-site gaps start at 485 km). One grid-bucketed
+    shuffle total; each point's top-k is final inside its own cell (see
+    ``knn.knn_join``). Fixture margins (radius 123 km clear of every
+    pair distance, 122 m between distinct neighbor distances) pinned in
+    tests/test_dbscan.py make the float order cross-engine-stable; exact
+    symmetric ties fall to the id tiebreak on both engines."""
+    from gis_scripts_ray.stages.knn import knn_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ds = located_documents(sf_dir)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lat": b["lat"],
+                "lon": b["lon"],
+                "site_id": b["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    sites = coalesce_shuffle_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["lat", "lon"],
+        {"site_id": "min"},
+    )
+    return knn_join(sites, radius_m=150_000.0, k=2, id_col="site_id")
+
+
+def _sql_geo_knn_join() -> str:
+    return (
+        _located_cte("d.doc_id")
+        + ", sites AS (SELECT MIN(doc_id) AS site_id, lat, lon FROM located "
+        "GROUP BY lat, lon)"
+        ", pairs AS (SELECT a.site_id AS src_id, b.site_id AS nbr_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY a.site_id ORDER BY "
+        f"{_PAIR_HAVERSINE_SQL} ASC, b.site_id ASC) AS BIGINT) AS knn_rank "
+        f"FROM sites a JOIN sites b ON a.site_id <> b.site_id "
+        f"AND {_PAIR_HAVERSINE_SQL} <= 150000.0)"
+        " SELECT src_id, nbr_id, knn_rank FROM pairs WHERE knn_rank <= 2"
+    )
+
+
 def q_crawl_schedule(sf_dir: str):
     """Crawl-frontier politeness scheduling: every URL gets a per-host
     fetch slot — rank r within its host (discovery order = doc_id) is
@@ -6824,6 +6869,7 @@ def _sql_crawl_schedule() -> str:
 QUERIES: dict[str, Callable] = {
     "spatial_dbscan": q_spatial_dbscan,
     "crawl_schedule": q_crawl_schedule,
+    "geo_knn_join": q_geo_knn_join,
     "geo_tile_counts": q_geo_tile_counts,
     "geo_pip_class_stats": q_geo_pip_class_stats,
     "agreement_test": q_agreement_test,
@@ -7069,4 +7115,6 @@ ORACLES: dict[str, str] = {
     "spatial_dbscan": _sql_spatial_dbscan(),
     # round-5: per-host politeness fetch-slot assignment
     "crawl_schedule": _sql_crawl_schedule(),
+    # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
+    "geo_knn_join": _sql_geo_knn_join(),
 }

@@ -285,6 +285,117 @@ def idw_interpolate(
     )
 
 
+def knn_join(
+    points: ray.data.Dataset,
+    radius_m: float,
+    k: int,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> ray.data.Dataset:
+    """Radius-bounded kNN SELF-JOIN: for every point, its k nearest OTHER
+    points within ``radius_m`` great-circle meters — the doc-to-doc
+    spatial join (:func:`knn_brute`/:func:`knn_multi_brute` answer
+    point-to-PROBE queries; this one is all-to-all).
+
+    Scale shape: ONE shuffle total. The radius bound makes each point's
+    candidate set local — the dbscan grid bucketing (cells sized so
+    eps-close pairs share or neighbor a cell, antimeridian ghosts, exact
+    lon bound at the data's max-|lat| global aggregate) delivers every
+    in-radius candidate into the owner's cell, so the per-cell kernel
+    emits each point's FINAL top-k directly: no cross-block re-fold, no
+    driver partials, no ring iteration. Unbounded kNN needs the ring
+    search (:func:`knn_cell_ring`); production kNN joins are radius-
+    bounded ("k nearest within 100 km") exactly to get this plan.
+
+    Determinism: neighbors rank by the total order (dist, id) — exact
+    distance ties (symmetric geometry) fall back to ascending id, the
+    same contract as every other top-k path here.
+
+    Output: (src_id, nbr_id, knn_rank), int64, rank 1..k per src.
+    """
+    from gis_scripts_ray.stages.dbscan import _emit_cells, _lon_cell_deg
+
+    pts = points.materialize()
+    lat_cap = pts.map_batches(
+        lambda b: pa.table(
+            {"m": pa.array([_abs_max(b[lat_col])])}
+        ),
+        batch_format="pyarrow",
+    ).max("m")
+    lat_cap = float(lat_cap if lat_cap is not None else 0.0)
+    cell_lat = radius_m / _LAT_M_PER_DEG
+    cell_lon = _lon_cell_deg(radius_m, lat_cap)
+
+    emitted = pts.map_batches(
+        _emit_cells,
+        fn_kwargs=dict(
+            cell_lat=cell_lat,
+            cell_lon=cell_lon,
+            id_col=id_col,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            weight_col=None,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cell_knn(group: pa.Table) -> pa.Table:
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        lon = group["lon"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        owned = group["owned"].to_numpy(zero_copy_only=False)
+        oi = np.nonzero(owned)[0]
+        n = len(ids)
+        out_s, out_n, out_r = [], [], []
+        if n and len(oi):
+            chunk = max(1, 4_000_000 // n)
+            for c0 in range(0, len(oi), chunk):
+                sel = oi[c0 : c0 + chunk]
+                d = geo.haversine_m(
+                    lat[sel, None], lon[sel, None], lat[None, :], lon[None, :]
+                )
+                valid = (d <= radius_m) & (ids[sel][:, None] != ids[None, :])
+                si, ni = np.nonzero(valid)
+                dv = d[si, ni]
+                # one lexsort by (src, dist, nbr-id) + run-offset ranks —
+                # the knn_multi_brute partial trick, but here it is FINAL
+                order = np.lexsort((ids[ni], dv, si))
+                si, ni = si[order], ni[order]
+                new_run = np.concatenate([[True], si[1:] != si[:-1]])
+                run_start = np.maximum.accumulate(
+                    np.where(new_run, np.arange(len(si)), 0)
+                )
+                rank = np.arange(len(si)) - run_start + 1
+                keep = rank <= k
+                out_s.append(ids[sel[si[keep]]])
+                out_n.append(ids[ni[keep]])
+                out_r.append(rank[keep])
+        cat = lambda parts: (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "src_id": pa.array(cat(out_s), pa.int64()),
+                "nbr_id": pa.array(cat(out_n), pa.int64()),
+                "knn_rank": pa.array(cat(out_r).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        emitted.groupby("cell")
+        .map_groups(cell_knn, batch_format="pyarrow")
+        .select_columns(["src_id", "nbr_id", "knn_rank"])
+    )
+
+
+def _abs_max(col) -> float:
+    import pyarrow.compute as pc
+
+    v = pc.max(pc.abs(col)).as_py()
+    return float(v) if v is not None else 0.0
+
+
 def knn_cell_ring(
     ds: ray.data.Dataset,
     probe_lat: float,

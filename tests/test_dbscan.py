@@ -205,7 +205,86 @@ class TestDbscanPaths:
         assert (a == b).all().all()
 
 
+class TestKnnJoin:
+    def _naive(self, ids, lat, lon, radius, k):
+        d = geo.haversine_m(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+        out = set()
+        for i in range(len(ids)):
+            cands = [
+                (d[i, j], int(ids[j]))
+                for j in range(len(ids))
+                if j != i and ids[j] != ids[i] and d[i, j] <= radius
+            ]
+            for r, (_, nid) in enumerate(sorted(cands)[:k], start=1):
+                out.add((int(ids[i]), nid, r))
+        return out
+
+    def test_matches_naive_reference(self, ray_session):
+        import ray.data
+
+        ids, lat, lon, _ = _planted()
+        pts = ray.data.from_arrow(
+            pa.table({"id": ids, "lat": lat, "lon": lon})
+        ).repartition(6)
+        from gis_scripts_ray.stages.knn import knn_join
+
+        res = knn_join(pts, EPS, 3, id_col="id").to_pandas()
+        got = set(
+            zip(res["src_id"].astype(int), res["nbr_id"].astype(int), res["knn_rank"].astype(int))
+        )
+        assert got == self._naive(ids, lat, lon, EPS, 3)
+        # block-structure invariance
+        pts1 = ray.data.from_arrow(
+            pa.table({"id": ids, "lat": lat, "lon": lon})
+        ).repartition(1)
+        res1 = knn_join(pts1, EPS, 3, id_col="id").to_pandas()
+        got1 = set(
+            zip(res1["src_id"].astype(int), res1["nbr_id"].astype(int), res1["knn_rank"].astype(int))
+        )
+        assert got1 == got
+
+    def test_antimeridian_neighbors(self, ray_session):
+        import ray.data
+
+        ids = np.array([1, 2, 3], dtype=np.int64)
+        lat = np.array([10.0, 10.05, 10.1])
+        lon = np.array([179.95, -179.95, -179.9])
+        pts = ray.data.from_arrow(pa.table({"id": ids, "lat": lat, "lon": lon}))
+        from gis_scripts_ray.stages.knn import knn_join
+
+        res = knn_join(pts, EPS, 2, id_col="id").to_pandas()
+        got = set(
+            zip(res["src_id"].astype(int), res["nbr_id"].astype(int), res["knn_rank"].astype(int))
+        )
+        assert got == self._naive(ids, lat, lon, EPS, 2)
+        assert (1, 2, 1) in got  # the seam pair really joined
+
+
 class TestFixtureContract:
+    def test_knn_join_fixture_margins(self):
+        # the geo_knn_join oracle's float order is cross-engine-stable
+        # because every DISTINCT neighbor-distance gap and the radius
+        # margin are astronomically larger than cross-engine ULP noise
+        from gis_scripts_ray.state.geocoder import host_geo_table
+
+        t = host_geo_table()
+        lat = t["lat"].to_numpy()
+        lon = t["lon"].to_numpy()
+        n = len(lat)
+        d = geo.haversine_m(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+        radius = 150_000.0
+        iu = np.triu_indices(n, 1)
+        assert np.abs(d[iu] - radius).min() > 1_000.0
+        min_gap = np.inf
+        for i in range(n):
+            mask = (d[i] <= radius) & (np.arange(n) != i)
+            vals = np.sort(d[i][mask])
+            dv = np.diff(vals)
+            dv = dv[dv > 0]  # exact ties are id-tiebroken on both engines
+            if len(dv):
+                min_gap = min(min_gap, dv.min())
+        assert min_gap > 1.0, f"distinct-distance gap too small: {min_gap} m"
+
     def test_eps_margin_over_host_pairs(self):
         # the oracle's <=eps comparisons are ULP-proof only because eps is
         # far from every realized inter-host distance — pin the margin
