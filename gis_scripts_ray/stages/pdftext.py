@@ -2,14 +2,20 @@
 
 The reference pipeline ingests whatever documents the crawl returns;
 PDFs are the most common non-HTML text carrier. This module extracts
-the text layer from UNENCRYPTED PDFs whose content streams are stored
-raw or FlateDecode-compressed (stdlib zlib — the same inflate the PNG
-decoder uses), which covers the vast majority of digitally-authored
-PDFs. What it is NOT: a renderer (no fonts, no layout, no OCR) — image
--only/scanned PDFs yield empty text, and ``/Encrypt``-ed documents
-raise ``NotImplementedError`` (the documented boundary: RC4/AES needs
-a crypto provider). Malformed structure raises ValueError (quarantined,
-never silent — the multimodal decode contract).
+the text layer from PDFs whose content streams are stored raw or
+FlateDecode-compressed (stdlib zlib — the same inflate the PNG decoder
+uses), which covers the vast majority of digitally-authored PDFs.
+RC4-encrypted documents (standard security handler revisions 2-3 with
+an empty user password — the owner-password-only case that dominates
+encrypted web PDFs) decrypt for REAL: stdlib MD5 + the ISO 32000-1
+§7.6.3 algorithms (file key, per-object key, /U verification) + a
+pure-Python RC4 pinned against the public RFC 6229 / folklore test
+vectors. What it is NOT: a renderer (no fonts, no layout, no OCR) —
+image-only/scanned PDFs yield empty text; AES (``/V >= 4``),
+non-Standard handlers, and genuinely password-protected documents
+raise ``NotImplementedError`` (the remaining crypto boundary).
+Malformed structure raises ValueError (quarantined, never silent — the
+multimodal decode contract).
 
 Mechanics (ISO 32000 subset):
 
@@ -32,7 +38,9 @@ broken payloads are flagged, never dropped.
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 
 import numpy as np
@@ -43,10 +51,11 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 _STREAM_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
 
 
-def _pdf_streams(payload: bytes):
+def _pdf_streams(payload: bytes, decrypt=None):
     """Yield (object_dict_bytes, decoded_stream_bytes) for every raw or
     FlateDecode stream in the document; skip streams with other filters
-    (images/fonts)."""
+    (images/fonts). ``decrypt(num, gen, raw) -> bytes``, when given, runs
+    BEFORE filter decode (encryption wraps the stored bytes)."""
     for m in _OBJ_RE.finditer(payload):
         end = payload.find(b"endobj", m.end())
         if end < 0:
@@ -59,12 +68,26 @@ def _pdf_streams(payload: bytes):
         if se < 0 or se < sm.end():
             raise ValueError("pdf: stream without endstream")
         head = body[: sm.start()]
-        raw = body[sm.end() : se]
-        # trailing EOL before 'endstream' belongs to the marker
-        if raw.endswith(b"\r\n"):
-            raw = raw[:-2]
-        elif raw.endswith(b"\n") or raw.endswith(b"\r"):
-            raw = raw[:-1]
+        # a DIRECT /Length gives the exact extent (spec path — the EOL-
+        # strip heuristic below can eat a real trailing 0x0D of a
+        # compressed/encrypted body); indirect "/Length N 0 R" falls back
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        raw = None
+        if lm is not None:
+            ln = int(lm.group(1))
+            cand = body[sm.end() : sm.end() + ln]
+            tail = body[sm.end() + ln : se]
+            if len(cand) == ln and tail.strip(b"\r\n \t") == b"":
+                raw = cand
+        if raw is None:
+            raw = body[sm.end() : se]
+            # trailing EOL before 'endstream' belongs to the marker
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+        if decrypt is not None:
+            raw = decrypt(int(m.group(1)), int(m.group(2)), raw)
         if b"/Filter" not in head:
             yield head, raw
         elif b"/FlateDecode" in head:
@@ -73,6 +96,158 @@ def _pdf_streams(payload: bytes):
             except zlib.error as e:
                 raise ValueError(f"pdf: corrupt FlateDecode stream: {e}")
         # other filters: not text-bearing in this subset — skipped
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (ISO 32000-1 §7.6.3, RC4 revisions 2 and 3)
+# ---------------------------------------------------------------------------
+
+# the spec's 32-byte password padding constant
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def rc4_crypt(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt). Sequential by
+    construction (each keystream byte depends on the evolving S-box), so
+    this is a per-byte Python loop — fine for the stage's row-at-a-time
+    payloads; encrypted PDFs are a small corpus fraction and the heavy
+    path (inflate, token scan) stays vectorized/stdlib."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for t in range(len(data)):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[t] = data[t] ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+def _std_file_key(
+    password: bytes, o_entry: bytes, p: int, id0: bytes, n: int, rev: int
+) -> bytes:
+    """Algorithm 2: the file encryption key (first ``n`` bytes)."""
+    h = hashlib.md5(
+        _pad_password(password) + o_entry[:32] + struct.pack("<i", p) + id0
+    ).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(key: bytes, id0: bytes, rev: int) -> bytes:
+    """Algorithm 4 (rev 2) / 5 (rev 3): the /U value proving a password."""
+    if rev == 2:
+        return rc4_crypt(key, _PAD)
+    enc = rc4_crypt(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        enc = rc4_crypt(bytes(b ^ i for b in key), enc)
+    return enc  # compare the first 16 bytes only (rev 3)
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    h = hashlib.md5(
+        file_key
+        + struct.pack("<I", num)[:3]
+        + struct.pack("<I", gen)[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _parse_pdf_string(body: bytes, pos: int) -> "tuple[bytes, int]":
+    """A literal or hex string starting at body[pos] (skipping blanks)."""
+    while pos < len(body) and body[pos] in b" \t\r\n":
+        pos += 1
+    if pos >= len(body):
+        raise ValueError("pdf: missing string value")
+    if body[pos] == 0x28:
+        return _scan_string(body, pos)
+    if body[pos] == 0x3C:
+        return _scan_hex_string(body, pos)
+    raise ValueError("pdf: expected a string value")
+
+
+def _dict_int(body: bytes, name: bytes, default: "int | None" = None) -> int:
+    m = re.search(re.escape(name) + rb"\s+(-?\d+)", body)
+    if m is None:
+        if default is None:
+            raise ValueError(f"pdf: missing {name.decode()} in Encrypt dict")
+        return default
+    return int(m.group(1))
+
+
+def _build_decryptor(payload: bytes):
+    """Resolve the /Encrypt dictionary and return ``decrypt(num, gen,
+    raw)`` for the standard security handler with an EMPTY user password
+    (the overwhelmingly common owner-password-only case). Raises
+    ``NotImplementedError`` for AES (/V >= 4), non-Standard handlers,
+    and password-protected documents (wrong /U for the empty password) —
+    the remaining documented boundary."""
+    ref = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
+    if ref is None:
+        raise ValueError("pdf: /Encrypt without an indirect reference")
+    num, gen = int(ref.group(1)), int(ref.group(2))
+    body = None
+    for m in _OBJ_RE.finditer(payload):
+        if int(m.group(1)) == num and int(m.group(2)) == gen:
+            end = payload.find(b"endobj", m.end())
+            if end < 0:
+                raise ValueError("pdf: Encrypt object without endobj")
+            body = payload[m.end() : end]
+            break
+    if body is None:
+        raise ValueError("pdf: Encrypt object not found")
+    if b"/Standard" not in body:
+        raise NotImplementedError("pdf: non-Standard security handler")
+    v = _dict_int(body, b"/V", 0)
+    rev = _dict_int(body, b"/R")
+    if v not in (1, 2) or rev not in (2, 3):
+        raise NotImplementedError(
+            f"pdf: encryption V={v} R={rev} (AES/crypt-filters) needs a "
+            "crypto provider not present in this environment"
+        )
+    p = _dict_int(body, b"/P")
+    n = 5 if v == 1 else _dict_int(body, b"/Length", 40) // 8
+    om = re.search(rb"/O\s*(?=[(<])", body)
+    um = re.search(rb"/U\s*(?=[(<])", body)
+    if om is None or um is None:
+        raise ValueError("pdf: Encrypt dict missing /O or /U")
+    o_entry, _ = _parse_pdf_string(body, om.end())
+    u_entry, _ = _parse_pdf_string(body, um.end())
+    idm = re.search(rb"/ID\s*\[", payload)
+    id0 = b""
+    if idm is not None:
+        id0, _ = _parse_pdf_string(payload, idm.end())
+    key = _std_file_key(b"", o_entry, p, id0, n, rev)
+    want = _std_user_check(key, id0, rev)
+    got = u_entry
+    if (want[:16] if rev >= 3 else want) != (got[:16] if rev >= 3 else got):
+        raise NotImplementedError(
+            "pdf: password-protected document (empty user password rejected)"
+        )
+
+    def decrypt(onum: int, ogen: int, raw: bytes) -> bytes:
+        return rc4_crypt(_object_key(key, onum, ogen), raw)
+
+    return decrypt
 
 
 _ESCAPES = {
@@ -184,29 +359,40 @@ def extract_content_text(stream: bytes) -> str:
 
 
 def decode_pdf_text(payload: bytes) -> str:
-    """Extract the text layer of an unencrypted PDF (raw or FlateDecode
-    content streams). ``/Encrypt`` raises ``NotImplementedError`` (the
-    crypto boundary); malformed structure raises ValueError."""
+    """Extract the text layer of a PDF (raw or FlateDecode content
+    streams). RC4-encrypted documents (standard security handler,
+    revisions 2-3, V 1-2) with an EMPTY user password decrypt for real
+    (stdlib MD5 + the spec's Algorithms 1/2/4/5 — the owner-password-only
+    case that dominates encrypted web PDFs); AES (/V >= 4), non-Standard
+    handlers, and genuinely password-protected documents raise
+    ``NotImplementedError`` (the remaining crypto boundary). Malformed
+    structure raises ValueError."""
     if payload is None or not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    if b"/Encrypt" in payload:
-        raise NotImplementedError(
-            "encrypted PDF needs a crypto provider not present in this "
-            "environment"
-        )
-    parts = [extract_content_text(s) for _head, s in _pdf_streams(payload)]
+    decrypt = _build_decryptor(payload) if b"/Encrypt" in payload else None
+    parts = [
+        extract_content_text(s) for _head, s in _pdf_streams(payload, decrypt)
+    ]
     return "".join(parts)
 
 
 def encode_pdf_text(
-    text: str, compress: bool = False, creator: str = "gis_scripts_ray"
+    text: str,
+    compress: bool = False,
+    creator: str = "gis_scripts_ray",
+    encrypt_rev: "int | None" = None,
+    owner_pw: bytes = b"owner",
 ) -> bytes:
     """Minimal valid single-page PDF around a text layer — the fixture
     generator and roundtrip partner of :func:`decode_pdf_text`:
     ``decode_pdf_text(encode_pdf_text(t)) == t`` exactly. Positioning
     uses ``Tm`` (no newline in the scanner) and ``T*`` between lines
     (exactly one newline each); parens and backslashes are escaped.
-    ``compress=True`` stores the content stream FlateDecode."""
+    ``compress=True`` stores the content stream FlateDecode.
+    ``encrypt_rev`` = 2 (RC4 40-bit, V1) or 3 (RC4 128-bit, V2) encrypts
+    the content stream under the standard security handler with an empty
+    user password and ``owner_pw`` as the owner password (Algorithm 3) —
+    deterministic: the /ID derives from the content bytes."""
     def esc(line: str) -> bytes:
         b = line.encode("latin-1")
         return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
@@ -223,6 +409,42 @@ def encode_pdf_text(
         filt = b" /Filter /FlateDecode"
     else:
         body, filt = content, b""
+    trailer_extra = b""
+    enc_obj = None
+    if encrypt_rev is not None:
+        if encrypt_rev not in (2, 3):
+            raise ValueError("encrypt_rev must be 2 or 3")
+        rev = encrypt_rev
+        v, n = (1, 5) if rev == 2 else (2, 16)
+        p = -44
+        id0 = hashlib.md5(body + b"gis_scripts_ray/id").digest()
+        # Algorithm 3: the /O entry from the owner password
+        oh = hashlib.md5(_pad_password(owner_pw or b"")).digest()
+        if rev >= 3:
+            for _ in range(50):
+                oh = hashlib.md5(oh).digest()
+        okey = oh[:n]
+        o_entry = rc4_crypt(okey, _pad_password(b""))
+        if rev >= 3:
+            for i in range(1, 20):
+                o_entry = rc4_crypt(bytes(b ^ i for b in okey), o_entry)
+        key = _std_file_key(b"", o_entry, p, id0, n, rev)
+        u_entry = _std_user_check(key, id0, rev)
+        if rev >= 3:
+            u_entry = u_entry + b"\x00" * 16  # 32-byte slot, 16 compared
+        body = rc4_crypt(_object_key(key, 5, 0), body)  # stream is obj 5
+        enc_obj = (
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(rev).encode()
+            + (b"" if rev == 2 else b" /Length " + str(n * 8).encode())
+            + b" /O <" + o_entry.hex().encode() + b">"
+            + b" /U <" + u_entry.hex().encode() + b">"
+            + b" /P " + str(p).encode() + b" >>"
+        )
+        trailer_extra = (
+            b" /Encrypt 6 0 R /ID [<" + id0.hex().encode() + b"> <"
+            + id0.hex().encode() + b">]"
+        )
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -232,6 +454,8 @@ def encode_pdf_text(
         b"<< /Length " + str(len(body)).encode() + filt
         + b" >>\nstream\n" + body + b"\nendstream",
     ]
+    if enc_obj is not None:
+        objs.append(enc_obj)
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for k, o in enumerate(objs, 1):
@@ -244,7 +468,8 @@ def encode_pdf_text(
         out += f"{off:010d} 00000 n \n".encode()
     out += (
         b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF\n"
+        + b" /Root 1 0 R" + trailer_extra
+        + b" >>\nstartxref\n" + str(xref).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
 
