@@ -4117,6 +4117,63 @@ def _sql_phrase_search_pushdown() -> str:
     )
 
 
+_INCR_MERGE_TERMS = ["scan", "window"]
+
+
+def q_index_incremental_merge(sf_dir: str):
+    """Incremental index maintenance (round 5): build the inverted index
+    from the EVEN-doc_id half of the corpus, then merge the odd half in
+    as a crawl-delta increment (``merge_token_index`` — only the delta
+    shuffles; touched buckets are atomically replaced with the
+    applied-increment marker in the parquet footer, untouched buckets
+    are never read), and run a term AND over the merged index. The twin
+    queries the WHOLE corpus directly in SQL, so any lost, duplicated,
+    or mis-routed delta posting surfaces as a row/hash mismatch —
+    merge == rebuild, value-certified. Rerun-safe: a warm index skips
+    the base build via the manifest and the merge via footer markers."""
+    from gis_scripts_ray.stages.text_index import (
+        merge_token_index,
+        term_and_query,
+        write_token_index,
+    )
+
+    out = _text_index_dir(sf_dir) + "_incr"
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _half(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+            )
+
+        return f
+
+    write_token_index(
+        ds.map_batches(_half(0), batch_format="pyarrow"),
+        out,
+        n_buckets=_TEXT_INDEX_BUCKETS,
+    )
+    merge_token_index(
+        out,
+        ds.map_batches(_half(1), batch_format="pyarrow"),
+        "odd-half",
+        n_buckets=_TEXT_INDEX_BUCKETS,
+    )
+    return term_and_query(out, _INCR_MERGE_TERMS, n_buckets=_TEXT_INDEX_BUCKETS)
+
+
+def _sql_index_incremental_merge() -> str:
+    terms = ", ".join(f"'{t}'" for t in _INCR_MERGE_TERMS)
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents) "
+        f"SELECT doc_id FROM toks WHERE tok IN ({terms}) "
+        f"GROUP BY doc_id HAVING COUNT(DISTINCT tok) = {len(_INCR_MERGE_TERMS)}"
+    )
+
+
 def q_lm_quality_scores(sf_dir: str):
     """Corpus-LM quality scoring (round 5 — the CCNet model-based filter
     shape): a bigram conditional-probability model is fit on the corpus
@@ -6971,6 +7028,7 @@ QUERIES: dict[str, Callable] = {
     "lm_quality_scores": q_lm_quality_scores,
     "phrase_search_pushdown": q_phrase_search_pushdown,
     "term_or_topk": q_term_or_topk,
+    "index_incremental_merge": q_index_incremental_merge,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -7116,6 +7174,7 @@ ORACLES: dict[str, str] = {
     "lm_quality_scores": _sql_lm_quality_scores(),
     "phrase_search_pushdown": _sql_phrase_search_pushdown(),
     "term_or_topk": _sql_term_or_topk(),
+    "index_incremental_merge": _sql_index_incremental_merge(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),

@@ -369,3 +369,147 @@ def phrase_query(
         ["doc_id"],
         {"n_occurrences": "sum"},
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance (index freshness without a rebuild)
+# ---------------------------------------------------------------------------
+
+
+_APPLIED_KEY = b"applied_increments"
+
+
+def applied_increments(data_path: str) -> "tuple[str, ...]":
+    """Increment ids already merged into a bucket file — read from the
+    parquet FOOTER metadata (footer-only read, no data pages)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(data_path).schema_arrow.metadata or {}
+    return tuple(
+        x for x in meta.get(_APPLIED_KEY, b"").decode().split(",") if x
+    )
+
+
+@ray.remote(num_cpus=0.5)
+def _merge_bucket_task(main_part_dir: str, staging_file: str, increment_id: str):
+    """Merge ONE bucket: old partition parquet + increment parquet.
+
+    Atomicity: the applied-increment marker rides in the merged file's
+    parquet FOOTER metadata, so the single ``os.replace`` of
+    ``data.parquet`` commits data and marker together — there is no
+    window where the bucket is merged-but-unmarked (double-apply) or
+    marked-but-unmerged (lost rows), and the old file stays readable
+    until the atomic rename. Returns (n_rows_total, n_rows_added,
+    skipped)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    data_path = os.path.join(main_part_dir, "data.parquet")
+    applied: "tuple[str, ...]" = ()
+    if os.path.exists(data_path):
+        applied = applied_increments(data_path)
+        if increment_id in applied:
+            n = pq.ParquetFile(data_path).metadata.num_rows
+            return int(n), 0, True
+        old = pq.read_table(data_path)
+        inc = pq.read_table(staging_file)
+        merged = pa.concat_tables([old.select(inc.column_names), inc])
+    else:
+        merged = pq.read_table(staging_file)
+    n_added = int(pq.ParquetFile(staging_file).metadata.num_rows)
+    meta = dict(merged.schema.metadata or {})
+    meta[_APPLIED_KEY] = ",".join(applied + (increment_id,)).encode()
+    merged = merged.replace_schema_metadata(meta)
+    os.makedirs(main_part_dir, exist_ok=True)
+    tmp = os.path.join(main_part_dir, f"data.parquet.tmp-{increment_id}")
+    pq.write_table(merged, tmp)
+    os.replace(tmp, data_path)  # atomic: data + marker in one rename
+    return int(merged.num_rows), n_added, False
+
+
+def merge_token_index(
+    out_dir: str,
+    new_ds: ray.data.Dataset,
+    increment_id: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Merge an increment of NEW documents into a persisted token index
+    WITHOUT rebuilding it — the index-freshness operation: at 100 TB the
+    nightly crawl delta must not re-shuffle the whole corpus's postings.
+
+    Plan: the increment's postings build into a STAGING index under
+    ``out_dir/_incr_<id>`` (the same distributed resumable writer as the
+    base build — only the delta shuffles), then ONE Ray task per TOUCHED
+    bucket concatenates the old partition file with the staging file and
+    atomically replaces ``data.parquet``; the applied-increment marker
+    rides in the replaced file's parquet FOOTER, so a crash can never
+    leave a bucket merged-but-unmarked or marked-but-unmerged. Untouched
+    buckets are never read, never written. Idempotent per
+    (bucket, increment_id): a crashed or repeated merge skips marked
+    buckets, so postings are never double-applied; the staging index is
+    removed only after every touched bucket is marked AND the manifest
+    refreshed. Contracts: ``increment_id`` uniquely identifies the
+    increment's CONTENT (reusing an id with different rows would
+    part-skip it), and increment ``doc_id``s are NEW to the index
+    (postings are facts keyed by (doc, pos); re-adding an existing doc
+    would duplicate them — dedup upstream, see ``dedup.hash_anti_join``).
+
+    Returns {"buckets_touched", "buckets_new", "buckets_skipped",
+    "rows_added", "rows_total_touched"}.
+    """
+    import os
+    import shutil
+
+    from gis_scripts_ray.state.checkpoint import Manifest, PartitionRecord
+
+    if not increment_id.replace("-", "").replace("_", "").isalnum():
+        raise ValueError("increment_id must be filesystem-safe")
+    staging = os.path.join(out_dir, f"_incr_{increment_id}")
+    write_token_index(
+        new_ds, staging, n_buckets=n_buckets, text_col=text_col,
+        id_col=id_col, lineage=f"incr-{increment_id}",
+    )
+    man = Manifest(out_dir)
+    stg = Manifest(staging)
+    done_main = man.completed()
+    touched = sorted(stg.completed())
+    results = ray.get(
+        [
+            _merge_bucket_task.remote(
+                man.partition_dir(key),
+                os.path.join(stg.partition_dir(key), "data.parquet"),
+                increment_id,
+            )
+            for key in touched
+        ]
+    )
+    suffix = f"+incr-{increment_id}"
+    rows_added = 0
+    rows_total = 0
+    n_skipped = 0
+    for key, (n_total, n_add, skipped) in zip(touched, results):
+        rows_added += n_add
+        rows_total += n_total
+        n_skipped += int(skipped)
+        # manifest refresh is idempotent — a skipped bucket still gets its
+        # lineage suffix if a crash-rerun lost the first mark_complete
+        old_rec = done_main.get(key)
+        lineage = old_rec.lineage if old_rec else "text-index"
+        if suffix not in lineage:
+            lineage += suffix
+        man.mark_complete(
+            PartitionRecord(
+                part_key=key, n_rows=n_total, lineage=lineage, wall_s=0.0
+            )
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "buckets_touched": len(touched),
+        "buckets_new": sum(1 for k in touched if k not in done_main),
+        "buckets_skipped": n_skipped,
+        "rows_added": rows_added,
+        "rows_total_touched": rows_total,
+    }

@@ -265,6 +265,148 @@ class TestOrTopk:
             term_or_topk("/nonexistent", [], n_buckets=NB)
 
 
+class TestIncrementalMerge:
+    """merge_token_index: index freshness without a rebuild (the nightly
+    crawl delta must not re-shuffle the corpus's postings)."""
+
+    def _postings(self, out):
+        rows = []
+        for f in glob.glob(os.path.join(out, "part=*", "data.parquet")):
+            t = pq.read_table(f, columns=["token", "doc_id", "pos"])
+            rows += list(
+                zip(
+                    t["token"].to_pylist(),
+                    t["doc_id"].to_pylist(),
+                    t["pos"].to_pylist(),
+                )
+            )
+        return sorted(rows)
+
+    def _queries_equal(self, out_a, out_b):
+        from gis_scripts_ray.stages.text_index import phrase_query
+
+        for terms in (["sort", "merge"], ["the"]):
+            a = sorted(term_and_query(out_a, terms, n_buckets=NB).to_pandas()["doc_id"])
+            b = sorted(term_and_query(out_b, terms, n_buckets=NB).to_pandas()["doc_id"])
+            assert a == b, terms
+        pa_ = phrase_query(out_a, ["sort", "merge"], n_buckets=NB).to_pandas()
+        pb_ = phrase_query(out_b, ["sort", "merge"], n_buckets=NB).to_pandas()
+        assert sorted(zip(pa_["doc_id"], pa_["n_occurrences"])) == sorted(
+            zip(pb_["doc_id"], pb_["n_occurrences"])
+        )
+
+    def test_merge_equals_rebuild(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import merge_token_index
+
+        t = _mk_docs(n=120)
+        base, inc = t.slice(0, 80), t.slice(80)
+        out = str(tmp_path / "merged")
+        write_token_index(ray.data.from_arrow(base), out, n_buckets=NB)
+        stats = merge_token_index(
+            out, ray.data.from_arrow(inc), "delta1", n_buckets=NB
+        )
+        assert stats["rows_added"] > 0 and stats["buckets_skipped"] == 0
+        full = str(tmp_path / "rebuild")
+        write_token_index(ray.data.from_arrow(t), full, n_buckets=NB)
+        assert self._postings(out) == self._postings(full)
+        self._queries_equal(out, full)
+        assert not os.path.exists(os.path.join(out, "_incr_delta1"))
+
+    def test_idempotent_rerun(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import merge_token_index
+
+        t = _mk_docs(n=100)
+        base, inc = t.slice(0, 70), t.slice(70)
+        out = str(tmp_path / "idem")
+        write_token_index(ray.data.from_arrow(base), out, n_buckets=NB)
+        merge_token_index(out, ray.data.from_arrow(inc), "d1", n_buckets=NB)
+        before = self._postings(out)
+        stats2 = merge_token_index(out, ray.data.from_arrow(inc), "d1", n_buckets=NB)
+        assert stats2["buckets_skipped"] == stats2["buckets_touched"] > 0
+        assert stats2["rows_added"] == 0
+        assert self._postings(out) == before  # never double-applied
+
+    def test_untouched_buckets_not_rewritten(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import merge_token_index, token_bucket
+
+        t = _mk_docs(n=100)
+        out = str(tmp_path / "narrow")
+        write_token_index(ray.data.from_arrow(t), out, n_buckets=NB)
+        # a single-token increment touches exactly one bucket
+        inc = pa.table(
+            {
+                "doc_id": pa.array([10_000], pa.int64()),
+                "text": pa.array(["sort"], pa.string()),
+            }
+        )
+        want_bucket = f"b{int(token_bucket(['sort'], NB)[0])}"
+        mtimes = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(out, "part=*", "data.parquet"))
+        }
+        stats = merge_token_index(out, ray.data.from_arrow(inc), "one", n_buckets=NB)
+        assert stats["buckets_touched"] == 1 and stats["rows_added"] == 1
+        for f, m in mtimes.items():
+            part = os.path.basename(os.path.dirname(f))
+            if part == f"part={want_bucket}":
+                assert os.path.getmtime(f) != m
+            else:
+                assert os.path.getmtime(f) == m, f"untouched {part} rewritten"
+
+    def test_crash_window_rerun_repairs_manifest(self, tmp_path, ray_session):
+        """Crash between the atomic bucket replace and mark_complete:
+        rerun must skip the bucket (footer marker) yet still restore the
+        manifest row with the increment in its lineage."""
+        from gis_scripts_ray.state.checkpoint import Manifest
+        from gis_scripts_ray.stages.text_index import merge_token_index
+
+        t = _mk_docs(n=100)
+        base, inc = t.slice(0, 70), t.slice(70)
+        out = str(tmp_path / "crash")
+        write_token_index(ray.data.from_arrow(base), out, n_buckets=NB)
+        merge_token_index(out, ray.data.from_arrow(inc), "d9", n_buckets=NB)
+        before = self._postings(out)
+        man = Manifest(out)
+        victim = sorted(man.completed())[0]
+        os.remove(
+            os.path.join(man.manifest_dir, f"part-{victim}.json")
+        )
+        stats = merge_token_index(out, ray.data.from_arrow(inc), "d9", n_buckets=NB)
+        assert stats["rows_added"] == 0  # footer markers held
+        assert self._postings(out) == before
+        rec = Manifest(out).completed().get(victim)
+        if rec is not None:  # victim was a touched bucket -> restored
+            assert "+incr-d9" in rec.lineage
+
+    def test_stacked_increments_footer_history(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import (
+            applied_increments,
+            merge_token_index,
+        )
+
+        t = _mk_docs(n=120)
+        out = str(tmp_path / "stack")
+        write_token_index(ray.data.from_arrow(t.slice(0, 60)), out, n_buckets=NB)
+        merge_token_index(out, ray.data.from_arrow(t.slice(60, 30)), "a1", n_buckets=NB)
+        merge_token_index(out, ray.data.from_arrow(t.slice(90)), "a2", n_buckets=NB)
+        full = str(tmp_path / "stackfull")
+        write_token_index(ray.data.from_arrow(t), full, n_buckets=NB)
+        assert self._postings(out) == self._postings(full)
+        histories = [
+            applied_increments(f)
+            for f in glob.glob(os.path.join(out, "part=*", "data.parquet"))
+        ]
+        assert any(h == ("a1", "a2") for h in histories)
+        for h in histories:  # order of application is preserved per bucket
+            assert list(h) == [x for x in ("a1", "a2") if x in h]
+
+    def test_bad_increment_id_rejected(self, tmp_path):
+        from gis_scripts_ray.stages.text_index import merge_token_index
+
+        with pytest.raises(ValueError):
+            merge_token_index(str(tmp_path), None, "../evil", n_buckets=NB)
+
+
 class TestBlockInvariance:
     def test_phrase_counts_partition_invariant(self, tmp_path, ray_session):
         """Build the index from 1-block and 5-block inputs into two
