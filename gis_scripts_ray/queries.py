@@ -240,6 +240,41 @@ def _sql_geo_tile_counts() -> str:
     )
 
 
+_PYRAMID_Z_MAX = 8
+_PYRAMID_Z_MIN = 5
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Multi-resolution tile aggregates (round 5 — the tiling half of the
+    north rule asks for a resolution RANGE, res 5-9 style): ONE corpus
+    pass aggregates at z_max, then every coarser level folds the
+    previous level's AGGREGATE via the exact web-Mercator parent
+    identity floor(floor(a·2^z)/2) == floor(a·2^(z-1)) — O(tiles) per
+    extra level, never another corpus scan. The twin recomputes each
+    level DIRECTLY from lon/lat, so the rollup identity itself is
+    value-certified."""
+    from gis_scripts_ray.stages.pyramid import tile_pyramid
+
+    ds = located_documents(sf_dir, ("doc_id", "n_chars"))
+    return tile_pyramid(
+        ds, _PYRAMID_Z_MAX, _PYRAMID_Z_MIN, value_cols=["n_chars"]
+    )
+
+
+def _sql_tile_pyramid() -> str:
+    parts = []
+    for z in range(_PYRAMID_Z_MAX, _PYRAMID_Z_MIN - 1, -1):
+        x, y = _tile_sql(z)
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS z, tile_x, tile_y, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM "
+            f"(SELECT {x} AS tile_x, {y} AS tile_y, n_chars FROM located) "
+            "GROUP BY tile_x, tile_y"
+        )
+    return _located_cte("d.doc_id, d.n_chars") + " " + " UNION ALL ".join(parts)
+
+
 def q_geo_pip_class_stats(sf_dir: str):
     ds = located_documents(sf_dir, ("doc_id", "n_chars"))
     joined = pip_join(ds, rect_polygon_table(), carry_cols=["doc_id", "n_chars"])
@@ -7029,6 +7064,7 @@ QUERIES: dict[str, Callable] = {
     "phrase_search_pushdown": q_phrase_search_pushdown,
     "term_or_topk": q_term_or_topk,
     "index_incremental_merge": q_index_incremental_merge,
+    "tile_pyramid": q_tile_pyramid,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
     "harmonize_params": q_harmonize_params,
@@ -7175,6 +7211,7 @@ ORACLES: dict[str, str] = {
     "phrase_search_pushdown": _sql_phrase_search_pushdown(),
     "term_or_topk": _sql_term_or_topk(),
     "index_incremental_merge": _sql_index_incremental_merge(),
+    "tile_pyramid": _sql_tile_pyramid(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),
     "langid_pred_counts": _sql_langid_pred_counts(),
