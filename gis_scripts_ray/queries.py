@@ -4199,6 +4199,81 @@ def q_index_incremental_merge(sf_dir: str):
     return term_and_query(out, _INCR_MERGE_TERMS, n_buckets=_TEXT_INDEX_BUCKETS)
 
 
+def q_index_docs_delete(sf_dir: str):
+    """Takedown deletes over the partitioned inverted index (round 5):
+    deletes are doc-keyed while postings are token-bucketed, so eager
+    removal would rewrite every bucket per request — instead
+    ``delete_docs`` commits an atomic tombstone set (queries anti-filter
+    it immediately, adaptive broadcast/join delivery) and
+    ``compact_token_index`` later rewrites each bucket once with the
+    footer-marker protocol, then garbage-collects fully-applied sets.
+    This query runs the SAME term AND in both phases — phase 0 masked
+    (tombstones live), phase 1 after physical compaction — and the twin
+    applies the delete predicate in SQL for both phases, so a doc
+    surviving the mask, escaping the rewrite, or being over-deleted all
+    hash-mismatch."""
+    from gis_scripts_ray.stages.text_index import (
+        compact_token_index,
+        delete_docs,
+        term_and_query,
+        write_token_index,
+    )
+
+    out = _text_index_dir(sf_dir) + "_del"
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    write_token_index(ds, out, n_buckets=_TEXT_INDEX_BUCKETS)
+
+    def dead_only(batch: pa.Table) -> pa.Table:
+        # doc_id >= 0, so numpy % matches SQL % exactly
+        keep = batch["doc_id"].to_numpy(zero_copy_only=False) % 7 == 3
+        return batch.select(["doc_id"]).filter(pa.array(keep))
+
+    delete_docs(
+        out,
+        ds.map_batches(dead_only, batch_format="pyarrow"),
+        "takedown7m3",
+    )
+
+    def _tag(phase: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "phase": pa.array(
+                        np.full(batch.num_rows, phase, np.int64)
+                    ),
+                    "doc_id": batch["doc_id"],
+                }
+            )
+
+        return f
+
+    masked = term_and_query(
+        out, _INCR_MERGE_TERMS, n_buckets=_TEXT_INDEX_BUCKETS
+    ).map_batches(_tag(0), batch_format="pyarrow").materialize()
+    compact_token_index(out)
+    compacted = term_and_query(
+        out, _INCR_MERGE_TERMS, n_buckets=_TEXT_INDEX_BUCKETS
+    ).map_batches(_tag(1), batch_format="pyarrow")
+    return masked.union(compacted)
+
+
+def _sql_index_docs_delete() -> str:
+    terms = ", ".join(f"'{t}'" for t in _INCR_MERGE_TERMS)
+    one = (
+        "SELECT doc_id FROM toks WHERE tok IN ({terms}) "
+        "GROUP BY doc_id HAVING COUNT(DISTINCT tok) = {n}"
+    ).format(terms=terms, n=len(_INCR_MERGE_TERMS))
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents), "
+        f"hits AS ({one}) "
+        "SELECT CAST(p AS BIGINT) AS phase, doc_id FROM hits, "
+        "(VALUES (0), (1)) ph(p) WHERE (doc_id % 7) <> 3"
+    )
+
+
 def _sql_index_incremental_merge() -> str:
     terms = ", ".join(f"'{t}'" for t in _INCR_MERGE_TERMS)
     return (
@@ -7064,6 +7139,7 @@ QUERIES: dict[str, Callable] = {
     "phrase_search_pushdown": q_phrase_search_pushdown,
     "term_or_topk": q_term_or_topk,
     "index_incremental_merge": q_index_incremental_merge,
+    "index_docs_delete": q_index_docs_delete,
     "tile_pyramid": q_tile_pyramid,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -7211,6 +7287,7 @@ ORACLES: dict[str, str] = {
     "phrase_search_pushdown": _sql_phrase_search_pushdown(),
     "term_or_topk": _sql_term_or_topk(),
     "index_incremental_merge": _sql_index_incremental_merge(),
+    "index_docs_delete": _sql_index_docs_delete(),
     "tile_pyramid": _sql_tile_pyramid(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),

@@ -123,6 +123,201 @@ def partition_paths_for_terms(
     ]
 
 
+# ---------------------------------------------------------------------------
+# tombstones: takedown deletes without an immediate rewrite
+# ---------------------------------------------------------------------------
+
+_TOMBSTONE_KEY = b"applied_tombstones"
+
+
+def tombstone_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_tombstones")
+
+
+def tombstone_paths(out_dir: str) -> "list[str]":
+    """Parquet files of every committed deletion set (tmp dirs excluded)."""
+    td = tombstone_dir(out_dir)
+    if not os.path.isdir(td):
+        return []
+    out = []
+    for d in sorted(os.listdir(td)):
+        full = os.path.join(td, d)
+        if d.startswith(".") or d.endswith(".tmp") or not os.path.isdir(full):
+            continue
+        out += sorted(
+            os.path.join(full, f)
+            for f in os.listdir(full)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def delete_docs(
+    out_dir: str, ids: ray.data.Dataset, deletion_id: str, id_col: str = "doc_id"
+) -> int:
+    """Register a takedown set: the doc_ids in ``ids`` stop appearing in
+    every index query IMMEDIATELY (query-time anti-filter) and are
+    physically removed by the next :func:`compact_token_index` — the
+    GDPR/takedown shape: deletes are doc-keyed while postings are
+    token-bucketed, so eager removal would rewrite EVERY bucket per
+    request; tombstoning batches that cost into one compaction.
+
+    The set reduces to DISTINCT ids distributedly, writes under
+    ``_tombstones/<deletion_id>.tmp`` and commits with one atomic dir
+    rename. Idempotent per ``deletion_id`` (which must identify the
+    set's CONTENT). Returns the number of tombstoned ids."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    if not deletion_id.replace("-", "").replace("_", "").isalnum():
+        raise ValueError("deletion_id must be filesystem-safe")
+    final = os.path.join(tombstone_dir(out_dir), deletion_id)
+    if os.path.isdir(final):
+        return sum(
+            pq.ParquetFile(os.path.join(final, f)).metadata.num_rows
+            for f in os.listdir(final)
+            if f.endswith(".parquet")
+        )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["doc_id"]).aggregate([("one", "min")]).rename_columns(
+            ["doc_id", "one"]
+        )
+
+    distinct = coalesce_shuffle_agg(
+        ids.map_batches(distinct_partial, batch_format="pyarrow"),
+        ["doc_id"],
+        {"one": "min"},
+    ).select_columns(["doc_id"])
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = int(distinct.count())
+    distinct.write_parquet(tmp)
+    os.replace(tmp, final)  # atomic commit of the whole deletion set
+    return n
+
+
+def _without_tombstones(
+    ds: ray.data.Dataset, out_dir: str, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Anti-filter a doc-keyed dataset against the index's tombstones —
+    adaptive delivery (measured broadcast, else partitioned anti-join);
+    a no-op plan when no tombstones exist."""
+    from gis_scripts_ray.stages.joins import hash_anti_join
+
+    paths = tombstone_paths(out_dir)
+    if not paths:
+        return ds
+    tomb = ray.data.read_parquet(paths, columns=["doc_id"])
+    return hash_anti_join(ds, tomb, on=id_col, right_on="doc_id")
+
+
+@ray.remote(num_cpus=0.5)
+def _compact_bucket_task(
+    main_part_dir: str, tombstone_files: "list[str]", ids_label: str
+):
+    """Physically drop tombstoned doc_ids from ONE bucket. Same atomic
+    footer-marker protocol as the merge: ``applied_tombstones`` in the
+    rewritten file's footer commits with the data in a single rename.
+    Returns (n_rows_after, n_removed, skipped)."""
+    import pyarrow.parquet as pq
+
+    data_path = os.path.join(main_part_dir, "data.parquet")
+    meta0 = pq.ParquetFile(data_path).schema_arrow.metadata or {}
+    already = set(
+        x for x in meta0.get(_TOMBSTONE_KEY, b"").decode().split(",") if x
+    )
+    want = set(ids_label.split(",")) if ids_label else set()
+    if want <= already:
+        n = pq.ParquetFile(data_path).metadata.num_rows
+        return int(n), 0, True
+    old = pq.read_table(data_path)
+    dead = pa.concat_tables(
+        [pq.read_table(f, columns=["doc_id"]) for f in tombstone_files]
+    )["doc_id"].combine_chunks().cast(pa.int64())
+    keep_mask = pc.invert(pc.is_in(old["doc_id"], value_set=dead))
+    new = old.filter(keep_mask)
+    meta = dict(old.schema.metadata or {})
+    meta[_TOMBSTONE_KEY] = ",".join(sorted(already | want)).encode()
+    new = new.replace_schema_metadata(meta)
+    tmp = data_path + ".tmp-compact"
+    pq.write_table(new, tmp)
+    os.replace(tmp, data_path)  # atomic: data + marker in one rename
+    return int(new.num_rows), int(old.num_rows - new.num_rows), False
+
+
+def compact_token_index(out_dir: str) -> dict:
+    """Apply every committed tombstone set physically: one Ray task per
+    completed bucket filters its postings and atomically rewrites the
+    file (footer records which deletion sets are applied, so a crashed
+    or repeated compaction skips finished buckets). Deletion sets whose
+    ids are applied in EVERY bucket are then garbage-collected; a crash
+    before the GC leaves them as harmless query-time no-ops.
+
+    Returns {"buckets", "buckets_skipped", "rows_removed",
+    "tombstone_sets_cleared"}."""
+    import shutil
+
+    from gis_scripts_ray.state.checkpoint import Manifest, PartitionRecord
+
+    files = tombstone_paths(out_dir)
+    man = Manifest(out_dir)
+    done = man.completed()
+    ids = sorted(
+        {os.path.basename(os.path.dirname(f)) for f in files}
+    )
+    label = ",".join(ids)
+    if not files or not done:
+        return {
+            "buckets": 0,
+            "buckets_skipped": 0,
+            "rows_removed": 0,
+            "tombstone_sets_cleared": 0,
+        }
+    keys = sorted(done)
+    results = ray.get(
+        [
+            _compact_bucket_task.remote(man.partition_dir(k), files, label)
+            for k in keys
+        ]
+    )
+    removed = 0
+    skipped = 0
+    for k, (n_after, n_rm, skip) in zip(keys, results):
+        removed += n_rm
+        skipped += int(skip)
+        if not skip:
+            rec = done[k]
+            man.mark_complete(
+                PartitionRecord(
+                    part_key=k,
+                    n_rows=n_after,
+                    lineage=rec.lineage + f"-compact[{label}]",
+                    wall_s=0.0,
+                )
+            )
+    # every bucket now covers `ids` -> the sets are physically applied
+    cleared = 0
+    for d in ids:
+        shutil.rmtree(os.path.join(tombstone_dir(out_dir), d), ignore_errors=True)
+        cleared += 1
+    return {
+        "buckets": len(keys),
+        "buckets_skipped": skipped,
+        "rows_removed": removed,
+        "tombstone_sets_cleared": cleared,
+    }
+
+
 def term_and_query(
     out_dir: str,
     terms: "list[str]",
@@ -183,7 +378,9 @@ def term_and_query(
         keep = batch.filter(pc.equal(batch["n_hit"], n_terms))
         return pa.table({"doc_id": keep["doc_id"].combine_chunks().cast(pa.int64())})
 
-    return counts.map_batches(finish, batch_format="pyarrow")
+    return _without_tombstones(
+        counts.map_batches(finish, batch_format="pyarrow"), out_dir
+    )
 
 
 def term_or_topk(
@@ -257,6 +454,8 @@ def term_or_topk(
         ["doc_id", "_g"],
         {"n_matched": "sum"},
     )
+    # tombstoned docs must not occupy top-k slots: filter BEFORE ranking
+    counts = _without_tombstones(counts, out_dir)
     top = topk_per_group(counts, "_g", "n_matched", "doc_id", k)
     return top.map_batches(
         lambda b: pa.table(
@@ -364,10 +563,13 @@ def phrase_query(
             .rename_columns(["doc_id", "n_occurrences"])
         )
 
-    return coalesce_shuffle_agg(
-        cand.map_batches(occ_partial, batch_format="pyarrow"),
-        ["doc_id"],
-        {"n_occurrences": "sum"},
+    return _without_tombstones(
+        coalesce_shuffle_agg(
+            cand.map_batches(occ_partial, batch_format="pyarrow"),
+            ["doc_id"],
+            {"n_occurrences": "sum"},
+        ),
+        out_dir,
     )
 
 

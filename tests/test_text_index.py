@@ -407,6 +407,132 @@ class TestIncrementalMerge:
             merge_token_index(str(tmp_path), None, "../evil", n_buckets=NB)
 
 
+class TestTombstones:
+    """delete_docs / compact_token_index: takedown deletes — immediate
+    query-time masking, then one physical rewrite per bucket."""
+
+    def _postings_docs(self, out):
+        docs = set()
+        for f in glob.glob(os.path.join(out, "part=*", "data.parquet")):
+            docs |= set(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        return docs
+
+    def test_mask_then_compact(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import (
+            compact_token_index,
+            delete_docs,
+            phrase_query,
+            term_or_topk,
+        )
+
+        t = _mk_docs(n=120)
+        out = _build(tmp_path, t)
+        dead = [d for d in range(120) if d % 5 == 0]
+        alive_ref = [
+            d for d in _ref_and(t, ["sort"]) if d not in set(dead)
+        ]
+        n = delete_docs(
+            out,
+            ray.data.from_arrow(pa.table({"doc_id": pa.array(dead, pa.int64())})),
+            "td1",
+        )
+        assert n == len(dead)
+        # phase 1: tombstones live, postings still on disk, results masked
+        assert self._postings_docs(out) & set(dead)
+        got = sorted(term_and_query(out, ["sort"], n_buckets=NB).to_pandas()["doc_id"])
+        assert got == alive_ref
+        df = term_or_topk(out, ["sort"], k=500, n_buckets=NB).to_pandas()
+        assert not set(df["doc_id"]) & set(dead)
+        pdf = phrase_query(out, ["sort", "merge"], n_buckets=NB).to_pandas()
+        assert not set(pdf["doc_id"]) & set(dead)
+        # phase 2: compaction physically removes and GCs the set
+        stats = compact_token_index(out)
+        assert stats["rows_removed"] > 0 and stats["tombstone_sets_cleared"] == 1
+        assert not self._postings_docs(out) & set(dead)
+        got2 = sorted(term_and_query(out, ["sort"], n_buckets=NB).to_pandas()["doc_id"])
+        assert got2 == alive_ref
+        from gis_scripts_ray.stages.text_index import tombstone_paths
+
+        assert tombstone_paths(out) == []
+
+    def test_compact_idempotent_and_skips(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import (
+            compact_token_index,
+            delete_docs,
+        )
+
+        t = _mk_docs(n=100)
+        out = _build(tmp_path, t)
+        delete_docs(
+            out,
+            ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})),
+            "td2",
+        )
+        s1 = compact_token_index(out)
+        assert s1["buckets_skipped"] == 0
+        # no tombstones left -> compaction is a structural no-op
+        s2 = compact_token_index(out)
+        assert s2 == {
+            "buckets": 0,
+            "buckets_skipped": 0,
+            "rows_removed": 0,
+            "tombstone_sets_cleared": 0,
+        }
+        # re-registering the same set after GC: footers already cover it,
+        # so every bucket skips and nothing is double-removed
+        before = self._postings_docs(out)
+        delete_docs(
+            out,
+            ray.data.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})),
+            "td2",
+        )
+        s3 = compact_token_index(out)
+        assert s3["buckets_skipped"] == s3["buckets"] > 0
+        assert s3["rows_removed"] == 0
+        assert self._postings_docs(out) == before
+
+    def test_delete_idempotent_and_distinct(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import delete_docs, tombstone_paths
+
+        t = _mk_docs(n=50)
+        out = _build(tmp_path, t)
+        ids = pa.table({"doc_id": pa.array([4, 4, 9, 9, 9], pa.int64())})
+        n1 = delete_docs(out, ray.data.from_arrow(ids), "dup")
+        assert n1 == 2  # distinct-reduced
+        n2 = delete_docs(out, ray.data.from_arrow(ids), "dup")
+        assert n2 == 2 and len(tombstone_paths(out)) >= 1
+
+    def test_stacked_deletions_one_compact(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import (
+            compact_token_index,
+            delete_docs,
+        )
+
+        t = _mk_docs(n=100)
+        out = _build(tmp_path, t)
+        delete_docs(
+            out,
+            ray.data.from_arrow(pa.table({"doc_id": pa.array([10, 11], pa.int64())})),
+            "a",
+        )
+        delete_docs(
+            out,
+            ray.data.from_arrow(pa.table({"doc_id": pa.array([12], pa.int64())})),
+            "b",
+        )
+        got = sorted(term_and_query(out, ["the"], n_buckets=NB).to_pandas()["doc_id"])
+        assert not {10, 11, 12} & set(got)
+        stats = compact_token_index(out)
+        assert stats["tombstone_sets_cleared"] == 2
+        assert not {10, 11, 12} & self._postings_docs(out)
+
+    def test_bad_deletion_id_rejected(self, tmp_path):
+        from gis_scripts_ray.stages.text_index import delete_docs
+
+        with pytest.raises(ValueError):
+            delete_docs(str(tmp_path), None, "x/../y")
+
+
 class TestBlockInvariance:
     def test_phrase_counts_partition_invariant(self, tmp_path, ray_session):
         """Build the index from 1-block and 5-block inputs into two
