@@ -4284,6 +4284,49 @@ def _sql_index_incremental_merge() -> str:
     )
 
 
+_SPLIT_QUERY_TERMS = ["hash", "join", "group"]
+_SPLIT_BASE_BUCKETS = 16
+
+
+def q_index_split(sf_dir: str):
+    """Linear-hashing index growth (round 5): build the inverted index at
+    16 buckets, DOUBLE it to 32 with ``split_token_index`` — every bucket
+    splits LOCALLY (md5 mod 2n of a token in bucket b is b or b+n, so no
+    posting crosses the network; at 100 TB the alternative is
+    re-shuffling the whole index), with the routing flip one atomic meta
+    write — then run a 3-term AND routed by the index's OWN persisted
+    meta. The twin tokenizes the corpus directly in SQL, so a posting
+    lost or duplicated by the split, or a term mis-routed under the
+    doubled layout, surfaces as a row/hash mismatch. Rerun-safe:
+    ``from_buckets`` makes the split idempotent on a warm
+    (already-split) index, and a pending crashed split settles first."""
+    from gis_scripts_ray.stages.text_index import (
+        index_n_buckets,
+        split_token_index,
+        term_and_query,
+        write_token_index,
+    )
+
+    out = _text_index_dir(sf_dir) + "_split"
+    if index_n_buckets(out) is None:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        write_token_index(ds, out, n_buckets=_SPLIT_BASE_BUCKETS)
+    split_token_index(out, from_buckets=_SPLIT_BASE_BUCKETS)
+    return term_and_query(out, _SPLIT_QUERY_TERMS)
+
+
+def _sql_index_split() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SPLIT_QUERY_TERMS)
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents) "
+        f"SELECT doc_id FROM toks WHERE tok IN ({terms}) "
+        f"GROUP BY doc_id HAVING COUNT(DISTINCT tok) = {len(_SPLIT_QUERY_TERMS)}"
+    )
+
+
 def q_lm_quality_scores(sf_dir: str):
     """Corpus-LM quality scoring (round 5 — the CCNet model-based filter
     shape): a bigram conditional-probability model is fit on the corpus
@@ -7140,6 +7183,7 @@ QUERIES: dict[str, Callable] = {
     "term_or_topk": q_term_or_topk,
     "index_incremental_merge": q_index_incremental_merge,
     "index_docs_delete": q_index_docs_delete,
+    "index_split": q_index_split,
     "tile_pyramid": q_tile_pyramid,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -7288,6 +7332,7 @@ ORACLES: dict[str, str] = {
     "term_or_topk": _sql_term_or_topk(),
     "index_incremental_merge": _sql_index_incremental_merge(),
     "index_docs_delete": _sql_index_docs_delete(),
+    "index_split": _sql_index_split(),
     "tile_pyramid": _sql_tile_pyramid(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),

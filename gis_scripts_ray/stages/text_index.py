@@ -81,6 +81,69 @@ def postings_rows(
     )
 
 
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_index_meta.json")
+
+
+def index_n_buckets(out_dir: str) -> "int | None":
+    """The layout's CURRENT bucket count, from the index meta file —
+    the routing source of truth once splits can change it."""
+    import json
+
+    p = _meta_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(json.load(fh)["n_buckets"])
+
+
+def _write_meta(out_dir: str, n_buckets: int, pending_prune: bool = False) -> None:
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = _meta_path(out_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "n_buckets": int(n_buckets),
+                "version": TEXT_INDEX_VERSION,
+                "pending_prune": bool(pending_prune),
+            },
+            fh,
+        )
+    os.replace(tmp, _meta_path(out_dir))
+
+
+def _read_meta(out_dir: str) -> "tuple[int | None, bool]":
+    """(n_buckets, pending_prune) — pending means a split committed its
+    routing flip but crashed before pruning the moved rows out of the
+    source buckets (stale copies remain; term queries are still exact)."""
+    import json
+
+    p = _meta_path(out_dir)
+    if not os.path.exists(p):
+        return None, False
+    with open(p) as fh:
+        d = json.load(fh)
+    return int(d["n_buckets"]), bool(d.get("pending_prune", False))
+
+
+def _resolve_buckets(out_dir: str, n_buckets: "int | None") -> int:
+    """Meta wins; an explicit argument that CONTRADICTS the persisted
+    layout is a routing bug and raises rather than mis-routing terms."""
+    meta = index_n_buckets(out_dir)
+    if meta is None:
+        if n_buckets is None:
+            raise ValueError(f"no index meta at {out_dir}; pass n_buckets")
+        return n_buckets
+    if n_buckets is not None and n_buckets != meta:
+        raise ValueError(
+            f"index at {out_dir} has {meta} buckets (split?); caller passed "
+            f"{n_buckets} — route with n_buckets=None"
+        )
+    return meta
+
+
 def write_token_index(
     ds: ray.data.Dataset,
     out_dir: str,
@@ -91,9 +154,17 @@ def write_token_index(
 ):
     """Build the inverted index via the resumable checkpoint sink —
     crash-safe, idempotent; a re-run drops rows of completed buckets
-    before the shuffle (resume fast path)."""
+    before the shuffle (resume fast path). Persists the bucket count in
+    ``_index_meta.json`` (splits update it; queries route by it)."""
     from gis_scripts_ray.state.checkpoint import write_partitioned_resumable
 
+    meta = index_n_buckets(out_dir)
+    if meta is not None:
+        if meta != n_buckets:
+            raise ValueError(
+                f"index at {out_dir} already has {meta} buckets; "
+                f"rebuild requested {n_buckets}"
+            )
     def explode(batch: pa.Table) -> pa.Table:
         return postings_rows(batch, text_col, id_col, n_buckets)
 
@@ -103,7 +174,10 @@ def write_token_index(
         b = batch["bucket"].to_numpy(zero_copy_only=False)
         return pa.array(np.char.add("b", b.astype("U11")), pa.string())
 
-    return write_partitioned_resumable(postings, out_dir, part_fn, lineage=lineage)
+    recs = write_partitioned_resumable(postings, out_dir, part_fn, lineage=lineage)
+    if meta is None:
+        _write_meta(out_dir, n_buckets)
+    return recs
 
 
 def partition_paths_for_terms(
@@ -121,6 +195,185 @@ def partition_paths_for_terms(
         for k in sorted(done)
         if k in want
     ]
+
+
+# ---------------------------------------------------------------------------
+# linear-hashing bucket split: double the layout without a shuffle
+# ---------------------------------------------------------------------------
+
+_SPLIT_KEY = b"split_level"
+
+
+def _token_new_buckets(table: pa.Table, n_new: int) -> np.ndarray:
+    """Per-row bucket ids under the DOUBLED layout — md5 touches distinct
+    tokens only (the dictionary-encode house pattern)."""
+    dic = table["token"].combine_chunks().dictionary_encode()
+    b = token_bucket(dic.dictionary.to_pylist(), n_new)
+    return b[dic.indices.to_numpy(zero_copy_only=False)]
+
+
+@ray.remote(num_cpus=0.5)
+def _split_create_sibling_task(src_dir: str, dst_dir: str, b: int, n_old: int):
+    """Phase 1 of a split for source bucket ``b``: write sibling bucket
+    ``b + n_old`` holding the rows that re-hash there under ``2*n_old``
+    (md5 mod 2n of a token in bucket b is b or b+n — the linear-hashing
+    invariant, asserted). The source is NOT touched, so queries routed by
+    the OLD layout stay complete until the meta flip. Idempotent via the
+    sibling's footer split marker. Returns n_moved."""
+    import pyarrow.parquet as pq
+
+    n_new = 2 * n_old
+    dst_path = os.path.join(dst_dir, "data.parquet")
+    if os.path.exists(dst_path):
+        meta = pq.ParquetFile(dst_path).schema_arrow.metadata or {}
+        if int(meta.get(_SPLIT_KEY, b"0")) >= n_new:
+            return int(pq.ParquetFile(dst_path).metadata.num_rows)
+    src = pq.read_table(os.path.join(src_dir, "data.parquet"))
+    nb = _token_new_buckets(src, n_new)
+    assert np.isin(nb % n_old, [b]).all(), "linear-hash invariant broken"
+    moved = src.filter(pa.array(nb == b + n_old))
+    meta = dict(src.schema.metadata or {})  # carry increment/tombstone markers
+    meta[_SPLIT_KEY] = str(n_new).encode()
+    moved = moved.replace_schema_metadata(meta)
+    os.makedirs(dst_dir, exist_ok=True)
+    tmp = dst_path + ".tmp-split"
+    pq.write_table(moved, tmp)
+    os.replace(tmp, dst_path)
+    return int(moved.num_rows)
+
+
+@ray.remote(num_cpus=0.5)
+def _split_prune_source_task(src_dir: str, b: int, n_old: int):
+    """Phase 3: drop the moved rows from source bucket ``b`` (they are
+    stale under the new routing — term queries never read them, but
+    whole-index scans would double-count). Footer split marker makes the
+    prune idempotent (checked footer-only, no data pages). Returns
+    n_rows_after."""
+    import pyarrow.parquet as pq
+
+    n_new = 2 * n_old
+    data_path = os.path.join(src_dir, "data.parquet")
+    pf = pq.ParquetFile(data_path)
+    meta0 = pf.schema_arrow.metadata or {}
+    if int(meta0.get(_SPLIT_KEY, b"0")) >= n_new:
+        return int(pf.metadata.num_rows)
+    src = pq.read_table(data_path)
+    nb = _token_new_buckets(src, n_new)
+    stay = src.filter(pa.array(nb == b))
+    meta = dict(meta0)
+    meta[_SPLIT_KEY] = str(n_new).encode()
+    stay = stay.replace_schema_metadata(meta)
+    tmp = data_path + ".tmp-split"
+    pq.write_table(stay, tmp)
+    os.replace(tmp, data_path)
+    return int(stay.num_rows)
+
+
+def _prune_sources(out_dir: str, n_old: int) -> None:
+    """Phase 3 worker: prune every source bucket of the n_old→2·n_old
+    split and refresh its manifest row, then clear the pending flag.
+    Idempotent (footer markers) — safe to re-run after any crash."""
+    from gis_scripts_ray.state.checkpoint import Manifest, PartitionRecord
+
+    man = Manifest(out_dir)
+    done = man.completed()
+    n_new = 2 * n_old
+    sources = sorted(int(k[1:]) for k in done if int(k[1:]) < n_old)
+    stayed = ray.get(
+        [
+            _split_prune_source_task.remote(man.partition_dir(f"b{b}"), b, n_old)
+            for b in sources
+        ]
+    )
+    suffix = f"-split@{n_new}"
+    for b, n_s in zip(sources, stayed):
+        rec = done[f"b{b}"]
+        lineage = rec.lineage
+        if suffix not in lineage:
+            lineage += suffix
+        man.mark_complete(
+            PartitionRecord(
+                part_key=f"b{b}", n_rows=n_s, lineage=lineage, wall_s=0.0
+            )
+        )
+    _write_meta(out_dir, n_new, pending_prune=False)
+
+
+def split_token_index(out_dir: str, from_buckets: "int | None" = None) -> dict:
+    """Double the index's bucket count WITHOUT a shuffle — the
+    linear-hashing growth path: a token in bucket b under n buckets is in
+    bucket b or b+n under 2n, so every bucket splits LOCALLY into two
+    (one task per bucket, reads its own file only; at 100 TB no posting
+    crosses the network). Three crash-ordered phases keep term queries
+    correct throughout: (1) create every sibling bucket b+n (sources
+    untouched — old routing still complete), (2) atomically flip
+    ``_index_meta.json`` to 2n with ``pending_prune`` set (new routing
+    reads complete siblings; stale copies left in sources are never read
+    by term queries, which filter by token), (3) prune sources and clear
+    the flag. Crash recovery: a re-run first SETTLES any pending phase 3
+    (so a crashed split can never double-split through stale rows — the
+    linear-hash assertion would reject them), then resumes: pass
+    ``from_buckets`` (the pre-split count) to make the call idempotent —
+    if the flip already committed it settles and returns instead of
+    splitting again. Returns {"n_buckets", "rows_moved",
+    "buckets_split", "resumed"}.
+    """
+    from gis_scripts_ray.state.checkpoint import Manifest, PartitionRecord
+
+    n_cur, pending = _read_meta(out_dir)
+    if n_cur is None:
+        raise ValueError(f"no index meta at {out_dir}")
+    if pending:
+        # finish the crashed split's phase 3 before anything else
+        _prune_sources(out_dir, n_cur // 2)
+    if from_buckets is not None:
+        if n_cur == 2 * from_buckets:
+            return {
+                "n_buckets": n_cur,
+                "rows_moved": 0,
+                "buckets_split": 0,
+                "resumed": True,
+            }
+        if n_cur != from_buckets:
+            raise ValueError(
+                f"index at {out_dir} has {n_cur} buckets; split requested "
+                f"from {from_buckets}"
+            )
+    n_old = n_cur
+    n_new = 2 * n_old
+    man = Manifest(out_dir)
+    done = man.completed()
+    sources = sorted(
+        (int(k[1:]) for k in done if int(k[1:]) < n_old)
+    )
+    moved = ray.get(
+        [
+            _split_create_sibling_task.remote(
+                man.partition_dir(f"b{b}"),
+                man.partition_dir(f"b{b + n_old}"),
+                b,
+                n_old,
+            )
+            for b in sources
+        ]
+    )
+    for b, n_m in zip(sources, moved):
+        man.mark_complete(
+            PartitionRecord(
+                part_key=f"b{b + n_old}",
+                n_rows=n_m,
+                lineage=f"split-from-b{b}@{n_new}",
+                wall_s=0.0,
+            )
+        )
+    _write_meta(out_dir, n_new, pending_prune=True)  # the atomic routing flip
+    _prune_sources(out_dir, n_old)
+    return {
+        "n_buckets": n_new,
+        "rows_moved": int(sum(moved)),
+        "buckets_split": len(sources),
+        "resumed": False,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +574,7 @@ def compact_token_index(out_dir: str) -> dict:
 def term_and_query(
     out_dir: str,
     terms: "list[str]",
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
 ) -> ray.data.Dataset:
     """doc_ids containing ALL ``terms`` (AND), reading only the terms'
     bucket partitions. Returns (doc_id:int64), identical rows to a
@@ -331,6 +584,7 @@ def term_and_query(
     terms = list(dict.fromkeys(terms))  # dedupe, preserve order
     if not terms:
         raise ValueError("term_and_query needs at least one term")
+    n_buckets = _resolve_buckets(out_dir, n_buckets)
     paths = partition_paths_for_terms(out_dir, terms, n_buckets)
     if not paths:
         return ray.data.from_arrow(
@@ -387,7 +641,7 @@ def term_or_topk(
     out_dir: str,
     terms: "list[str]",
     k: int = 10,
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
 ) -> ray.data.Dataset:
     """Ranked OR retrieval: the top ``k`` docs matching ANY of ``terms``,
     ranked by (matched distinct terms DESC, doc_id ASC) — the
@@ -401,6 +655,7 @@ def term_or_topk(
     terms = list(dict.fromkeys(terms))
     if not terms:
         raise ValueError("term_or_topk needs at least one term")
+    n_buckets = _resolve_buckets(out_dir, n_buckets)
     paths = partition_paths_for_terms(out_dir, terms, n_buckets)
     if not paths:
         return ray.data.from_arrow(
@@ -471,7 +726,7 @@ def term_or_topk(
 def phrase_query(
     out_dir: str,
     phrase: "list[str]",
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
 ) -> ray.data.Dataset:
     """Exact phrase search over the positional index: docs containing the
     consecutive token sequence ``phrase``, with occurrence counts.
@@ -489,6 +744,7 @@ def phrase_query(
 
     if not phrase:
         raise ValueError("phrase_query needs at least one term")
+    n_buckets = _resolve_buckets(out_dir, n_buckets)
     k_of: dict[str, list[int]] = {}
     for k, t in enumerate(phrase):
         k_of.setdefault(t, []).append(k)
@@ -634,7 +890,7 @@ def merge_token_index(
     out_dir: str,
     new_ds: ray.data.Dataset,
     increment_id: str,
-    n_buckets: int = 64,
+    n_buckets: "int | None" = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
@@ -669,6 +925,7 @@ def merge_token_index(
 
     if not increment_id.replace("-", "").replace("_", "").isalnum():
         raise ValueError("increment_id must be filesystem-safe")
+    n_buckets = _resolve_buckets(out_dir, n_buckets)
     staging = os.path.join(out_dir, f"_incr_{increment_id}")
     write_token_index(
         new_ds, staging, n_buckets=n_buckets, text_col=text_col,

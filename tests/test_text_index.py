@@ -556,3 +556,189 @@ class TestBlockInvariance:
                 )
             )
         assert results[0] == results[1]
+
+
+class TestIndexSplit:
+    """split_token_index: linear-hashing growth — double the bucket count
+    with LOCAL per-bucket work (no shuffle), exact queries throughout."""
+
+    def _postings(self, out):
+        rows = []
+        for f in glob.glob(os.path.join(out, "part=*", "data.parquet")):
+            t = pq.read_table(f, columns=["token", "doc_id", "pos"])
+            rows += list(
+                zip(
+                    t["token"].to_pylist(),
+                    t["doc_id"].to_pylist(),
+                    t["pos"].to_pylist(),
+                )
+            )
+        return sorted(rows)
+
+    def _phase1_only(self, out):
+        """Simulate a split that crashed after creating every sibling but
+        BEFORE the routing flip (meta still at the old count)."""
+        import ray as _ray
+
+        from gis_scripts_ray.state.checkpoint import Manifest
+        from gis_scripts_ray.stages.text_index import _split_create_sibling_task
+
+        man = Manifest(out)
+        sources = sorted(int(k[1:]) for k in man.completed() if int(k[1:]) < NB)
+        _ray.get(
+            [
+                _split_create_sibling_task.remote(
+                    man.partition_dir(f"b{b}"),
+                    man.partition_dir(f"b{b + NB}"),
+                    b,
+                    NB,
+                )
+                for b in sources
+            ]
+        )
+
+    def test_split_preserves_postings_and_queries(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import (
+            index_n_buckets,
+            phrase_query,
+            split_token_index,
+            term_or_topk,
+        )
+
+        t = _mk_docs(n=150, seed=11)
+        out = _build(tmp_path, t)
+        before = self._postings(out)
+        and_before = sorted(
+            term_and_query(out, ["sort", "merge"], n_buckets=NB).to_pandas()["doc_id"]
+        )
+        stats = split_token_index(out, from_buckets=NB)
+        assert stats["n_buckets"] == 2 * NB and not stats["resumed"]
+        # only populated buckets exist in the manifest (8 vocab tokens)
+        assert 1 <= stats["buckets_split"] <= NB and stats["rows_moved"] > 0
+        assert index_n_buckets(out) == 2 * NB
+        # postings set is EXACTLY preserved (no loss, no double-count)
+        assert self._postings(out) == before
+        # every surviving row routes to its partition under the new layout
+        for f in glob.glob(os.path.join(out, "part=*", "data.parquet")):
+            part = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+            toks = pq.read_table(f, columns=["token"])["token"].to_pylist()
+            assert all(
+                f"b{b}" == part for b in token_bucket(list(set(toks)), 2 * NB)
+            )
+        # meta-routed queries match the pre-split results and the reference
+        got = sorted(term_and_query(out, ["sort", "merge"]).to_pandas()["doc_id"])
+        assert got == and_before == _ref_and(t, ["sort", "merge"])
+        ph = phrase_query(out, ["sort", "merge"]).to_pandas()
+        top = term_or_topk(out, ["sort", "merge", "window"], k=7).to_pandas()
+        assert len(top) == 7 and ph["n_occurrences"].min() >= 1
+        # a stale explicit bucket count is a routing bug -> refuse loudly
+        with pytest.raises(ValueError):
+            term_and_query(out, ["sort"], n_buckets=NB)
+        with pytest.raises(ValueError):
+            write_token_index(ray.data.from_arrow(t), out, n_buckets=NB)
+
+    def test_double_split_and_pruned_readset(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import split_token_index
+
+        t = _mk_docs(n=120, seed=23)
+        out = _build(tmp_path, t)
+        split_token_index(out, from_buckets=NB)
+        split_token_index(out, from_buckets=2 * NB)
+        assert self._postings(out) == sorted(
+            (tok, i, p)
+            for i in range(t.num_rows)
+            for p, tok in enumerate(
+                (t["text"][i].as_py() or "").split(" "), start=1
+            )
+        )
+        got = sorted(term_and_query(out, ["sort", "the"]).to_pandas()["doc_id"])
+        assert got == _ref_and(t, ["sort", "the"])
+        # the pruned read set shrinks with the split: <= 2 of 32 buckets
+        pruned = partition_paths_for_terms(out, ["sort", "the"], 4 * NB)
+        assert 1 <= len(pruned) <= 2
+
+    def test_crash_before_flip_resumes(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import (
+            index_n_buckets,
+            split_token_index,
+        )
+
+        t = _mk_docs(n=120, seed=31)
+        out = _build(tmp_path, t)
+        before = self._postings(out)
+        self._phase1_only(out)  # crash: siblings exist, meta still NB
+        assert index_n_buckets(out) == NB
+        # old routing still complete during the crash window
+        got = sorted(term_and_query(out, ["sort"], n_buckets=NB).to_pandas()["doc_id"])
+        assert got == _ref_and(t, ["sort"])
+        stats = split_token_index(out, from_buckets=NB)
+        assert stats["n_buckets"] == 2 * NB and not stats["resumed"]
+        assert self._postings(out) == before
+        got = sorted(term_and_query(out, ["sort"]).to_pandas()["doc_id"])
+        assert got == _ref_and(t, ["sort"])
+
+    def test_crash_after_flip_settles(self, tmp_path, ray_session):
+        from gis_scripts_ray.state.checkpoint import Manifest, PartitionRecord
+        from gis_scripts_ray.stages.text_index import (
+            _read_meta,
+            _write_meta,
+            split_token_index,
+        )
+
+        t = _mk_docs(n=120, seed=37)
+        out = _build(tmp_path, t)
+        before = self._postings(out)
+        self._phase1_only(out)
+        man = Manifest(out)
+        sources = sorted(
+            int(k[1:]) for k in man.completed() if int(k[1:]) < NB
+        )
+        for b in sources:  # siblings exist only for populated sources
+            man.mark_complete(
+                PartitionRecord(
+                    part_key=f"b{b + NB}",
+                    n_rows=0,
+                    lineage=f"split-from-b{b}@{2 * NB}",
+                    wall_s=0.0,
+                )
+            )
+        _write_meta(out, 2 * NB, pending_prune=True)  # crash before prune
+        # term queries are ALREADY exact in the pending window (stale rows
+        # in sources are never read by the new routing's token filter)
+        got = sorted(term_and_query(out, ["sort", "the"]).to_pandas()["doc_id"])
+        assert got == _ref_and(t, ["sort", "the"])
+        # but whole-index scans would double-count -> settle repairs that
+        assert len(self._postings(out)) > len(before)
+        stats = split_token_index(out, from_buckets=NB)
+        assert stats["resumed"] and stats["n_buckets"] == 2 * NB
+        assert _read_meta(out) == (2 * NB, False)
+        assert self._postings(out) == before
+
+    def test_split_then_merge_and_delete(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import (
+            compact_token_index,
+            delete_docs,
+            merge_token_index,
+            split_token_index,
+        )
+
+        t = _mk_docs(n=140, seed=43)
+        base, inc = t.slice(0, 100), t.slice(100)
+        out = str(tmp_path / "splitmerge")
+        write_token_index(ray.data.from_arrow(base), out, n_buckets=NB)
+        split_token_index(out, from_buckets=NB)
+        # increment routes by the DOUBLED layout via meta
+        merge_token_index(out, ray.data.from_arrow(inc), "delta1")
+        full = str(tmp_path / "splitfull")
+        write_token_index(ray.data.from_arrow(t), full, n_buckets=2 * NB)
+        assert self._postings(out) == self._postings(full)
+        # takedown + compaction over the split index
+        dead = [d for d in _ref_and(t, ["sort"]) if d % 2 == 0]
+        delete_docs(
+            out,
+            ray.data.from_arrow(pa.table({"doc_id": pa.array(dead, pa.int64())})),
+            "takedown1",
+        )
+        compact_token_index(out)
+        got = sorted(term_and_query(out, ["sort"]).to_pandas()["doc_id"])
+        assert got == [d for d in _ref_and(t, ["sort"]) if d % 2 == 1]
