@@ -4284,6 +4284,62 @@ def _sql_index_incremental_merge() -> str:
     )
 
 
+_BM25_TERMS = ["sort", "merge", "window", "hash"]
+_BM25_K = 12
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval over the inverted index (round 5): top-k
+    docs for a 4-term query, scored in the EXACT integer domain — tf
+    from the terms' bucket partitions only, df a |terms|-row aggregate,
+    doc lengths one vectorized corpus pass Bloom-prefiltered to
+    candidates before the single hash join, per-doc score sums
+    distributed, final ranking through the per-group top-k fold with the
+    (score DESC, doc_id ASC) tie rule. The twin recomputes the identical
+    fixed-point arithmetic in SQL (all operands positive, so `//`
+    truncation == floor in both engines), so any tf/df/dl bookkeeping or
+    ranking defect value-hash-mismatches."""
+    from gis_scripts_ray.stages.text_index import bm25_topk, write_token_index
+
+    out = _text_index_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    write_token_index(ds, out, n_buckets=_TEXT_INDEX_BUCKETS)
+    return bm25_topk(out, ds, _BM25_TERMS, k=_BM25_K)
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS d, SUM(dl) AS l FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+       WHERE tok IN ({terms}) GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(SUM(
+      (((2 * (s.d - df.df) + 1) * 1000) // (2 * df.df + 1))
+      * ((tf.tf * 2200000 * 1000000) //
+         (tf.tf * 1000000 +
+          (1200000 * (1000000 - 750000 + (750000 * dl.dl * s.d) // s.l))
+          // 1000000))
+    ) AS BIGINT) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.tok = df.tok
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}
+"""
+
+
 _SPLIT_QUERY_TERMS = ["hash", "join", "group"]
 _SPLIT_BASE_BUCKETS = 16
 
@@ -7184,6 +7240,7 @@ QUERIES: dict[str, Callable] = {
     "index_incremental_merge": q_index_incremental_merge,
     "index_docs_delete": q_index_docs_delete,
     "index_split": q_index_split,
+    "bm25_topk": q_bm25_topk,
     "tile_pyramid": q_tile_pyramid,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -7333,6 +7390,7 @@ ORACLES: dict[str, str] = {
     "index_incremental_merge": _sql_index_incremental_merge(),
     "index_docs_delete": _sql_index_docs_delete(),
     "index_split": _sql_index_split(),
+    "bm25_topk": _sql_bm25_topk(),
     "tile_pyramid": _sql_tile_pyramid(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),

@@ -723,6 +723,211 @@ def term_or_topk(
     )
 
 
+def bm25_topk(
+    out_dir: str,
+    docs_ds: ray.data.Dataset,
+    terms: "list[str]",
+    k: int = 10,
+    n_buckets: "int | None" = None,
+    k1_mu: int = 1_200_000,
+    b_mu: int = 750_000,
+    idf_scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """BM25 ranked retrieval over the inverted index, in the EXACT
+    integer domain (the reference's ranked-retrieval shape; integer
+    fixed-point because a float log-idf could never be value-hash
+    twinned — the lmscore.py precedent). Per (doc, term):
+
+        dlnorm = 1e6 - b_mu + (b_mu * dl * D) // L       (dl/avgdl = dl*D/L)
+        denom  = tf * 1e6 + (k1_mu * dlnorm) // 1e6
+        frac   = (tf * (1e6 + k1_mu) * 1e6) // denom     (<= (k1+1)*1e6)
+        idf    = ((2*(D - df) + 1) * idf_scale) // (2*df + 1)
+        score  = SUM over query terms of idf * frac
+
+    (k1 = k1_mu/1e6, b = b_mu/1e6; idf is the probabilistic
+    (N-df+0.5)/(df+0.5) ratio WITHOUT the log — monotone in df, exact in
+    integers; all operands positive so floor == truncate cross-engine.)
+    int64 envelope: b_mu*dl*D needs dl*D < ~1.2e13 and idf*frac needs
+    D < ~6e9 — beyond that, widen idf_scale down or go HUGEINT.
+
+    Plan: tf per (doc, term) reads ONLY the terms' bucket partitions
+    (adaptive combine of in-batch counts); df is a |terms|-row aggregate
+    (fixed-size driver take — the sketch-register rule); doc lengths are
+    one vectorized pass over ``docs_ds`` (same tokenizer as the index),
+    Bloom-prefiltered to candidate docs before the ONE hash join; scores
+    sum per doc distributedly; tombstoned docs are anti-filtered BEFORE
+    ranking; the final top-k folds through ``topk_per_group`` with the
+    engine-wide (score DESC, doc_id ASC) tie rule. Returns
+    (doc_id:int64, score:int64) — the top ``k`` (or fewer) matches."""
+    from gis_scripts_ray.stages.joins import bloom_semi_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("bm25_topk needs at least one term")
+    n_buckets = _resolve_buckets(out_dir, n_buckets)
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+    )
+
+    # --- doc lengths (same tokenizer as postings_rows: split on ' ') ---
+    def doclen(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                "dl": n.combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    dls = docs_ds.map_batches(doclen, batch_format="pyarrow").materialize()
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_g": pa.array([0], pa.int64()),
+                "d": pa.array([batch.num_rows], pa.int64()),
+                "l": pa.array(
+                    [int(pc.sum(batch["dl"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    stats = coalesce_shuffle_agg(
+        dls.map_batches(stats_partial, batch_format="pyarrow"),
+        ["_g"],
+        {"d": "sum", "l": "sum"},
+    ).take_all()  # exactly one fixed-size row — the sketch-register rule
+    if not stats:
+        return ray.data.from_arrow(empty)
+    big_d, big_l = int(stats[0]["d"]), int(stats[0]["l"])
+
+    # --- tf per (doc, term): terms' buckets only ---
+    paths = partition_paths_for_terms(out_dir, terms, n_buckets)
+    if not paths:
+        return ray.data.from_arrow(empty)
+    term_arr = pa.array(terms, pa.string())
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch["token"], value_set=term_arr))
+        t = pa.table(
+            {
+                "doc_id": hit["doc_id"],
+                "token": hit["token"],
+                "tf": pa.array(np.ones(hit.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["doc_id", "token"]).aggregate(
+            [("tf", "sum")]
+        ).rename_columns(["doc_id", "token", "tf"])
+
+    pairs = coalesce_shuffle_agg(
+        ray.data.read_parquet(paths, columns=["token", "doc_id"]).map_batches(
+            tf_partial, batch_format="pyarrow"
+        ),
+        ["doc_id", "token"],
+        {"tf": "sum"},
+    ).materialize()
+    if pairs.count() == 0:
+        # no query term occurs anywhere: the buckets existed but held no
+        # postings for these terms (an empty pairs dataset may carry a
+        # None schema, which the downstream join cannot type)
+        return ray.data.from_arrow(empty)
+
+    # --- df per term: |terms| rows, a fixed-size driver take ---
+    def df_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "token": batch["token"],
+                "df": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return t.group_by(["token"]).aggregate([("df", "sum")]).rename_columns(
+            ["token", "df"]
+        )
+
+    df_rows = coalesce_shuffle_agg(
+        pairs.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"],
+        {"df": "sum"},
+    ).take_all()
+    idf_by_term = {
+        r["token"]: (2 * (big_d - int(r["df"])) + 1)
+        * idf_scale
+        // (2 * int(r["df"]) + 1)
+        for r in df_rows
+    }
+    idf_np = np.array([idf_by_term.get(t, 0) for t in terms], np.int64)
+
+    # --- ONE join: candidate doc lengths reach their (doc, term) rows ---
+    # bloom prefilter drops non-candidate docs from the corpus-sized
+    # doclen side before the shuffle (the bloom_join_revenue pattern)
+    joined = bloom_semi_join(dls, pairs, on=id_col, right_on="doc_id")
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = pc.index_in(
+            batch["token"], value_set=term_arr
+        ).to_numpy(zero_copy_only=False)
+        idf = idf_np[ti.astype(np.int64)]
+        dlnorm = 1_000_000 - b_mu + (b_mu * dl * big_d) // big_l
+        denom = tf * 1_000_000 + (k1_mu * dlnorm) // 1_000_000
+        frac = (tf * (1_000_000 + k1_mu) * 1_000_000) // denom
+        t = pa.table(
+            {
+                "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "score": pa.array(idf * frac, pa.int64()),
+            }
+        )
+        return t.group_by(["doc_id"]).aggregate([("score", "sum")]).rename_columns(
+            ["doc_id", "score"]
+        )
+
+    scores = coalesce_shuffle_agg(
+        joined.map_batches(score_partial, batch_format="pyarrow"),
+        ["doc_id"],
+        {"score": "sum"},
+    )
+    # tombstoned docs must not occupy top-k slots: filter BEFORE ranking
+    scores = _without_tombstones(scores, out_dir)
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_g", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    top = topk_per_group(
+        scores.map_batches(add_g, batch_format="pyarrow"),
+        "_g",
+        "score",
+        "doc_id",
+        k,
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "score": b["score"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def phrase_query(
     out_dir: str,
     phrase: "list[str]",

@@ -742,3 +742,111 @@ class TestIndexSplit:
         compact_token_index(out)
         got = sorted(term_and_query(out, ["sort"]).to_pandas()["doc_id"])
         assert got == [d for d in _ref_and(t, ["sort"]) if d % 2 == 1]
+
+
+class TestBM25:
+    """bm25_topk: integer fixed-point ranked retrieval over the index."""
+
+    K1, B, S = 1_200_000, 750_000, 1000
+
+    def _ref(self, table, terms, k):
+        texts = [
+            table["text"][i].as_py() for i in range(table.num_rows)
+        ]
+        docs = {i: (t or "").split(" ") for i, t in enumerate(texts)}
+        dl = {i: len(w) for i, w in docs.items()}
+        D, L = len(docs), sum(dl.values())
+        df = {q: sum(1 for w in docs.values() if q in w) for q in terms}
+        out = {}
+        for i, w in docs.items():
+            s = 0
+            for q in terms:
+                tf = w.count(q)
+                if tf == 0:
+                    continue
+                idf = (2 * (D - df[q]) + 1) * self.S // (2 * df[q] + 1)
+                dlnorm = 1_000_000 - self.B + (self.B * dl[i] * D) // L
+                denom = tf * 1_000_000 + (self.K1 * dlnorm) // 1_000_000
+                frac = (tf * (1_000_000 + self.K1) * 1_000_000) // denom
+                s += idf * frac
+            if s:
+                out[i] = s
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def _got(self, res):
+        df = res.to_pandas()
+        return sorted(
+            zip(df["doc_id"].astype(int), df["score"].astype(int)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+
+    def test_matches_reference(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import bm25_topk
+
+        t = _mk_docs(n=150, seed=7)
+        out = _build(tmp_path, t)
+        terms = ["sort", "merge", "hash"]
+        got = self._got(
+            bm25_topk(out, ray.data.from_arrow(t), terms, k=12, n_buckets=NB)
+        )
+        assert got == self._ref(t, terms, 12)
+
+    def test_split_invariant(self, tmp_path, ray_session):
+        """Ranking must be identical before and after a linear-hash
+        split — scores depend on postings, not on the bucket layout."""
+        from gis_scripts_ray.stages.text_index import bm25_topk, split_token_index
+
+        t = _mk_docs(n=130, seed=13)
+        out = _build(tmp_path, t)
+        terms = ["sort", "the"]
+        before = self._got(
+            bm25_topk(out, ray.data.from_arrow(t), terms, k=9, n_buckets=NB)
+        )
+        split_token_index(out, from_buckets=NB)
+        after = self._got(bm25_topk(out, ray.data.from_arrow(t), terms, k=9))
+        assert before == after == self._ref(t, terms, 9)
+
+    def test_unmatched_terms_empty(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import bm25_topk
+
+        t = _mk_docs(n=60, seed=17)
+        out = _build(tmp_path, t)
+        res = bm25_topk(
+            out, ray.data.from_arrow(t), ["zzz-absent"], k=5, n_buckets=NB
+        )
+        assert [f.name for f in res.schema().base_schema] == ["doc_id", "score"]
+        assert res.count() == 0
+
+    def test_tombstoned_docs_never_rank(self, tmp_path, ray_session):
+        """Deleted docs must not occupy top-k slots even before the
+        physical compaction (query-time anti-filter runs pre-ranking)."""
+        from gis_scripts_ray.stages.text_index import bm25_topk, delete_docs
+
+        t = _mk_docs(n=100, seed=19)
+        out = _build(tmp_path, t)
+        terms = ["sort", "merge"]
+        full = self._got(
+            bm25_topk(out, ray.data.from_arrow(t), terms, k=100, n_buckets=NB)
+        )
+        dead = {d for d, _ in full[:3]}
+        delete_docs(
+            out,
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array(sorted(dead), pa.int64())})
+            ),
+            "bm25kill",
+        )
+        got = self._got(
+            bm25_topk(out, ray.data.from_arrow(t), terms, k=5, n_buckets=NB)
+        )
+        assert not ({d for d, _ in got} & dead)
+        # surviving docs keep their pre-delete scores (df/dl freeze until
+        # compaction — the documented tombstone semantics)
+        want = [kv for kv in full if kv[0] not in dead][:5]
+        assert got == want
+
+    def test_empty_terms_rejected(self, tmp_path):
+        from gis_scripts_ray.stages.text_index import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk("/nonexistent", None, [], n_buckets=NB)
