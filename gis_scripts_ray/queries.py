@@ -1037,6 +1037,129 @@ def q_events_asof_orders(sf_dir: str):
     return joined.select_columns(["event_id", "o_orderkey"]).sort("event_id")
 
 
+_IVJ_LO_US = -86_400_000_000  # window: [event - 1 day, event + 1 day]
+_IVJ_HI_US = 86_400_000_000
+
+
+def q_events_interval_orders(sf_dir: str):
+    """Distributed time-interval (band) join (``stages/intervaljoin.py``):
+    each event matched to ALL orders of its key group whose remapped
+    timestamp falls within +-1 day of the event — the one-to-many range
+    join the as-of join's nearest-predecessor semantics can't express.
+    Orders reuse the as-of fixture's collision-free coprime remap into
+    the 30-day event window (key = o_custkey % 150 aligns with
+    events.user_id). Engine: range-bucketed shuffle with <=2x right-row
+    replication + per-bucket packed searchsorted join; the pair set then
+    reduces per event through the adaptive combine (never a driver
+    materialization). Oracle: a plain SQL range join + GROUP BY.
+
+    Output: (event_id, n_orders, sum_okey, min_okey, max_okey) for every
+    event with >=1 order in its window — count + sum + extrema pin the
+    exact pair set in the integer domain."""
+    from gis_scripts_ray.stages.asof import timestamp_to_us
+    from gis_scripts_ray.stages.intervaljoin import interval_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def prep_e(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": timestamp_to_us(batch["ts"]),
+            }
+        )
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy()
+        if len(ok) and ok.max() >= 2_592_000_000_000:
+            raise ValueError(
+                "interval fixture: o_orderkey exceeds the 30-day fold "
+                "window; the coprime remap is no longer injective"
+            )
+        ts2 = _ASOF_BASE_US + (ok * 1_000_003) % 2_592_000_000_000
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "key": pa.array(batch["o_custkey"].to_numpy() % 150, pa.int64()),
+                "ts2_us": pa.array(ts2, pa.int64()),
+            }
+        )
+
+    pairs = interval_join(
+        events.map_batches(prep_e, batch_format="pyarrow"),
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        left_by="user_id",
+        right_by="key",
+        left_ts="ts_us",
+        right_ts="ts2_us",
+        lo=_IVJ_LO_US,
+        hi=_IVJ_HI_US,
+        left_cols=["event_id"],
+        right_cols=["o_orderkey"],
+        n_buckets=48,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy()
+        t = pa.table(
+            {
+                "event_id": batch["event_id"].combine_chunks().cast(pa.int64()),
+                "n_orders": pa.array(np.ones(len(ok), np.int64)),
+                "sum_okey": pa.array(ok, pa.int64()),
+                "min_okey": pa.array(ok, pa.int64()),
+                "max_okey": pa.array(ok, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["event_id"])
+            .aggregate(
+                [
+                    ("n_orders", "sum"),
+                    ("sum_okey", "sum"),
+                    ("min_okey", "min"),
+                    ("max_okey", "max"),
+                ]
+            )
+            .rename_columns(
+                ["event_id", "n_orders", "sum_okey", "min_okey", "max_okey"]
+            )
+        )
+
+    return coalesce_shuffle_agg(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        ["event_id"],
+        {
+            "n_orders": "sum",
+            "sum_okey": "sum",
+            "min_okey": "min",
+            "max_okey": "max",
+        },
+    )
+
+
+def _sql_events_interval_orders() -> str:
+    return (
+        "WITH o2 AS (SELECT o_orderkey, o_custkey % 150 AS key, "
+        "TIMESTAMP '2024-01-01 00:00:00' + to_microseconds("
+        "(o_orderkey * 1000003) % 2592000000000) AS ts2 FROM orders) "
+        "SELECT e.event_id, COUNT(*) AS n_orders, "
+        "CAST(SUM(o2.o_orderkey) AS BIGINT) AS sum_okey, "
+        "MIN(o2.o_orderkey) AS min_okey, "
+        "MAX(o2.o_orderkey) AS max_okey "
+        "FROM events e JOIN o2 ON e.user_id = o2.key "
+        "AND o2.ts2 >= e.ts - INTERVAL 1 DAY "
+        "AND o2.ts2 <= e.ts + INTERVAL 1 DAY "
+        "GROUP BY e.event_id"
+    )
+
+
 def q_topk_docs_per_host(sf_dir: str):
     """Distributed per-group top-k (``stages/topk.py``): the 3 longest
     documents (byte length, doc_id ASC tie-break — the repo's
@@ -7164,6 +7287,7 @@ QUERIES: dict[str, Callable] = {
     "heavy_hitters": q_heavy_hitters,
     "bloom_join_revenue": q_bloom_join_revenue,
     "events_asof_orders": q_events_asof_orders,
+    "events_interval_orders": q_events_interval_orders,
     "topk_docs_per_host": q_topk_docs_per_host,
     "tfidf_scores": q_tfidf_scores,
     "grouped_median_qty": q_grouped_median_qty,
@@ -7291,6 +7415,7 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": _sql_heavy_hitters(),
     "bloom_join_revenue": _sql_bloom_join_revenue(),
     "events_asof_orders": _sql_events_asof_orders(),
+    "events_interval_orders": _sql_events_interval_orders(),
     "topk_docs_per_host": _sql_topk_docs_per_host(),
     "tfidf_scores": _sql_tfidf_scores(),
     "grouped_median_qty": _sql_grouped_median_qty(),
