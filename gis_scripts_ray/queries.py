@@ -6867,24 +6867,14 @@ def _sql_incremental_dedup() -> str:
     )
 
 
-def q_neardup_clusters(sf_dir: str):
-    """Duplicate-CLUSTER formation — the transitive-closure step that turns
-    dedup pairs into clusters (the final hop of the Dolma/SlimPajama dedup
-    shape; ``stages/graphcc.connected_components``, iterative min-label
-    propagation, one hash-join + one adaptive combine per round).
-
-    Fixture: documents ∪ two id-shifted copies. The edge set deliberately
-    SPANS construction tasks so the merge is genuinely distributed: star
-    edges link each original doc to its exact-text group minimum (one
-    (h1,h2) join), while cross-copy chain edges link ``d — d+S — d+2S``
-    (a plain map_batches, different tasks). A cluster = one exact-text
-    group across all three copies; min label needs ≤3 hops to reach every
-    node, so propagation converges in ~4 measured rounds.
-
-    The SQL twin derives each cluster ANALYTICALLY (GROUP BY text over the
-    union — no graph at all), so a propagation defect (dropped edge, lost
-    round, bad min combine) hash-mismatches. Output: per-cluster-size
-    rollup (cluster_size, n_clusters, sum_roots, sum_nodes)."""
+def _neardup_label_ds(sf_dir: str):
+    """Shared near-dup cluster formation (``q_neardup_clusters`` /
+    ``q_cluster_canonical``): documents ∪ two id-shifted copies, star
+    edges linking each doc to its exact-text group minimum plus
+    cross-copy chain edges ``d — d+S — d+2S``, labeled by
+    ``graphcc.connected_components`` (iterative min-label propagation).
+    A cluster = one exact-text group across all three copies. Returns the
+    (node, root) label dataset."""
     from gis_scripts_ray.stages.dedup import content_hash_cols
     from gis_scripts_ray.stages.graphcc import connected_components
     from gis_scripts_ray.stages.joins import hash_join
@@ -6972,7 +6962,31 @@ def q_neardup_clusters(sf_dir: str):
         )
 
     edges = star.union(ds.map_batches(copy_chain, batch_format="pyarrow"))
-    labels = connected_components(edges)
+    return connected_components(edges)
+
+
+def q_neardup_clusters(sf_dir: str):
+    """Duplicate-CLUSTER formation — the transitive-closure step that turns
+    dedup pairs into clusters (the final hop of the Dolma/SlimPajama dedup
+    shape; ``stages/graphcc.connected_components``, iterative min-label
+    propagation, one hash-join + one adaptive combine per round).
+
+    Fixture: documents ∪ two id-shifted copies (``_neardup_label_ds``).
+    The edge set deliberately SPANS construction tasks so the merge is
+    genuinely distributed: star edges link each original doc to its
+    exact-text group minimum (one (h1,h2) join), while cross-copy chain
+    edges link ``d — d+S — d+2S`` (a plain map_batches, different tasks).
+    A cluster = one exact-text group across all three copies; min label
+    needs ≤3 hops to reach every node, so propagation converges in ~4
+    measured rounds.
+
+    The SQL twin derives each cluster ANALYTICALLY (GROUP BY text over the
+    union — no graph at all), so a propagation defect (dropped edge, lost
+    round, bad min combine) hash-mismatches. Output: per-cluster-size
+    rollup (cluster_size, n_clusters, sum_roots, sum_nodes)."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    labels = _neardup_label_ds(sf_dir)
 
     def root_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"root": batch["root"], "node": batch["node"]})
@@ -7026,6 +7040,68 @@ def _sql_neardup_clusters() -> str:
         "CAST(SUM(root) AS BIGINT) AS sum_roots, "
         "CAST(SUM(sum_nodes) AS BIGINT) AS sum_nodes "
         "FROM g GROUP BY sz ORDER BY cluster_size"
+    )
+
+
+def q_cluster_canonical(sf_dir: str):
+    """Canonical-document retention — the step AFTER cluster formation in
+    a dedup pipeline: per near-dup cluster keep the single best doc by a
+    quality score (argmax, doc_id ASC tie-break), instead of the naive
+    min-id keep. Clusters come from the shared ``_neardup_label_ds``
+    propagation; the quality score is the engine's wrapping-uint64
+    multiplicative hash of the node id (deterministic, intra-cluster
+    distinct by injectivity of the id shift); the argmax folds through
+    ``topk_per_group(k=1)`` under the engine-wide (value DESC, id ASC)
+    tie rule — no per-cluster rows ever reach the driver. The SQL twin
+    derives clusters analytically (window over text) and recomputes the
+    identical HUGEINT-wrapped score, so a propagation or ranking defect
+    hash-mismatches.
+
+    Output: (root, canonical_id, score), one row per cluster."""
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    labels = _neardup_label_ds(sf_dir)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy().astype(np.uint64)
+        score = (node * np.uint64(2654435761)) % np.uint64(1_000_000)
+        return pa.table(
+            {
+                "root": batch["root"].combine_chunks().cast(pa.int64()),
+                "node": batch["node"].combine_chunks().cast(pa.int64()),
+                "score": pa.array(score.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored = labels.map_batches(score_partial, batch_format="pyarrow")
+    top = topk_per_group(scored, "root", "score", "node", k=1)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "root": b["root"].combine_chunks().cast(pa.int64()),
+                "canonical_id": b["node"].combine_chunks().cast(pa.int64()),
+                "score": b["score"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("root")
+
+
+def _sql_cluster_canonical() -> str:
+    shift = "(SELECT MAX(doc_id) + 1 FROM documents)"
+    return (
+        f"WITH u AS (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {shift}, text FROM documents "
+        f"UNION ALL SELECT doc_id + 2 * {shift}, text FROM documents "
+        f"WHERE doc_id % 3 = 0), "
+        f"s AS (SELECT doc_id, text, CAST((CAST(doc_id AS HUGEINT) * "
+        f"2654435761) % {_WRAP64} % 1000000 AS BIGINT) AS score FROM u), "
+        "r AS (SELECT doc_id, score, "
+        "MIN(doc_id) OVER (PARTITION BY text) AS root, "
+        "ROW_NUMBER() OVER (PARTITION BY text "
+        "ORDER BY score DESC, doc_id ASC) AS rn FROM s) "
+        "SELECT root, doc_id AS canonical_id, score FROM r "
+        "WHERE rn = 1 ORDER BY root"
     )
 
 
@@ -7387,6 +7463,7 @@ QUERIES: dict[str, Callable] = {
     "canonical_url_dedup": q_canonical_url_dedup,
     "lang_median_filter": q_lang_median_filter,
     "neardup_clusters": q_neardup_clusters,
+    "cluster_canonical": q_cluster_canonical,
     "mixture_rebalance": q_mixture_rebalance,
     "incremental_dedup": q_incremental_dedup,
     "text_normalize": q_text_normalize,
@@ -7476,6 +7553,7 @@ ORACLES: dict[str, str] = {
     "canonical_url_dedup": _sql_canonical_url_dedup(),
     "lang_median_filter": _sql_lang_median_filter(),
     "neardup_clusters": _sql_neardup_clusters(),
+    "cluster_canonical": _sql_cluster_canonical(),
     "mixture_rebalance": _sql_mixture_rebalance(),
     "incremental_dedup": _sql_incremental_dedup(),
     "text_normalize": _sql_text_normalize(),
