@@ -4463,6 +4463,43 @@ ORDER BY score DESC, doc_id ASC LIMIT {_BM25_K}
 """
 
 
+_KWIC_TERM = "window"
+_KWIC_W = 3
+
+
+def q_kwic_snippets(sf_dir: str):
+    """Keyword-in-context snippets (``text_index.kwic_snippets``): the 3
+    tokens either side of the FIRST occurrence of the query term, for
+    every doc containing it as a whole token. Candidates come from the
+    inverted index (term-bucket pruned read), the corpus Bloom-semi-joins
+    down to candidates before tokenizing, and the snippet kernel is one
+    vectorized split + reduceat + ListArray rebuild. The twin recomputes
+    each snippet analytically with DuckDB list functions
+    (``list_position`` is 1-based first occurrence; ``list_slice`` is
+    inclusive and clamps), so the FULL snippet string of every matching
+    doc value-hash-compares."""
+    from gis_scripts_ray.stages.text_index import kwic_snippets, write_token_index
+
+    out = _text_index_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    write_token_index(ds, out, n_buckets=_TEXT_INDEX_BUCKETS)
+    return kwic_snippets(out, ds, _KWIC_TERM, window=_KWIC_W)
+
+
+def _sql_kwic_snippets() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents),
+m AS (SELECT doc_id, toks, list_position(toks, '{_KWIC_TERM}') AS p FROM c)
+SELECT doc_id, array_to_string(
+  list_slice(toks, greatest(p - {_KWIC_W}, 1), p + {_KWIC_W}), ' ') AS snippet
+FROM m WHERE p > 0
+"""
+
+
 _SPLIT_QUERY_TERMS = ["hash", "join", "group"]
 _SPLIT_BASE_BUCKETS = 16
 
@@ -7441,6 +7478,7 @@ QUERIES: dict[str, Callable] = {
     "index_docs_delete": q_index_docs_delete,
     "index_split": q_index_split,
     "bm25_topk": q_bm25_topk,
+    "kwic_snippets": q_kwic_snippets,
     "tile_pyramid": q_tile_pyramid,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -7594,6 +7632,7 @@ ORACLES: dict[str, str] = {
     "index_docs_delete": _sql_index_docs_delete(),
     "index_split": _sql_index_split(),
     "bm25_topk": _sql_bm25_topk(),
+    "kwic_snippets": _sql_kwic_snippets(),
     "tile_pyramid": _sql_tile_pyramid(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),

@@ -637,6 +637,87 @@ def term_and_query(
     )
 
 
+def kwic_snippets(
+    out_dir: str,
+    docs_ds: ray.data.Dataset,
+    term: str,
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: "int | None" = None,
+) -> ray.data.Dataset:
+    """Keyword-in-context snippets: for every doc containing ``term`` (as
+    a whole token), the ``window`` tokens either side of the FIRST
+    occurrence, joined by single spaces — the search-result-snippet /
+    concordance shape. Index-accelerated scan: candidate doc_ids come
+    from the inverted index reading ONLY the term's bucket partitions
+    (tombstone-masked), the corpus is Bloom-semi-joined down to
+    candidates before any text is tokenized, and the snippet kernel is
+    fully vectorized (one ``split_pattern``, per-row first-match via
+    ``minimum.reduceat``, window slice re-assembled as a ListArray and
+    ``binary_join``-ed — no Python over rows). Token domain (split on
+    ' ', same tokenizer as the index), so snippets are byte-exact
+    cross-engine regardless of multi-byte codepoints.
+
+    Returns (doc_id:int64, snippet:string), one row per matching doc."""
+    from gis_scripts_ray.stages.joins import bloom_semi_join
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "snippet": pa.array([], pa.string())}
+    )
+    cands = term_and_query(out_dir, [term], n_buckets=n_buckets).materialize()
+    if cands.count() == 0:
+        return ray.data.from_arrow(empty)
+    docs = bloom_semi_join(docs_ds, cands, on=id_col, right_on="doc_id")
+
+    def snip(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+        la = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = la.flatten()
+        offs = la.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        n = len(la)
+        total = len(flat)
+        match = pc.equal(flat, pa.scalar(term)).to_numpy(zero_copy_only=False)
+        keyed = np.where(match, np.arange(total, dtype=np.int64), total)
+        starts, ends = offs[:-1], offs[1:]
+        first = np.full(n, total, np.int64)
+        ne = ends > starts
+        if ne.any():
+            # reduceat over nonempty row starts: empty rows between two
+            # passed indices contribute no elements, so each reduction
+            # covers exactly its own row's tokens
+            first[ne] = np.minimum.reduceat(keyed, starts[ne])
+        found = first < ends  # all rows post-semi-join, but stay exact
+        lf = first - starts
+        w0 = np.maximum(lf - window, 0)[found]
+        w1 = np.minimum(lf + window + 1, ends - starts)[found]
+        lens = w1 - w0
+        new_offs = np.concatenate([[0], np.cumsum(lens)])
+        flat_idx = (
+            np.repeat(starts[found] + w0, lens)
+            + np.arange(new_offs[-1], dtype=np.int64)
+            - np.repeat(new_offs[:-1], lens)
+        )
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()),
+            flat.take(pa.array(flat_idx, pa.int64())),
+        )
+        ids = pc.filter(batch[id_col], pa.array(found))
+        return pa.table(
+            {
+                "doc_id": ids.combine_chunks().cast(pa.int64())
+                if isinstance(ids, pa.ChunkedArray)
+                else ids.cast(pa.int64()),
+                "snippet": pc.binary_join(lst, " ").cast(pa.string()),
+            }
+        )
+
+    return docs.map_batches(snip, batch_format="pyarrow")
+
+
 def term_or_topk(
     out_dir: str,
     terms: "list[str]",

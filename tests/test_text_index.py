@@ -850,3 +850,70 @@ class TestBM25:
 
         with pytest.raises(ValueError):
             bm25_topk("/nonexistent", None, [], n_buckets=NB)
+
+
+class TestKwicSnippets:
+    """kwic_snippets: token-window concordance vs a per-row reference."""
+
+    def _ref(self, table, term, w):
+        out = {}
+        for i in range(table.num_rows):
+            did = table["doc_id"][i].as_py()
+            toks = (table["text"][i].as_py() or "").split(" ")
+            if term not in toks:
+                continue
+            p = toks.index(term)
+            out[did] = " ".join(toks[max(p - w, 0) : p + w + 1])
+        return out
+
+    def test_matches_reference(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import kwic_snippets
+
+        t = _mk_docs(n=150, seed=23)
+        out = _build(tmp_path, t)
+        res = kwic_snippets(
+            out, ray.data.from_arrow(t), "sort", window=3, n_buckets=NB
+        ).to_pandas()
+        got = dict(zip(res["doc_id"].astype(int), res["snippet"]))
+        assert got == self._ref(t, "sort", 3)
+
+    def test_edges_and_multiplicity(self, tmp_path, ray_session):
+        """Term at start/end (window clamps), repeated term (first
+        occurrence wins), doc without the term excluded."""
+        from gis_scripts_ray.stages.text_index import kwic_snippets
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "hit a b c d e",
+                        "a b c d e hit",
+                        "a hit b hit c hit d",
+                        "no match here at all",
+                        "hit",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = _build(tmp_path, t)
+        res = kwic_snippets(
+            out, ray.data.from_arrow(t), "hit", window=2, n_buckets=NB
+        ).to_pandas()
+        got = dict(zip(res["doc_id"].astype(int), res["snippet"]))
+        assert got == self._ref(t, "hit", 2)
+        assert got[0] == "hit a b" and got[1] == "d e hit" and got[4] == "hit"
+        assert got[2] == "a hit b hit"
+        assert 3 not in got
+
+    def test_absent_term_empty(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import kwic_snippets
+
+        t = _mk_docs(n=40, seed=29)
+        out = _build(tmp_path, t)
+        res = kwic_snippets(
+            out, ray.data.from_arrow(t), "zz-absent", window=2, n_buckets=NB
+        )
+        assert res.count() == 0
+        assert [f.name for f in res.schema().base_schema] == ["doc_id", "snippet"]
