@@ -1160,6 +1160,74 @@ def _sql_events_interval_orders() -> str:
     )
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_depths(sf_dir: str):
+    """Ordered conversion funnel (``stages/funnel.py``): per user, the
+    earliest-next resolution of view → click → purchase (each step
+    strictly after the previous step's resolved time; a missing step
+    cascades). ONE key-bucket shuffle, per-bucket vectorized masked
+    segment minima — no per-user rows at the driver. The twin chains
+    the same strict constraints through three correlated MIN joins, so
+    any tie-handling or cascade defect hash-mismatches.
+
+    Output: (user_id, depth, step1_us, step2_us, step3_us), one row per
+    distinct user, unreached steps -1."""
+    from gis_scripts_ray.stages.asof import timestamp_to_us
+    from gis_scripts_ray.stages.funnel import funnel_steps
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": timestamp_to_us(batch["ts"]),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return funnel_steps(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "us",
+        "event_type",
+        _FUNNEL_STEPS,
+        num_buckets=48,
+    )
+
+
+def _sql_funnel_depths() -> str:
+    s1, s2, s3 = _FUNNEL_STEPS
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_type
+  FROM events),
+u AS (SELECT DISTINCT user_id FROM e),
+f1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+       WHERE event_type = '{s1}' GROUP BY user_id),
+f2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e
+       JOIN f1 ON e.user_id = f1.user_id AND e.us > f1.t1
+       WHERE e.event_type = '{s2}' GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e
+       JOIN f2 ON e.user_id = f2.user_id AND e.us > f2.t2
+       WHERE e.event_type = '{s3}' GROUP BY e.user_id)
+SELECT u.user_id,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+  COALESCE(t1, -1) AS step1_us,
+  COALESCE(t2, -1) AS step2_us,
+  COALESCE(t3, -1) AS step3_us
+FROM u
+LEFT JOIN f1 ON u.user_id = f1.user_id
+LEFT JOIN f2 ON u.user_id = f2.user_id
+LEFT JOIN f3 ON u.user_id = f3.user_id
+"""
+
+
 def q_topk_docs_per_host(sf_dir: str):
     """Distributed per-group top-k (``stages/topk.py``): the 3 longest
     documents (byte length, doc_id ASC tie-break — the repo's
@@ -7401,6 +7469,7 @@ QUERIES: dict[str, Callable] = {
     "bloom_join_revenue": q_bloom_join_revenue,
     "events_asof_orders": q_events_asof_orders,
     "events_interval_orders": q_events_interval_orders,
+    "funnel_depths": q_funnel_depths,
     "topk_docs_per_host": q_topk_docs_per_host,
     "tfidf_scores": q_tfidf_scores,
     "grouped_median_qty": q_grouped_median_qty,
@@ -7531,6 +7600,7 @@ ORACLES: dict[str, str] = {
     "bloom_join_revenue": _sql_bloom_join_revenue(),
     "events_asof_orders": _sql_events_asof_orders(),
     "events_interval_orders": _sql_events_interval_orders(),
+    "funnel_depths": _sql_funnel_depths(),
     "topk_docs_per_host": _sql_topk_docs_per_host(),
     "tfidf_scores": _sql_tfidf_scores(),
     "grouped_median_qty": _sql_grouped_median_qty(),

@@ -1,0 +1,110 @@
+"""Distributed ordered-funnel analysis (conversion steps per key).
+
+For every key (user), resolve an ordered sequence of step event types
+with EARLIEST-NEXT semantics: ``t1`` = the key's earliest step-1 event;
+``t_i`` = the earliest step-i event STRICTLY after ``t_{i-1}``. A missing
+step cascades (no step-2 means no step-3, however many step-3 events
+exist) — the standard product-analytics conversion funnel, which plain
+GROUP BY cannot express (each step's window depends on the previous
+step's resolved time).
+
+Shape: ONE shuffle — keys hash into buckets (``windows._bucket_of``, the
+same any-dtype stable bucketing every windowed stage uses), and each
+bucket group resolves every step vectorized: one lexsort by (key, ts),
+per-step masked segment minima via ``np.minimum.reduceat`` (mask =
+type match AND strictly-after the key's previous-step time), zero Python
+over rows or keys. Per-bucket memory is O(bucket rows); nothing is
+keyed per-user at the driver, so key cardinality can grow with the
+corpus (the 100-TB contract).
+
+Timestamps are int64 microseconds (``asof.timestamp_to_us`` upstream —
+the CLAUDE.md normalization rule). Missing steps surface as -1
+sentinels (never NULL: a null int64 column would NaN-promote to float64
+in pandas and silently round large values — CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_INT64_MAX = np.iinfo(np.int64).max
+
+
+def funnel_steps(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key funnel resolution; see module docstring.
+
+    Returns one row per distinct key: ``(key_col, depth, step1_us, ...,
+    stepK_us)`` — ``depth`` = number of steps completed (0..K), unreached
+    steps -1."""
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    from gis_scripts_ray.stages.windows import _bucket_of
+
+    k = len(steps)
+    out_names = [key_col, "depth"] + [f"step{i + 1}_us" for i in range(k)]
+    out_schema = pa.schema([pa.field(c, pa.int64()) for c in out_names])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch.select([key_col, ts_col, type_col])
+        return b.append_column(
+            "_bk", pa.array(_bucket_of(b[key_col], num_buckets), pa.int64())
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = g.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        key = g[key_col].to_numpy().astype(np.int64, copy=False)
+        ts = g[ts_col].to_numpy().astype(np.int64, copy=False)
+        # per-step type masks computed in Arrow (string equality) before
+        # entering numpy — no Python-object string comparisons
+        type_masks = [
+            pc.equal(g[type_col], pa.scalar(s)).to_numpy(zero_copy_only=False)
+            for s in steps
+        ]
+        order = np.lexsort((ts, key))
+        key_s, ts_s = key[order], ts[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = key_s[1:] != key_s[:-1]
+        seg_starts = np.flatnonzero(new)
+        seg_ids = np.cumsum(new) - 1  # per sorted row: its key's segment
+        n_seg = len(seg_starts)
+        prev = np.full(n_seg, np.int64(-(2**62)))  # before any real ts
+        step_ts = np.empty((k, n_seg), dtype=np.int64)
+        for i in range(k):
+            m = type_masks[i][order] & (ts_s > prev[seg_ids])
+            keyed = np.where(m, ts_s, _INT64_MAX)
+            cur = np.minimum.reduceat(keyed, seg_starts)
+            step_ts[i] = cur
+            prev = cur  # INT64_MAX cascades: ts > MAX is never true
+        reached = step_ts < _INT64_MAX
+        depth = reached.sum(axis=0).astype(np.int64)
+        cols = {
+            key_col: pa.array(key_s[seg_starts], pa.int64()),
+            "depth": pa.array(depth, pa.int64()),
+        }
+        for i in range(k):
+            vals = np.where(reached[i], step_ts[i], -1)
+            cols[f"step{i + 1}_us"] = pa.array(vals, pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    grouped = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+    # typed empty seed: all-empty group outputs otherwise unify to a null
+    # dataset schema (the interval-join quirk)
+    seed = ray.data.from_arrow(out_schema.empty_table())
+    return seed.union(grouped)
