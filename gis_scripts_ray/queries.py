@@ -1160,6 +1160,83 @@ def _sql_events_interval_orders() -> str:
     )
 
 
+# price-tier dimension for the broadcast range lookup: inclusive cent
+# bounds, deliberately leaving the gap [15_000_000, 19_999_999] so the
+# inner drop-in-gap semantics are exercised by real rows
+_PRICE_TIERS = [
+    ("bargain", 0, 4_999_999),
+    ("mid", 5_000_000, 14_999_999),
+    ("high", 20_000_000, 34_999_999),
+    ("lux", 35_000_000, 999_999_999_999),
+]
+
+
+def q_price_tier_rollup(sf_dir: str):
+    """Broadcast range-table lookup (``stages/rangelookup.py``): each
+    order's exact cents mapped to its price tier via one searchsorted
+    against the broadcast sorted tier table (value BETWEEN lo AND hi —
+    the IP-geo / tier-table join a hash join cannot express), orders in
+    the deliberate tier gap dropped, then the per-tier rollup through
+    the adaptive combine. Money follows the engine-wide half-AWAY cents
+    rule (``_cents`` ↔ ``ROUND(double*100)``). The twin joins the same
+    VALUES table on BETWEEN.
+
+    Output: (tier, n_orders, sum_cents), one row per non-empty tier."""
+    from gis_scripts_ray.stages.rangelookup import range_lookup
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ranges = pa.table(
+        {
+            "tier": pa.array([t for t, _, _ in _PRICE_TIERS], pa.string()),
+            "lo": pa.array([lo for _, lo, _ in _PRICE_TIERS], pa.int64()),
+            "hi": pa.array([hi for _, _, hi in _PRICE_TIERS], pa.int64()),
+        }
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(batch["o_totalprice"])})
+
+    tiered = range_lookup(
+        orders.map_batches(prep, batch_format="pyarrow"), "cents", ranges
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "tier": batch["tier"],
+                "n_orders": pa.array(np.ones(batch.num_rows, np.int64)),
+                "sum_cents": batch["cents"],
+            }
+        )
+        return (
+            t.group_by(["tier"])
+            .aggregate([("n_orders", "sum"), ("sum_cents", "sum")])
+            .rename_columns(["tier", "n_orders", "sum_cents"])
+        )
+
+    return coalesce_shuffle_agg(
+        tiered.map_batches(partial, batch_format="pyarrow"),
+        ["tier"],
+        {"n_orders": "sum", "sum_cents": "sum"},
+    ).sort("tier")
+
+
+def _sql_price_tier_rollup() -> str:
+    rows = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _PRICE_TIERS)
+    return (
+        f"WITH t(tier, lo, hi) AS (VALUES {rows}), "
+        "o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+        "FROM orders) "
+        "SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+        "FROM o JOIN t ON o.cents BETWEEN t.lo AND t.hi "
+        "GROUP BY tier ORDER BY tier"
+    )
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -7470,6 +7547,7 @@ QUERIES: dict[str, Callable] = {
     "events_asof_orders": q_events_asof_orders,
     "events_interval_orders": q_events_interval_orders,
     "funnel_depths": q_funnel_depths,
+    "price_tier_rollup": q_price_tier_rollup,
     "topk_docs_per_host": q_topk_docs_per_host,
     "tfidf_scores": q_tfidf_scores,
     "grouped_median_qty": q_grouped_median_qty,
@@ -7601,6 +7679,7 @@ ORACLES: dict[str, str] = {
     "events_asof_orders": _sql_events_asof_orders(),
     "events_interval_orders": _sql_events_interval_orders(),
     "funnel_depths": _sql_funnel_depths(),
+    "price_tier_rollup": _sql_price_tier_rollup(),
     "topk_docs_per_host": _sql_topk_docs_per_host(),
     "tfidf_scores": _sql_tfidf_scores(),
     "grouped_median_qty": _sql_grouped_median_qty(),
