@@ -4645,6 +4645,43 @@ FROM m WHERE p > 0
 """
 
 
+_PROX_A, _PROX_B, _PROX_K = "sort", "hash", 15
+
+
+def q_proximity_topk(sf_dir: str):
+    """Proximity retrieval over the POSITIONAL inverted index
+    (``text_index.proximity_topk``): the 15 docs where the two query
+    terms occur closest together (min |pos_a - pos_b| per doc, gap ASC
+    then doc_id ASC). Reads only the two terms' bucket partitions, one
+    doc-hash shuffle, per-bucket vectorized adjacent-pair minima, the
+    engine's top-k fold. The twin recomputes every pairwise distance
+    from token positions in SQL, so a straddled-batch, adjacency or
+    tie-rule defect hash-mismatches."""
+    from gis_scripts_ray.stages.text_index import proximity_topk, write_token_index
+
+    out = _text_index_dir(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    write_token_index(ds, out, n_buckets=_TEXT_INDEX_BUCKETS)
+    return proximity_topk(out, _PROX_A, _PROX_B, k=_PROX_K)
+
+
+def _sql_proximity_topk() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks
+  FROM documents),
+t AS (SELECT doc_id, UNNEST(toks) AS tok,
+             generate_subscripts(toks, 1) AS p FROM c),
+a AS (SELECT doc_id, p FROM t WHERE tok = '{_PROX_A}'),
+b AS (SELECT doc_id, p FROM t WHERE tok = '{_PROX_B}'),
+g AS (SELECT a.doc_id, CAST(MIN(ABS(a.p - b.p)) AS BIGINT) AS gap
+      FROM a JOIN b ON a.doc_id = b.doc_id GROUP BY a.doc_id)
+SELECT doc_id, gap FROM g ORDER BY gap ASC, doc_id ASC LIMIT {_PROX_K}
+"""
+
+
 _SPLIT_QUERY_TERMS = ["hash", "join", "group"]
 _SPLIT_BASE_BUCKETS = 16
 
@@ -7626,6 +7663,7 @@ QUERIES: dict[str, Callable] = {
     "index_split": q_index_split,
     "bm25_topk": q_bm25_topk,
     "kwic_snippets": q_kwic_snippets,
+    "proximity_topk": q_proximity_topk,
     "tile_pyramid": q_tile_pyramid,
     "audio_features": q_audio_features,
     "stratified_sample": q_stratified_sample,
@@ -7782,6 +7820,7 @@ ORACLES: dict[str, str] = {
     "index_split": _sql_index_split(),
     "bm25_topk": _sql_bm25_topk(),
     "kwic_snippets": _sql_kwic_snippets(),
+    "proximity_topk": _sql_proximity_topk(),
     "tile_pyramid": _sql_tile_pyramid(),
     "audio_features": _sql_audio_features(),
     "stratified_sample": _sql_stratified_sample(),

@@ -1009,6 +1009,134 @@ def bm25_topk(
     )
 
 
+def proximity_topk(
+    out_dir: str,
+    term_a: str,
+    term_b: str,
+    k: int = 10,
+    n_buckets: "int | None" = None,
+    num_doc_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Proximity retrieval over the POSITIONAL index: the k docs where
+    ``term_a`` and ``term_b`` occur closest together — per doc the
+    minimum ``|pos_a - pos_b|`` over all occurrence pairs, ranked
+    (gap ASC, doc_id ASC). The ranking signal phrase search can't give
+    ("terms near each other" without requiring adjacency).
+
+    Plan: read ONLY the two terms' bucket partitions; occurrences of one
+    doc can straddle read batches, so (doc, pos, term-label) rows hash
+    ONE shuffle into doc buckets; each bucket resolves every doc
+    vectorized — sort by (doc, pos) and take the min gap over ADJACENT
+    cross-label pairs (the min over all pairs is always achieved by an
+    adjacent pair in the merged position order), one ``minimum.reduceat``
+    per bucket, no Python over docs. Docs lacking either term produce no
+    cross-label adjacency and drop; tombstoned docs are masked before
+    ranking; the final top-k folds through ``topk_per_group`` ascending
+    under the (gap ASC, doc_id ASC) tie rule.
+
+    Returns (doc_id:int64, gap:int64), the top k (or fewer)."""
+    from gis_scripts_ray.stages.topk import topk_per_group
+    from gis_scripts_ray.stages.windows import _bucket_of
+
+    if term_a == term_b:
+        raise ValueError("proximity_topk needs two distinct terms")
+    n_buckets = _resolve_buckets(out_dir, n_buckets)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "gap": pa.array([], pa.int64())}
+    )
+    paths = partition_paths_for_terms(out_dir, [term_a, term_b], n_buckets)
+    if not paths:
+        return ray.data.from_arrow(empty)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(
+            pc.is_in(batch["token"], value_set=pa.array([term_a, term_b]))
+        )
+        lab = pc.equal(hit["token"], pa.scalar(term_b))
+        t = pa.table(
+            {
+                "doc_id": hit["doc_id"].combine_chunks().cast(pa.int64()),
+                "pos": hit["pos"].combine_chunks().cast(pa.int64()),
+                "lab": lab.combine_chunks()
+                if isinstance(lab, pa.ChunkedArray)
+                else lab,
+            }
+        )
+        return t.append_column(
+            "_bk", pa.array(_bucket_of(t["doc_id"], num_doc_buckets), pa.int64())
+        )
+
+    def min_gap(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        doc = g["doc_id"].to_numpy()
+        pos = g["pos"].to_numpy()
+        lab = g["lab"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((pos, doc))
+        d, p, l = doc[order], pos[order], lab[order]
+        adj = (d[1:] == d[:-1]) & (l[1:] != l[:-1])
+        if not adj.any():
+            return empty
+        gaps = np.where(adj, p[1:] - p[:-1], np.iinfo(np.int64).max)
+        new = np.ones(n, dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        seg_starts = np.flatnonzero(new)
+        # adjacent-pair i covers rows (i, i+1); pair array has length n-1,
+        # per-doc pairs live in [seg_start, next_seg_start - 1)
+        pair_seg = np.minimum(seg_starts, n - 2) if n >= 2 else seg_starts
+        mins = np.minimum.reduceat(gaps, pair_seg)
+        docs_out = d[seg_starts]
+        keep = mins < np.iinfo(np.int64).max
+        # single-row docs whose clamped segment read a neighbor's pair:
+        # their own range is empty, so recompute validity strictly —
+        # a doc's pair range is [seg_start, seg_end - 1); empty => drop
+        seg_ends = np.append(seg_starts[1:], n)
+        has_pairs = seg_ends - seg_starts >= 2
+        keep &= has_pairs
+        return pa.table(
+            {
+                "doc_id": pa.array(docs_out[keep], pa.int64()),
+                "gap": pa.array(mins[keep], pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(paths, columns=["token", "doc_id", "pos"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(min_gap, batch_format="pyarrow")
+    )
+    rows = _without_tombstones(rows, out_dir).materialize()
+    if rows.count() == 0:
+        # no doc contains both terms (all-empty group outputs would also
+        # degrade the dataset schema to null — the bm25 empty quirk)
+        return ray.data.from_arrow(empty)
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_g", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    top = topk_per_group(
+        rows.map_batches(add_g, batch_format="pyarrow"),
+        "_g",
+        "gap",
+        "doc_id",
+        k,
+        ascending=True,
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "gap": b["gap"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def phrase_query(
     out_dir: str,
     phrase: "list[str]",

@@ -917,3 +917,87 @@ class TestKwicSnippets:
         )
         assert res.count() == 0
         assert [f.name for f in res.schema().base_schema] == ["doc_id", "snippet"]
+
+
+class TestProximityTopk:
+    """proximity_topk: min |pos_a - pos_b| ranking vs a per-row oracle."""
+
+    def _ref(self, table, a, b, k):
+        out = []
+        for i in range(table.num_rows):
+            did = table["doc_id"][i].as_py()
+            toks = (table["text"][i].as_py() or "").split(" ")
+            pa_ = [j for j, t in enumerate(toks) if t == a]
+            pb_ = [j for j, t in enumerate(toks) if t == b]
+            if pa_ and pb_:
+                gap = min(abs(x - y) for x in pa_ for y in pb_)
+                out.append((did, gap))
+        out.sort(key=lambda kv: (kv[1], kv[0]))
+        return out[:k]
+
+    def _got(self, res):
+        df = res.to_pandas()
+        return sorted(
+            zip(df["doc_id"].astype(int), df["gap"].astype(int)),
+            key=lambda kv: (kv[1], kv[0]),
+        )
+
+    def test_matches_reference(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import proximity_topk
+
+        t = _mk_docs(n=160, seed=31)
+        out = _build(tmp_path, t)
+        got = self._got(proximity_topk(out, "sort", "merge", k=12, n_buckets=NB))
+        assert got == self._ref(t, "sort", "merge", 12)
+
+    def test_adjacent_pair_argument_holds(self, tmp_path, ray_session):
+        """Interleaved occurrences: the true min pair is NOT the first
+        occurrence of each term (a a b ... a b with tight late pair)."""
+        from gis_scripts_ray.stages.text_index import proximity_topk
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    [
+                        "aa x x x bb x x aa bb",  # min gap 1 (pos 9,10)
+                        "aa x bb",  # gap 2
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = _build(tmp_path, t)
+        got = self._got(proximity_topk(out, "aa", "bb", k=5, n_buckets=NB))
+        assert got == [(0, 1), (1, 2)]
+
+    def test_tombstoned_docs_never_rank(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import delete_docs, proximity_topk
+
+        t = _mk_docs(n=100, seed=37)
+        out = _build(tmp_path, t)
+        full = self._got(proximity_topk(out, "sort", "hash", k=100, n_buckets=NB))
+        if not full:
+            pytest.skip("fixture produced no co-occurrences")
+        dead = {full[0][0]}
+        delete_docs(
+            out,
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array(sorted(dead), pa.int64())})
+            ),
+            "proxkill",
+        )
+        got = self._got(proximity_topk(out, "sort", "hash", k=3, n_buckets=NB))
+        assert not ({d for d, _ in got} & dead)
+        assert got == [kv for kv in full if kv[0] not in dead][:3]
+
+    def test_same_term_rejected_and_absent_empty(self, tmp_path, ray_session):
+        from gis_scripts_ray.stages.text_index import proximity_topk
+
+        t = _mk_docs(n=30, seed=41)
+        out = _build(tmp_path, t)
+        with pytest.raises(ValueError):
+            proximity_topk(out, "sort", "sort", n_buckets=NB)
+        res = proximity_topk(out, "sort", "zz-absent", k=4, n_buckets=NB)
+        assert res.count() == 0
+        assert [f.name for f in res.schema().base_schema] == ["doc_id", "gap"]
