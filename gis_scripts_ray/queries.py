@@ -1277,6 +1277,59 @@ def q_funnel_depths(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition mining (``funnel.transition_counts``): global
+    counts of consecutive event-type pairs within each user's timeline,
+    ordered by the total (ts, event_id) order so timestamp collisions
+    cannot make the sequence ambiguous. One key-bucket shuffle, per-
+    bucket lexsort + Arrow pair counting, adaptive combine finish. The
+    twin is a LEAD window over the same total order.
+
+    Output: (from_type, to_type, n), sorted."""
+    from gis_scripts_ray.stages.asof import timestamp_to_us
+    from gis_scripts_ray.stages.funnel import transition_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": timestamp_to_us(batch["ts"]),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return transition_counts(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "us",
+        "event_id",
+        "event_type",
+        num_buckets=48,
+    )
+
+
+def _sql_event_transitions() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, event_type
+  FROM events),
+s AS (SELECT event_type,
+        LEAD(event_type) OVER (
+          PARTITION BY user_id ORDER BY us, event_id) AS nxt
+      FROM e)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY from_type, nxt ORDER BY from_type, to_type
+"""
+
+
 def _sql_funnel_depths() -> str:
     s1, s2, s3 = _FUNNEL_STEPS
     return f"""
@@ -7585,6 +7638,7 @@ QUERIES: dict[str, Callable] = {
     "events_interval_orders": q_events_interval_orders,
     "funnel_depths": q_funnel_depths,
     "price_tier_rollup": q_price_tier_rollup,
+    "event_transitions": q_event_transitions,
     "topk_docs_per_host": q_topk_docs_per_host,
     "tfidf_scores": q_tfidf_scores,
     "grouped_median_qty": q_grouped_median_qty,
@@ -7718,6 +7772,7 @@ ORACLES: dict[str, str] = {
     "events_interval_orders": _sql_events_interval_orders(),
     "funnel_depths": _sql_funnel_depths(),
     "price_tier_rollup": _sql_price_tier_rollup(),
+    "event_transitions": _sql_event_transitions(),
     "topk_docs_per_host": _sql_topk_docs_per_host(),
     "tfidf_scores": _sql_tfidf_scores(),
     "grouped_median_qty": _sql_grouped_median_qty(),

@@ -108,3 +108,75 @@ def funnel_steps(
     # dataset schema (the interval-join quirk)
     seed = ray.data.from_arrow(out_schema.empty_table())
     return seed.union(grouped)
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Markov transition mining: global counts of consecutive
+    (from_type → to_type) event pairs within each key's timeline —
+    the session-flow / clickstream-graph shape. Order within a key is
+    the TOTAL order (ts, id): the id tie-break makes the sequence (and
+    therefore every count) deterministic when timestamps collide
+    (CLAUDE.md tie-completeness rule).
+
+    ONE key-bucket shuffle (adjacent events of one key can straddle
+    blocks, so blockwise counting would drop boundary transitions); each
+    bucket lexsorts once and reduces its transitions to per-pair partial
+    counts in Arrow; the global finish is the adaptive combine over the
+    (small) type-pair key space. Returns
+    (from_type:string, to_type:string, n:int64), sorted."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+    from gis_scripts_ray.stages.windows import _bucket_of
+
+    out_schema = pa.schema(
+        [
+            pa.field("from_type", pa.string()),
+            pa.field("to_type", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch.select([key_col, ts_col, id_col, type_col])
+        return b.append_column(
+            "_bk", pa.array(_bucket_of(b[key_col], num_buckets), pa.int64())
+        )
+
+    def count_group(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return out_schema.empty_table()
+        key = g[key_col].to_numpy().astype(np.int64, copy=False)
+        ts = g[ts_col].to_numpy().astype(np.int64, copy=False)
+        ids = g[id_col].to_numpy().astype(np.int64, copy=False)
+        order = np.lexsort((ids, ts, key))
+        same = key[order][1:] == key[order][:-1]
+        typ = g[type_col].take(pa.array(order))
+        t = pa.table(
+            {
+                "from_type": typ.slice(0, n - 1).combine_chunks(),
+                "to_type": typ.slice(1, n - 1).combine_chunks(),
+                "n": pa.array(np.ones(n - 1, np.int64)),
+            }
+        ).filter(pa.array(same))
+        return (
+            t.group_by(["from_type", "to_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["from_type", "to_type", "n"])
+        )
+
+    grouped = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(count_group, batch_format="pyarrow")
+    )
+    seed = ray.data.from_arrow(out_schema.empty_table())
+    return coalesce_shuffle_agg(
+        seed.union(grouped), ["from_type", "to_type"], {"n": "sum"}
+    ).sort(["from_type", "to_type"])

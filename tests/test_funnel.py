@@ -116,3 +116,84 @@ class TestFunnel:
             "step2_us",
             "step3_us",
         ]
+
+
+class TestTransitionCounts:
+    """transition_counts: Markov pair counts vs a per-key oracle."""
+
+    def _mk(self, seed, n=3000, keys=29, ts_range=80):
+        # small ts range forces plenty of (key, ts) collisions so the
+        # event_id tie-break is genuinely exercised
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "uid": pa.array(rng.integers(0, keys, n), pa.int64()),
+                "us": pa.array(rng.integers(0, ts_range, n), pa.int64()),
+                "eid": pa.array(rng.permutation(n), pa.int64()),
+                "etype": pa.array(rng.choice(TYPES, n), pa.string()),
+            }
+        )
+
+    def _ref(self, table):
+        rows = sorted(
+            zip(
+                table["uid"].to_pylist(),
+                table["us"].to_pylist(),
+                table["eid"].to_pylist(),
+                table["etype"].to_pylist(),
+            )
+        )
+        out = {}
+        for (u1, _, _, e1), (u2, _, _, e2) in zip(rows, rows[1:]):
+            if u1 == u2:
+                out[(e1, e2)] = out.get((e1, e2), 0) + 1
+        return out
+
+    def _run(self, table, **kw):
+        from gis_scripts_ray.stages.funnel import transition_counts
+
+        df = transition_counts(
+            ray.data.from_arrow(table), "uid", "us", "eid", "etype", **kw
+        ).to_pandas()
+        return {
+            (r["from_type"], r["to_type"]): int(r["n"])
+            for _, r in df.iterrows()
+        }
+
+    def test_matches_reference(self, ray_session):
+        t = self._mk(seed=3)
+        assert self._run(t, num_buckets=8) == self._ref(t)
+
+    def test_block_boundaries_dont_drop_transitions(self, ray_session):
+        """Counts must be block-structure-independent: the same input in
+        one block and in many 50-row blocks gives identical counts."""
+        from gis_scripts_ray.stages.funnel import transition_counts
+
+        t = self._mk(seed=7, n=700, keys=5)
+        one = self._run(t, num_buckets=4)
+        import ray as _ray
+
+        many = transition_counts(
+            _ray.data.from_arrow(t).repartition(14),
+            "uid",
+            "us",
+            "eid",
+            "etype",
+            num_buckets=4,
+        ).to_pandas()
+        many_d = {
+            (r["from_type"], r["to_type"]): int(r["n"])
+            for _, r in many.iterrows()
+        }
+        assert one == many_d == self._ref(t)
+
+    def test_single_event_keys_no_output(self, ray_session):
+        t = pa.table(
+            {
+                "uid": pa.array([1, 2, 3], pa.int64()),
+                "us": pa.array([5, 5, 5], pa.int64()),
+                "eid": pa.array([0, 1, 2], pa.int64()),
+                "etype": pa.array(["view", "click", "view"], pa.string()),
+            }
+        )
+        assert self._run(t) == {}
