@@ -1330,6 +1330,69 @@ GROUP BY from_type, nxt ORDER BY from_type, to_type
 """
 
 
+_SESS_GAP_US = 21_600_000_000  # 6 hours
+_SESS_PATHS_K = 20
+
+
+def q_session_paths_topk(sf_dir: str):
+    """Top-k session paths (``funnel.session_paths_topk``): events
+    sessionize per user on a 6-hour inactivity gap, each session's
+    event types join into a '>'-separated path in (ts, event_id) total
+    order, and the 20 most frequent paths rank (n DESC, path ASC). One
+    key shuffle, vectorized per-bucket sessionize + ListArray path
+    build, adaptive combine, top-k fold. The twin derives session ids
+    with a LAG/SUM window cascade and builds the same ordered
+    string_agg, so a boundary, ordering or tie defect hash-mismatches.
+
+    Output: (path, n), the top 20."""
+    from gis_scripts_ray.stages.asof import timestamp_to_us
+    from gis_scripts_ray.stages.funnel import session_paths_topk
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "us": timestamp_to_us(batch["ts"]),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return session_paths_topk(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        "us",
+        "event_id",
+        "event_type",
+        gap_us=_SESS_GAP_US,
+        k=_SESS_PATHS_K,
+        num_buckets=48,
+    )
+
+
+def _sql_session_paths_topk() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id, event_type
+  FROM events),
+d AS (SELECT *, CASE WHEN us - LAG(us) OVER w > {_SESS_GAP_US}
+                     OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM d),
+p AS (SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      FROM s GROUP BY user_id, sid),
+c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path)
+SELECT path, n FROM c ORDER BY n DESC, path ASC LIMIT {_SESS_PATHS_K}
+"""
+
+
 def _sql_funnel_depths() -> str:
     s1, s2, s3 = _FUNNEL_STEPS
     return f"""
@@ -7639,6 +7702,7 @@ QUERIES: dict[str, Callable] = {
     "funnel_depths": q_funnel_depths,
     "price_tier_rollup": q_price_tier_rollup,
     "event_transitions": q_event_transitions,
+    "session_paths_topk": q_session_paths_topk,
     "topk_docs_per_host": q_topk_docs_per_host,
     "tfidf_scores": q_tfidf_scores,
     "grouped_median_qty": q_grouped_median_qty,
@@ -7773,6 +7837,7 @@ ORACLES: dict[str, str] = {
     "funnel_depths": _sql_funnel_depths(),
     "price_tier_rollup": _sql_price_tier_rollup(),
     "event_transitions": _sql_event_transitions(),
+    "session_paths_topk": _sql_session_paths_topk(),
     "topk_docs_per_host": _sql_topk_docs_per_host(),
     "tfidf_scores": _sql_tfidf_scores(),
     "grouped_median_qty": _sql_grouped_median_qty(),

@@ -180,3 +180,97 @@ def transition_counts(
     return coalesce_shuffle_agg(
         seed.union(grouped), ["from_type", "to_type"], {"n": "sum"}
     ).sort(["from_type", "to_type"])
+
+
+def session_paths_topk(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap_us: int,
+    k: int = 20,
+    sep: str = ">",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k most frequent session paths ("top user journeys"): events
+    sessionize per key (a NEW session starts when the gap to the
+    previous event exceeds ``gap_us``), each session's event types join
+    into a path string in (ts, id) total order, and paths rank globally
+    by frequency (n DESC, path ASC).
+
+    ONE key-bucket shuffle; each bucket sessionizes and builds every
+    path vectorized — one lexsort, boundary flags, a ListArray rebuilt
+    from session offsets and ONE ``binary_join`` (no Python over
+    sessions) — then reduces to per-path partial counts; the global
+    finish is the adaptive combine + the engine's top-k fold. Path
+    cardinality is bounded by the type-alphabet branching, not the
+    corpus, so the combine output stays small; the k-row result is the
+    only driver-sized object. Returns (path:string, n:int64)."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+    from gis_scripts_ray.stages.topk import topk_per_group
+    from gis_scripts_ray.stages.windows import _bucket_of
+
+    out_schema = pa.schema(
+        [pa.field("path", pa.string()), pa.field("n", pa.int64())]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = batch.select([key_col, ts_col, id_col, type_col])
+        return b.append_column(
+            "_bk", pa.array(_bucket_of(b[key_col], num_buckets), pa.int64())
+        )
+
+    def paths_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = g.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        key = g[key_col].to_numpy().astype(np.int64, copy=False)
+        ts = g[ts_col].to_numpy().astype(np.int64, copy=False)
+        ids = g[id_col].to_numpy().astype(np.int64, copy=False)
+        order = np.lexsort((ids, ts, key))
+        k_s, t_s = key[order], ts[order]
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (k_s[1:] != k_s[:-1]) | (t_s[1:] - t_s[:-1] > gap_us)
+        offs = np.append(np.flatnonzero(brk), n).astype(np.int64)
+        types_sorted = g[type_col].take(pa.array(order)).combine_chunks()
+        lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), types_sorted)
+        t = pa.table(
+            {
+                "path": pc.binary_join(lst, sep).cast(pa.string()),
+                "n": pa.array(np.ones(len(offs) - 1, np.int64)),
+            }
+        )
+        return (
+            t.group_by(["path"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["path", "n"])
+        )
+
+    grouped = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bk")
+        .map_groups(paths_group, batch_format="pyarrow")
+    )
+    seed = ray.data.from_arrow(out_schema.empty_table())
+    counts = coalesce_shuffle_agg(seed.union(grouped), ["path"], {"n": "sum"})
+
+    def add_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_g", pa.array(np.zeros(batch.num_rows, np.int64))
+        )
+
+    top = topk_per_group(
+        counts.map_batches(add_g, batch_format="pyarrow"), "_g", "n", "path", k
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "path": b["path"].combine_chunks().cast(pa.string()),
+                "n": b["n"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

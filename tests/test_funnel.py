@@ -197,3 +197,90 @@ class TestTransitionCounts:
             }
         )
         assert self._run(t) == {}
+
+
+class TestSessionPaths:
+    """session_paths_topk: top user journeys vs a per-key oracle."""
+
+    def _ref(self, table, gap, k):
+        rows = sorted(
+            zip(
+                table["uid"].to_pylist(),
+                table["us"].to_pylist(),
+                table["eid"].to_pylist(),
+                table["etype"].to_pylist(),
+            )
+        )
+        paths = {}
+        cur, prev = None, None
+        for u, t, _, e in rows:
+            if prev is None or u != prev[0] or t - prev[1] > gap:
+                if cur is not None:
+                    paths[cur] = paths.get(cur, 0) + 1
+                cur = e
+            else:
+                cur = f"{cur}>{e}"
+            prev = (u, t)
+        if cur is not None:
+            paths[cur] = paths.get(cur, 0) + 1
+        top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return top
+
+    def _run(self, table, gap, k, **kw):
+        from gis_scripts_ray.stages.funnel import session_paths_topk
+
+        df = session_paths_topk(
+            ray.data.from_arrow(table), "uid", "us", "eid", "etype", gap, k, **kw
+        ).to_pandas()
+        return sorted(
+            zip(df["path"], df["n"].astype(int)), key=lambda kv: (-kv[1], kv[0])
+        )
+
+    def _mk(self, seed, n=2500, keys=31, ts_range=400):
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "uid": pa.array(rng.integers(0, keys, n), pa.int64()),
+                "us": pa.array(rng.integers(0, ts_range, n), pa.int64()),
+                "eid": pa.array(rng.permutation(n), pa.int64()),
+                "etype": pa.array(rng.choice(TYPES, n), pa.string()),
+            }
+        )
+
+    def test_matches_reference(self, ray_session):
+        t = self._mk(seed=3)
+        assert self._run(t, 12, 15, num_buckets=8) == self._ref(t, 12, 15)
+
+    def test_gap_boundary_exact(self, ray_session):
+        """Gap EXACTLY equal to the threshold stays in-session (strict >)."""
+        t = pa.table(
+            {
+                "uid": pa.array([1, 1, 1], pa.int64()),
+                "us": pa.array([0, 10, 21], pa.int64()),
+                "eid": pa.array([0, 1, 2], pa.int64()),
+                "etype": pa.array(["view", "click", "purchase"], pa.string()),
+            }
+        )
+        got = self._run(t, 10, 5)
+        assert got == [("purchase", 1), ("view>click", 1)]
+
+    def test_block_structure_invariant(self, ray_session):
+        from gis_scripts_ray.stages.funnel import session_paths_topk
+
+        t = self._mk(seed=9, n=800, keys=7)
+        one = self._run(t, 15, 10, num_buckets=4)
+        many = session_paths_topk(
+            ray.data.from_arrow(t).repartition(16),
+            "uid",
+            "us",
+            "eid",
+            "etype",
+            15,
+            10,
+            num_buckets=4,
+        ).to_pandas()
+        many_s = sorted(
+            zip(many["path"], many["n"].astype(int)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        assert one == many_s == self._ref(t, 15, 10)
