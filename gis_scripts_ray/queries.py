@@ -5997,14 +5997,18 @@ def q_pdf_text_tokens(sf_dir: str):
             toks = [f"t{(d * 31 + k * 17) % 1000}" for k in range(12)]
             lines = [" ".join(toks[j : j + 4]) for j in range(0, 12, 4)]
             text = "\n".join(lines) + "\nh(x)\\y"
-            # doc_id%3==2 rows ship RC4-ENCRYPTED (standard security
-            # handler, alternating rev 2/3 via %2) — decoded_ok is
-            # asserted downstream, so the oracle proves real decryption
+            # doc_id%3==2 rows ship ENCRYPTED (standard security
+            # handler, cycling rev 2/3 RC4, rev 4 AESV2, rev 5 AESV3
+            # via (d//3)%4) — decoded_ok is asserted downstream, so the
+            # oracle proves real decryption on all four cipher paths
+            # (rev 6's hardened ~1 s/doc KDF stays unit-test-covered)
             blobs.append(
                 encode_pdf_text(
                     text,
                     compress=(d % 2 == 0),
-                    encrypt_rev=(2 + d % 2) if d % 3 == 2 else None,
+                    encrypt_rev=(2, 3, 4, 5)[(d // 3) % 4]
+                    if d % 3 == 2
+                    else None,
                 )
             )
         return pa.table(

@@ -5,17 +5,20 @@ PDFs are the most common non-HTML text carrier. This module extracts
 the text layer from PDFs whose content streams are stored raw or
 FlateDecode-compressed (stdlib zlib — the same inflate the PNG decoder
 uses), which covers the vast majority of digitally-authored PDFs.
-RC4-encrypted documents (standard security handler revisions 2-3 with
-an empty user password — the owner-password-only case that dominates
-encrypted web PDFs) decrypt for REAL: stdlib MD5 + the ISO 32000-1
-§7.6.3 algorithms (file key, per-object key, /U verification) + a
-pure-Python RC4 pinned against the public RFC 6229 / folklore test
-vectors. What it is NOT: a renderer (no fonts, no layout, no OCR) —
-image-only/scanned PDFs yield empty text; AES (``/V >= 4``),
-non-Standard handlers, and genuinely password-protected documents
-raise ``NotImplementedError`` (the remaining crypto boundary).
-Malformed structure raises ValueError (quarantined, never silent — the
-multimodal decode contract).
+Encrypted documents (standard security handler with an empty user
+password — the owner-password-only case that dominates encrypted web
+PDFs) decrypt for REAL across EVERY published revision: RC4 V1/R2 and
+V2/R3 (stdlib MD5 + the ISO 32000-1 §7.6.3 algorithms + a pure-Python
+RC4 pinned against the public RFC 6229 vectors), AESV2 crypt filters
+V4/R4 (per-object ``sAlT`` key, CBC + PKCS#7), and AES-256 AESV3
+V5/R5-R6 including the hardened R6 iterated KDF (``functions/aes.py``
+— a from-first-principles FIPS-197 implementation pinned against the
+FIPS-197 Appendix C and NIST SP 800-38A known-answer vectors). What it
+is NOT: a renderer (no fonts, no layout, no OCR) — image-only/scanned
+PDFs yield empty text; non-Standard handlers and genuinely
+password-protected documents raise ``NotImplementedError`` (the
+remaining boundary). Malformed structure raises ValueError
+(quarantined, never silent — the multimodal decode contract).
 
 Mechanics (ISO 32000 subset):
 
@@ -46,6 +49,8 @@ import zlib
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from gis_scripts_ray.functions import aes as _aes
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 _STREAM_RE = re.compile(rb"stream(?:\r\n|\n|\r)")
@@ -140,11 +145,23 @@ def _pad_password(pw: bytes) -> bytes:
 
 
 def _std_file_key(
-    password: bytes, o_entry: bytes, p: int, id0: bytes, n: int, rev: int
+    password: bytes,
+    o_entry: bytes,
+    p: int,
+    id0: bytes,
+    n: int,
+    rev: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the file encryption key (first ``n`` bytes)."""
+    """Algorithm 2: the file encryption key (first ``n`` bytes). For
+    rev 4 with ``/EncryptMetadata false`` the spec appends 0xFFFFFFFF to
+    the digest input."""
     h = hashlib.md5(
-        _pad_password(password) + o_entry[:32] + struct.pack("<i", p) + id0
+        _pad_password(password)
+        + o_entry[:32]
+        + struct.pack("<i", p)
+        + id0
+        + (b"" if encrypt_metadata or rev < 4 else b"\xff\xff\xff\xff")
     ).digest()
     if rev >= 3:
         for _ in range(50):
@@ -162,14 +179,38 @@ def _std_user_check(key: bytes, id0: bytes, rev: int) -> bytes:
     return enc  # compare the first 16 bytes only (rev 3)
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key. AESV2 appends the spec's ``sAlT``
+    marker bytes to the digest input; AESV3 (/V 5) never calls this — the
+    file key is used directly."""
     h = hashlib.md5(
         file_key
         + struct.pack("<I", num)[:3]
         + struct.pack("<I", gen)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the hardened SHA-2/AES password hash
+    for revision 6 (revision 5, the deprecated Adobe extension, is the
+    plain first line). ``udata`` is the 48-byte /U entry when hashing an
+    owner password, empty for a user password. The CBC input is the
+    64-fold repetition of (pwd + K + udata), always a block multiple."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], k1)
+        k = (
+            hashlib.sha256,
+            hashlib.sha384,
+            hashlib.sha512,
+        )[int.from_bytes(e[:16], "big") % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _parse_pdf_string(body: bytes, pos: int) -> "tuple[bytes, int]":
@@ -197,9 +238,11 @@ def _dict_int(body: bytes, name: bytes, default: "int | None" = None) -> int:
 def _build_decryptor(payload: bytes):
     """Resolve the /Encrypt dictionary and return ``decrypt(num, gen,
     raw)`` for the standard security handler with an EMPTY user password
-    (the overwhelmingly common owner-password-only case). Raises
-    ``NotImplementedError`` for AES (/V >= 4), non-Standard handlers,
-    and password-protected documents (wrong /U for the empty password) —
+    (the overwhelmingly common owner-password-only case). Covers every
+    published revision: RC4 (V1/R2, V2/R3), AESV2 crypt filters (V4/R4),
+    and AES-256 AESV3 (V5/R5 and the hardened V5/R6). Raises
+    ``NotImplementedError`` for non-Standard handlers and genuinely
+    password-protected documents (wrong /U for the empty password) —
     the remaining documented boundary."""
     ref = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload)
     if ref is None:
@@ -219,30 +262,86 @@ def _build_decryptor(payload: bytes):
         raise NotImplementedError("pdf: non-Standard security handler")
     v = _dict_int(body, b"/V", 0)
     rev = _dict_int(body, b"/R")
-    if v not in (1, 2) or rev not in (2, 3):
+    if (v, rev) not in ((1, 2), (2, 3), (4, 4), (5, 5), (5, 6)):
         raise NotImplementedError(
-            f"pdf: encryption V={v} R={rev} (AES/crypt-filters) needs a "
-            "crypto provider not present in this environment"
+            f"pdf: encryption V={v} R={rev} is outside the standard "
+            "security handler's published revisions"
         )
-    p = _dict_int(body, b"/P")
-    n = 5 if v == 1 else _dict_int(body, b"/Length", 40) // 8
     om = re.search(rb"/O\s*(?=[(<])", body)
     um = re.search(rb"/U\s*(?=[(<])", body)
     if om is None or um is None:
         raise ValueError("pdf: Encrypt dict missing /O or /U")
     o_entry, _ = _parse_pdf_string(body, om.end())
     u_entry, _ = _parse_pdf_string(body, um.end())
+
+    if v == 5:
+        # AESV3 (AES-256): ISO 32000-2 Algorithms 2.A/8/9 — validate the
+        # EMPTY user password against /U, then unwrap the file key from
+        # /UE. R5 is the single-SHA-256 Adobe extension, R6 the hardened
+        # iterated KDF. The file key is used DIRECTLY per object.
+        uem = re.search(rb"/UE\s*(?=[(<])", body)
+        if uem is None or len(u_entry) < 48:
+            raise ValueError("pdf: V5 Encrypt dict missing /UE or short /U")
+        ue_entry, _ = _parse_pdf_string(body, uem.end())
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if rev == 5:
+            want = hashlib.sha256(b"" + vsalt).digest()
+            ikey = hashlib.sha256(b"" + ksalt).digest()
+        else:
+            want = _r6_hash(b"", vsalt)
+            ikey = _r6_hash(b"", ksalt)
+        if want != u_entry[:32]:
+            raise NotImplementedError(
+                "pdf: password-protected document "
+                "(empty user password rejected)"
+            )
+        file_key = _aes.cbc_decrypt(ikey, b"\x00" * 16, ue_entry[:32])
+
+        def decrypt_v5(onum: int, ogen: int, raw: bytes) -> bytes:
+            if len(raw) < 16 or (len(raw) - 16) % 16:
+                raise ValueError("pdf: bad AES stream length")
+            return _aes.pkcs7_unpad(
+                _aes.cbc_decrypt(file_key, raw[:16], raw[16:])
+            )
+
+        return decrypt_v5
+
+    use_aes = False
+    if v == 4:
+        # crypt filters: the stream/string filter named by /StmF (default
+        # /Identity) must be a /CF entry whose /CFM is V2 (RC4) or AESV2.
+        cfm = re.search(rb"/CFM\s*/(\w+)", body)
+        if cfm is None or cfm.group(1) not in (b"V2", b"AESV2"):
+            raise NotImplementedError(
+                "pdf: V4 crypt filter without a V2/AESV2 /CFM"
+            )
+        use_aes = cfm.group(1) == b"AESV2"
+    p = _dict_int(body, b"/P")
+    n = 5 if v == 1 else _dict_int(body, b"/Length", 40 if v == 2 else 128) // 8
+    enc_meta = re.search(rb"/EncryptMetadata\s+false", body) is None
     idm = re.search(rb"/ID\s*\[", payload)
     id0 = b""
     if idm is not None:
         id0, _ = _parse_pdf_string(payload, idm.end())
-    key = _std_file_key(b"", o_entry, p, id0, n, rev)
+    key = _std_file_key(b"", o_entry, p, id0, n, rev, enc_meta)
     want = _std_user_check(key, id0, rev)
     got = u_entry
     if (want[:16] if rev >= 3 else want) != (got[:16] if rev >= 3 else got):
         raise NotImplementedError(
             "pdf: password-protected document (empty user password rejected)"
         )
+
+    if use_aes:
+
+        def decrypt_aes(onum: int, ogen: int, raw: bytes) -> bytes:
+            if len(raw) < 16 or (len(raw) - 16) % 16:
+                raise ValueError("pdf: bad AES stream length")
+            okey = _object_key(key, onum, ogen, aes=True)
+            return _aes.pkcs7_unpad(
+                _aes.cbc_decrypt(okey, raw[:16], raw[16:])
+            )
+
+        return decrypt_aes
 
     def decrypt(onum: int, ogen: int, raw: bytes) -> bytes:
         return rc4_crypt(_object_key(key, onum, ogen), raw)
@@ -360,13 +459,13 @@ def extract_content_text(stream: bytes) -> str:
 
 def decode_pdf_text(payload: bytes) -> str:
     """Extract the text layer of a PDF (raw or FlateDecode content
-    streams). RC4-encrypted documents (standard security handler,
-    revisions 2-3, V 1-2) with an EMPTY user password decrypt for real
-    (stdlib MD5 + the spec's Algorithms 1/2/4/5 — the owner-password-only
-    case that dominates encrypted web PDFs); AES (/V >= 4), non-Standard
-    handlers, and genuinely password-protected documents raise
-    ``NotImplementedError`` (the remaining crypto boundary). Malformed
-    structure raises ValueError."""
+    streams). Encrypted documents (standard security handler) with an
+    EMPTY user password decrypt for real across every published
+    revision — RC4 (V1/R2, V2/R3), AESV2 (V4/R4), AES-256 AESV3
+    (V5/R5-R6) — the owner-password-only case that dominates encrypted
+    web PDFs. Non-Standard handlers and genuinely password-protected
+    documents raise ``NotImplementedError`` (the remaining boundary).
+    Malformed structure raises ValueError."""
     if payload is None or not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     decrypt = _build_decryptor(payload) if b"/Encrypt" in payload else None
@@ -389,10 +488,13 @@ def encode_pdf_text(
     uses ``Tm`` (no newline in the scanner) and ``T*`` between lines
     (exactly one newline each); parens and backslashes are escaped.
     ``compress=True`` stores the content stream FlateDecode.
-    ``encrypt_rev`` = 2 (RC4 40-bit, V1) or 3 (RC4 128-bit, V2) encrypts
-    the content stream under the standard security handler with an empty
-    user password and ``owner_pw`` as the owner password (Algorithm 3) —
-    deterministic: the /ID derives from the content bytes."""
+    ``encrypt_rev`` = 2 (RC4 40-bit, V1), 3 (RC4 128-bit, V2), 4
+    (AES-128 AESV2 crypt filter, V4), 5 or 6 (AES-256 AESV3, V5 —
+    rev 6 runs the hardened iterated KDF, deliberately ~1 s/call)
+    encrypts the content stream under the standard security handler
+    with an empty user password and ``owner_pw`` as the owner password
+    — deterministic: /ID, AES IVs and AESV3 salts/file key all derive
+    from the content bytes."""
     def esc(line: str) -> bytes:
         b = line.encode("latin-1")
         return b.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
@@ -412,35 +514,95 @@ def encode_pdf_text(
     trailer_extra = b""
     enc_obj = None
     if encrypt_rev is not None:
-        if encrypt_rev not in (2, 3):
-            raise ValueError("encrypt_rev must be 2 or 3")
+        if encrypt_rev not in (2, 3, 4, 5, 6):
+            raise ValueError(
+                "encrypt_rev must be 2, 3, 4 (AESV2), 5 or 6 (AESV3)"
+            )
         rev = encrypt_rev
-        v, n = (1, 5) if rev == 2 else (2, 16)
         p = -44
         id0 = hashlib.md5(body + b"gis_scripts_ray/id").digest()
-        # Algorithm 3: the /O entry from the owner password
-        oh = hashlib.md5(_pad_password(owner_pw or b"")).digest()
-        if rev >= 3:
-            for _ in range(50):
-                oh = hashlib.md5(oh).digest()
-        okey = oh[:n]
-        o_entry = rc4_crypt(okey, _pad_password(b""))
-        if rev >= 3:
-            for i in range(1, 20):
-                o_entry = rc4_crypt(bytes(b ^ i for b in okey), o_entry)
-        key = _std_file_key(b"", o_entry, p, id0, n, rev)
-        u_entry = _std_user_check(key, id0, rev)
-        if rev >= 3:
-            u_entry = u_entry + b"\x00" * 16  # 32-byte slot, 16 compared
-        body = rc4_crypt(_object_key(key, 5, 0), body)  # stream is obj 5
-        enc_obj = (
-            b"<< /Filter /Standard /V " + str(v).encode()
-            + b" /R " + str(rev).encode()
-            + (b"" if rev == 2 else b" /Length " + str(n * 8).encode())
-            + b" /O <" + o_entry.hex().encode() + b">"
-            + b" /U <" + u_entry.hex().encode() + b">"
-            + b" /P " + str(p).encode() + b" >>"
-        )
+        if rev >= 5:
+            # AESV3: deterministic salts/key derived from the content so
+            # the fixture writer stays byte-reproducible. R5 hashes are
+            # single SHA-256 (the deprecated Adobe extension); R6 runs
+            # the hardened iterated KDF.
+            def kdf(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+                if rev == 5:
+                    return hashlib.sha256(pw + salt + udata).digest()
+                return _r6_hash(pw, salt, udata)
+
+            file_key = hashlib.sha256(body + b"gis/r6-filekey").digest()
+            vsalt = hashlib.sha256(body + b"gis/r6-vs").digest()[:8]
+            ksalt = hashlib.sha256(body + b"gis/r6-ks").digest()[:8]
+            u_entry = kdf(b"", vsalt) + vsalt + ksalt
+            ue_entry = _aes.cbc_encrypt(
+                kdf(b"", ksalt), b"\x00" * 16, file_key
+            )
+            ovs = hashlib.sha256(body + b"gis/r6-ovs").digest()[:8]
+            oks = hashlib.sha256(body + b"gis/r6-oks").digest()[:8]
+            opw = (owner_pw or b"")[:127]
+            o_entry = kdf(opw, ovs, u_entry) + ovs + oks
+            oe_entry = _aes.cbc_encrypt(
+                kdf(opw, oks, u_entry), b"\x00" * 16, file_key
+            )
+            perms = (
+                struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb"
+                + b"gis!"
+            )
+            perms_enc = _aes.ecb_encrypt_blocks(
+                np.frombuffer(perms, dtype=np.uint8).reshape(1, 16),
+                _aes.key_expansion(file_key),
+            ).tobytes()
+            iv = hashlib.md5(id0 + b"gis/aes-iv").digest()
+            body = iv + _aes.cbc_encrypt(file_key, iv, _aes.pkcs7_pad(body))
+            enc_obj = (
+                b"<< /Filter /Standard /V 5 /R " + str(rev).encode()
+                + b" /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                + b" /O <" + o_entry.hex().encode() + b">"
+                + b" /U <" + u_entry.hex().encode() + b">"
+                + b" /OE <" + oe_entry.hex().encode() + b">"
+                + b" /UE <" + ue_entry.hex().encode() + b">"
+                + b" /Perms <" + perms_enc.hex().encode() + b">"
+                + b" /P " + str(p).encode() + b" >>"
+            )
+        else:
+            v, n = {2: (1, 5), 3: (2, 16), 4: (4, 16)}[rev]
+            # Algorithm 3: the /O entry from the owner password
+            oh = hashlib.md5(_pad_password(owner_pw or b"")).digest()
+            if rev >= 3:
+                for _ in range(50):
+                    oh = hashlib.md5(oh).digest()
+            okey = oh[:n]
+            o_entry = rc4_crypt(okey, _pad_password(b""))
+            if rev >= 3:
+                for i in range(1, 20):
+                    o_entry = rc4_crypt(bytes(b ^ i for b in okey), o_entry)
+            key = _std_file_key(b"", o_entry, p, id0, n, rev)
+            u_entry = _std_user_check(key, id0, rev)
+            if rev >= 3:
+                u_entry = u_entry + b"\x00" * 16  # 32-byte slot, 16 compared
+            if rev == 4:
+                iv = hashlib.md5(id0 + b"gis/aes-iv").digest()
+                okey_aes = _object_key(key, 5, 0, aes=True)  # stream is obj 5
+                body = iv + _aes.cbc_encrypt(okey_aes, iv, _aes.pkcs7_pad(body))
+            else:
+                body = rc4_crypt(_object_key(key, 5, 0), body)  # obj 5
+            enc_obj = (
+                b"<< /Filter /Standard /V " + str(v).encode()
+                + b" /R " + str(rev).encode()
+                + (b"" if rev == 2 else b" /Length " + str(n * 8).encode())
+                + (
+                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                    if rev == 4
+                    else b""
+                )
+                + b" /O <" + o_entry.hex().encode() + b">"
+                + b" /U <" + u_entry.hex().encode() + b">"
+                + b" /P " + str(p).encode() + b" >>"
+            )
         trailer_extra = (
             b" /Encrypt 6 0 R /ID [<" + id0.hex().encode() + b"> <"
             + id0.hex().encode() + b">]"

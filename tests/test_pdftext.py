@@ -163,15 +163,137 @@ class TestPdfEncryption:
         with _pytest.raises(NotImplementedError):
             decode_pdf_text(bad)
 
-    def test_aes_stays_boundary(self):
+    def test_unknown_cfm_stays_boundary(self):
+        # V4 with a crypt filter this handler doesn't know (e.g. a
+        # nonstandard CFM) must still raise, never silently misdecrypt
         import re as _re
 
         import pytest as _pytest
 
-        pdf = encode_pdf_text("x", encrypt_rev=3)
-        aes = _re.sub(rb"/V 2 /R 3", rb"/V 4 /R 4", pdf)
+        pdf = encode_pdf_text("x", encrypt_rev=4)
+        weird = _re.sub(rb"/CFM /AESV2", rb"/CFM /AESV9", pdf)
         with _pytest.raises(NotImplementedError):
-            decode_pdf_text(aes)
+            decode_pdf_text(weird)
+
+    def test_aes_encrypted_roundtrip(self):
+        text = "hello (AES) world\\x\nsecond line"
+        for rev in (4, 5):
+            for comp in (False, True):
+                pdf = encode_pdf_text(text, compress=comp, encrypt_rev=rev)
+                assert b"/Encrypt" in pdf
+                assert (b"/AESV2" if rev == 4 else b"/AESV3") in pdf
+                assert decode_pdf_text(pdf) == text, (rev, comp)
+                assert pdf != encode_pdf_text(text, compress=comp)
+                # deterministic fixture writer
+                assert pdf == encode_pdf_text(
+                    text, compress=comp, encrypt_rev=rev
+                )
+
+    def test_aesv3_r6_hardened_kdf_roundtrip(self):
+        # rev 6 runs the iterated 2.B KDF (~1 s/call by design)
+        text = "r6 (secret)\nline"
+        pdf = encode_pdf_text(text, compress=True, encrypt_rev=6)
+        assert b"/R 6" in pdf and b"/UE <" in pdf
+        assert decode_pdf_text(pdf) == text
+
+    def test_aes_password_protected_stays_boundary(self):
+        import re as _re
+
+        import pytest as _pytest
+
+        for rev in (4, 5):
+            pdf = encode_pdf_text("secret", encrypt_rev=rev)
+            bad = _re.sub(rb"/U <([0-9a-f]{4})", rb"/U <beef", pdf)
+            assert bad != pdf
+            with _pytest.raises(NotImplementedError):
+                decode_pdf_text(bad)
+
+    def test_aes_stage_decodes_encrypted_rows(self):
+        t = pa.table(
+            {
+                "doc": pa.array([1, 2], pa.int64()),
+                "pdf": pa.array(
+                    [
+                        encode_pdf_text("aes (v2)", encrypt_rev=4),
+                        encode_pdf_text(
+                            "aes v3\nline", compress=True, encrypt_rev=5
+                        ),
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        df = PdfTextStage("pdf")(t).to_pandas()
+        assert df["pdf_text"].tolist() == ["aes (v2)", "aes v3\nline"]
+        assert df["decoded_ok"].tolist() == [True, True]
+
+
+class TestAesCipher:
+    """FIPS-197 Appendix C + NIST SP 800-38A known-answer vectors for
+    the from-first-principles AES in functions/aes.py — the S-box and
+    GF tables are COMPUTED, so these vectors pin the whole derivation."""
+
+    def test_fips197_appendix_c_all_key_sizes(self):
+        from gis_scripts_ray.functions import aes
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        for klen, want in [
+            (16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+            (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+            (32, "8ea2b7ca516745bfeafc49904b496089"),
+        ]:
+            rk = aes.key_expansion(bytes(range(klen)))
+            blocks = np.frombuffer(pt, dtype=np.uint8).reshape(1, 16)
+            ct = aes.ecb_encrypt_blocks(blocks, rk).tobytes()
+            assert ct.hex() == want, klen
+            back = aes.ecb_decrypt_blocks(
+                np.frombuffer(ct, dtype=np.uint8).reshape(1, 16), rk
+            ).tobytes()
+            assert back == pt
+
+    def test_sp800_38a_cbc_aes128(self):
+        from gis_scripts_ray.functions import aes
+
+        key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+        iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex(
+            "6bc1bee22e409f96e93d7e117393172a"
+            "ae2d8a571e03ac9c9eb76fac45af8e51"
+            "30c81c46a35ce411e5fbc1191a0a52ef"
+            "f69f2445df4f9b17ad2b417be66c3710"
+        )
+        ct = bytes.fromhex(
+            "7649abac8119b246cee98e9b12e9197d"
+            "5086cb9b507219ee95db113a917678b2"
+            "73bed6b8e3c1743b7116e69e22229516"
+            "3ff1caa1681fac09120eca307586e1a7"
+        )
+        assert aes.cbc_encrypt(key, iv, pt) == ct
+        assert aes.cbc_decrypt(key, iv, ct) == pt
+
+    def test_python_and_numpy_paths_agree(self):
+        # cbc_encrypt runs T-table Python ints, cbc_decrypt runs the
+        # vectorized numpy ECB — a multi-block roundtrip crosses both
+        from gis_scripts_ray.functions import aes
+
+        rng = np.random.default_rng(7)
+        for klen in (16, 24, 32):
+            key = bytes(rng.integers(0, 256, klen, dtype=np.uint8))
+            iv = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+            data = bytes(rng.integers(0, 256, 16 * 37, dtype=np.uint8))
+            assert aes.cbc_decrypt(key, iv, aes.cbc_encrypt(key, iv, data)) == data
+
+    def test_pkcs7(self):
+        from gis_scripts_ray.functions import aes
+
+        for n in range(0, 49):
+            d = bytes(range(n % 256))[:n]
+            p = aes.pkcs7_pad(d)
+            assert len(p) % 16 == 0 and aes.pkcs7_unpad(p) == d
+        with pytest.raises(ValueError):
+            aes.pkcs7_unpad(b"\x00" * 16)
+        with pytest.raises(ValueError):
+            aes.pkcs7_unpad(b"")
 
     def test_stage_decodes_encrypted_rows(self):
         t = pa.table(
