@@ -4958,6 +4958,64 @@ def _sql_pagerank_hosts() -> str:
     )
 
 
+def q_crawl_depths(sf_dir: str):
+    """Distributed BFS crawl depth over the derived host link graph
+    (round 5): the SAME edge derivation as ``pagerank_hosts`` (host =
+    doc_id // 16, Knuth-scatter destination), seeds = every 63rd host,
+    8 directed hops max. ``stages/bfs.py`` runs frontier-only rounds
+    (adaptive broadcast/join message delivery, one combine per round,
+    exact newly-labeled convergence count); the twin is a bounded
+    recursive CTE whose UNION-dedup + MIN(depth) is the same BFS.
+
+    Output: (depth, n_hosts) — the reachability histogram."""
+    from gis_scripts_ray.stages.bfs import bfs_depths
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    nh = (_id_shift(sf_dir, "documents", "doc_id") - 1) // 16 + 1
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        src = (d // np.uint64(16)).astype(np.int64)
+        dst = (
+            (d * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(nh)
+        ).astype(np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def seed_batch(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy()
+        return pa.table({"node": pa.array(ids[ids % 63 == 0], pa.int64())})
+
+    seeds = ray.data.range(nh).map_batches(seed_batch, batch_format="pyarrow")
+    dep = bfs_depths(
+        ds.map_batches(edges, batch_format="pyarrow"),
+        seeds,
+        max_rounds=8,
+    )
+    return cell_count(dep, ["depth"], alias="n_hosts")
+
+
+def _sql_crawl_depths() -> str:
+    return (
+        "WITH RECURSIVE "
+        "nh AS (SELECT MAX(doc_id) // 16 + 1 AS n FROM documents), "
+        "e AS (SELECT doc_id // 16 AS src, "
+        "CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "
+        "% (SELECT n FROM nh) AS BIGINT) AS dst FROM documents), "
+        "seeds AS (SELECT node FROM (SELECT unnest(generate_series(0, "
+        "(SELECT n - 1 FROM nh))) AS node) WHERE node % 63 = 0), "
+        "bfs AS (SELECT node, 0 AS depth FROM seeds "
+        "UNION "
+        "SELECT e.dst AS node, bfs.depth + 1 AS depth "
+        "FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.depth < 8), "
+        "md AS (SELECT node, MIN(depth) AS depth FROM bfs GROUP BY node) "
+        "SELECT CAST(depth AS BIGINT) AS depth, "
+        "CAST(COUNT(*) AS BIGINT) AS n_hosts FROM md GROUP BY depth"
+    )
+
+
 def q_audio_features(sf_dir: str):
     """REAL audio parse end-to-end: each doc gets a deterministic mono
     16-bit PCM WAV (64 samples, s_i = ((doc_id*13 + i*7) % 65536) -
@@ -7776,6 +7834,7 @@ QUERIES: dict[str, Callable] = {
     "robots_filter": q_robots_filter,
     "sitemap_urls": q_sitemap_urls,
     "pagerank_hosts": q_pagerank_hosts,
+    "crawl_depths": q_crawl_depths,
     "term_search_pushdown": q_term_search_pushdown,
     "lm_quality_scores": q_lm_quality_scores,
     "phrase_search_pushdown": q_phrase_search_pushdown,
@@ -7935,6 +7994,7 @@ ORACLES: dict[str, str] = {
     "robots_filter": _sql_robots_filter(),
     "sitemap_urls": _sql_sitemap_urls(),
     "pagerank_hosts": _sql_pagerank_hosts(),
+    "crawl_depths": _sql_crawl_depths(),
     "term_search_pushdown": _sql_term_search_pushdown(),
     "lm_quality_scores": _sql_lm_quality_scores(),
     "phrase_search_pushdown": _sql_phrase_search_pushdown(),
