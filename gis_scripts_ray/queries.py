@@ -3059,6 +3059,59 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval-union coverage (round 5): each event becomes an
+    interval [ts, ts + (event_id % 9 + 1) * 5e9 us] (durations straddle
+    the measured median inter-event gap, so islands genuinely merge);
+    ``stages/intervals.py`` merges per-block partials then one bucketed
+    final sweep. The twin is the classic gaps-and-islands window stack
+    (running MAX(e) OVER 1 PRECEDING, strict > for a new island), so the
+    merge rule — touching intervals coalesce — is value-hash pinned.
+
+    Output: (user_id, n_intervals, n_islands, covered)."""
+    from gis_scripts_ray.stages.intervals import interval_coverage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def iv(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        dur = (eid % 9 + 1) * 5_000_000_000
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "s": pa.array(us, pa.int64()),
+                "e": pa.array(us + dur, pa.int64()),
+            }
+        )
+
+    return interval_coverage(
+        ds.map_batches(iv, batch_format="pyarrow"), "user_id", "s", "e"
+    )
+
+
+def _sql_interval_coverage() -> str:
+    return (
+        "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + (event_id % 9 + 1) * 5000000000 AS e FROM events), "
+        "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id "
+        "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "AS pm FROM iv), "
+        "g2 AS (SELECT user_id, s, e, CASE WHEN pm IS NULL OR s > pm "
+        "THEN 1 ELSE 0 END AS is_new FROM m), "
+        "isl AS (SELECT user_id, s, e, SUM(is_new) OVER (PARTITION BY "
+        "user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island FROM g2), "
+        "per AS (SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me, "
+        "COUNT(*) AS cnt FROM isl GROUP BY user_id, island) "
+        "SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_intervals, "
+        "CAST(COUNT(*) AS BIGINT) AS n_islands, "
+        "CAST(SUM(me - ms) AS BIGINT) AS covered "
+        "FROM per GROUP BY user_id"
+    )
+
+
 def q_sessionize(sf_dir: str):
     from gis_scripts_ray.stages.windows import sessionize
 
@@ -7789,6 +7842,7 @@ QUERIES: dict[str, Callable] = {
     "bpe_token_counts": q_bpe_token_counts,
     "embedding_topk": q_embedding_topk,
     "sessionize": q_sessionize,
+    "interval_coverage": q_interval_coverage,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -7925,6 +7979,7 @@ ORACLES: dict[str, str] = {
     "bpe_token_counts": _sql_bpe_token_counts(),
     "embedding_topk": _sql_embedding_topk(),
     "sessionize": _sql_sessionize(),
+    "interval_coverage": _sql_interval_coverage(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
