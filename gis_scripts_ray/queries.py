@@ -3059,6 +3059,132 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Retention-cohort triangle (round 5): cohort = a user's first
+    activity week (epoch-week of MIN(ts)); for every (cohort_week,
+    weeks_since_cohort) cell, the EXACT count of distinct active users.
+    Plan: per-user first-timestamp via in-block partial + adaptive
+    combine; the (user -> first_us) table is delivered back to the event
+    stream adaptively on its MEASURED size (worker-built searchsorted
+    map below the broadcast limit — the ``graphcc`` delivery — else one
+    hash-join); the distinct count rides
+    ``stats.grouped_count_distinct`` (all-to-all bounded by distinct
+    (cell, user) pairs, never event rows). Weeks are integer floor
+    divisions of nonnegative epoch micros — exact in both engines.
+
+    Output: (cohort_wk, wk_off, n_users) sorted."""
+    from gis_scripts_ray.stages.graphcc import _build_label_map
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.stats import grouped_count_distinct
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    week = 3_600_000_000  # cohort grain: one hour
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "first_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["user_id"])
+            .aggregate([("first_us", "min")])
+            .rename_columns(["user_id", "first_us"])
+        )
+
+    firsts = coalesce_shuffle_agg(
+        ds.map_batches(first_partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"first_us": "min"},
+    ).materialize()
+
+    if firsts.count() <= 2_000_000:
+        refs = [
+            br
+            for bundle in firsts.map_batches(
+                lambda b: pa.table(
+                    {"node": b["user_id"], "label": b["first_us"]}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+            .iter_internal_ref_bundles()
+            for br in bundle.block_refs
+        ]
+        map_ref = _build_label_map.remote(*refs)
+
+        def tag(batch: pa.Table, _ref=map_ref) -> pa.Table:
+            from gis_scripts_ray.state.broadcast import worker_broadcast
+
+            keys, firsts_np = worker_broadcast(_ref)
+            uid = batch["user_id"].to_numpy(zero_copy_only=False)
+            us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            fu = firsts_np[np.searchsorted(keys, uid)]
+            cohort = fu // week
+            return pa.table(
+                {
+                    "cohort_wk": pa.array(cohort, pa.int64()),
+                    "wk_off": pa.array(us // week - cohort, pa.int64()),
+                    "user_id": batch["user_id"],
+                }
+            )
+
+        tagged = ds.map_batches(tag, batch_format="pyarrow")
+    else:
+        joined = hash_join(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "user_id": b["user_id"],
+                        "us": pc.cast(b["ts"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            firsts.repartition(16),
+            on="user_id",
+            num_partitions=16,
+        )
+
+        def tag_joined(batch: pa.Table) -> pa.Table:
+            fu = batch["first_us"].to_numpy(zero_copy_only=False)
+            us = batch["us"].to_numpy(zero_copy_only=False)
+            cohort = fu // week
+            return pa.table(
+                {
+                    "cohort_wk": pa.array(cohort, pa.int64()),
+                    "wk_off": pa.array(us // week - cohort, pa.int64()),
+                    "user_id": batch["user_id"],
+                }
+            )
+
+        tagged = joined.map_batches(tag_joined, batch_format="pyarrow")
+
+    out = grouped_count_distinct(
+        tagged, ["cohort_wk", "wk_off"], "user_id", out_col="n_users"
+    )
+    return out.sort(["cohort_wk", "wk_off"])
+
+
+def _sql_retention_cohorts() -> str:
+    return (
+        "WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us "
+        "FROM events GROUP BY user_id), "
+        "w AS (SELECT e.user_id, f.first_us // 3600000000 AS cohort_wk, "
+        "epoch_us(e.ts) // 3600000000 - f.first_us // 3600000000 "
+        "AS wk_off FROM events e JOIN f USING (user_id)) "
+        "SELECT cohort_wk, wk_off, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM w GROUP BY cohort_wk, wk_off ORDER BY cohort_wk, wk_off"
+    )
+
+
 def q_interval_coverage(sf_dir: str):
     """Per-user interval-union coverage (round 5): each event becomes an
     interval [ts, ts + (event_id % 9 + 1) * 5e9 us] (durations straddle
@@ -7843,6 +7969,7 @@ QUERIES: dict[str, Callable] = {
     "embedding_topk": q_embedding_topk,
     "sessionize": q_sessionize,
     "interval_coverage": q_interval_coverage,
+    "retention_cohorts": q_retention_cohorts,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -7980,6 +8107,7 @@ ORACLES: dict[str, str] = {
     "embedding_topk": _sql_embedding_topk(),
     "sessionize": _sql_sessionize(),
     "interval_coverage": _sql_interval_coverage(),
+    "retention_cohorts": _sql_retention_cohorts(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
