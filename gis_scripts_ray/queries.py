@@ -3059,6 +3059,142 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_bigram_collocations(sf_dir: str):
+    """Top-50 bigram collocations with exact integer lift (round 5): the
+    PMI-style corpus-statistics pass of an LLM data pipeline, kept in
+    the exact integer domain (lift_micro = pair_n * N * 1e6 //
+    (w1_n * w2_n) — the log is monotone, so ranking by lift needs no
+    floats). ONE pass emits union-typed partials (kind 0 = bigram pair,
+    kind 1 = unigram) so pairs and unigrams share a single adaptive
+    combine; the global top-50 rides the distributed top-k (pair counts
+    are EXACT before selection — per-block top-k over partial counts
+    would be wrong); only the ≤50 winners and their ≤100 unigram rows
+    ever reach the driver. Tie order (n DESC, w1, w2) matches the
+    concatenated-key order because ' ' sorts below every token char.
+
+    Output: (w1, w2, pair_n, w1_n, w2_n, lift_micro) — 50 rows."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        vals = toks.flatten()
+        offs = toks.offsets.to_numpy()
+        n_v = len(vals)
+        mask = np.ones(max(n_v - 1, 0), dtype=bool)
+        ends = offs[1:] - 1
+        mask[ends[(ends >= 0) & (ends < n_v - 1)]] = False
+        w1 = vals.slice(0, max(n_v - 1, 0)).filter(pa.array(mask))
+        w2 = vals.slice(1, max(n_v - 1, 0)).filter(pa.array(mask))
+        pairs = pa.table(
+            {
+                "kind": pa.array(np.zeros(len(w1), dtype=np.int64)),
+                "w1": w1,
+                "w2": w2,
+            }
+        )
+        unis = pa.table(
+            {
+                "kind": pa.array(np.ones(n_v, dtype=np.int64)),
+                "w1": vals,
+                "w2": pa.array([""] * n_v, pa.string()),
+            }
+        )
+        both = pa.concat_tables([pairs, unis])
+        out = (
+            both.group_by(["kind", "w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["kind", "w1", "w2", "n"])
+
+    agg = coalesce_shuffle_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["kind", "w1", "w2"],
+        {"n": "sum"},
+    ).materialize()
+
+    def pairs_only(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["kind"], 0))
+        key = pc.binary_join_element_wise(f["w1"], f["w2"], " ")
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(f.num_rows, dtype=np.int64)),
+                "pair": key,
+                "w1": f["w1"],
+                "w2": f["w2"],
+                "n": f["n"],
+            }
+        )
+
+    top = topk_per_group(
+        agg.map_batches(pairs_only, batch_format="pyarrow"),
+        group_col="g",
+        value_col="n",
+        id_col="pair",
+        k=50,
+    ).to_pandas()
+    top = top.sort_values(["n", "pair"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+    words = sorted(set(top["w1"]) | set(top["w2"]))
+    words_ref = ray.put(pa.array(words, pa.string()))
+
+    def uni_hits(b: pa.Table, _ref=words_ref) -> pa.Table:
+        from gis_scripts_ray.state.broadcast import worker_broadcast
+
+        f = b.filter(pc.equal(b["kind"], 1))
+        f = f.filter(pc.is_in(f["w1"], value_set=worker_broadcast(_ref)))
+        return pa.table({"w": f["w1"], "n_w": f["n"]})
+
+    uni = agg.map_batches(uni_hits, batch_format="pyarrow").to_pandas()
+    def uni_sum(b: pa.Table) -> pa.Table:
+        s = pc.sum(b.filter(pc.equal(b["kind"], 1))["n"]).as_py() or 0
+        return pa.table({"t": pa.array([s], pa.int64())})
+
+    n_total = int(agg.map_batches(uni_sum, batch_format="pyarrow").sum("t"))
+    n_of = dict(zip(uni["w"], uni["n_w"].astype(int)))
+    w1n = [int(n_of[w]) for w in top["w1"]]
+    w2n = [int(n_of[w]) for w in top["w2"]]
+    lift = [
+        int(p) * n_total * 1_000_000 // (a * b)
+        for p, a, b in zip(top["n"], w1n, w2n)
+    ]
+    return pa.table(
+        {
+            "w1": pa.array(top["w1"], pa.string()),
+            "w2": pa.array(top["w2"], pa.string()),
+            "pair_n": pa.array(top["n"].astype(np.int64), pa.int64()),
+            "w1_n": pa.array(w1n, pa.int64()),
+            "w2_n": pa.array(w2n, pa.int64()),
+            "lift_micro": pa.array(lift, pa.int64()),
+        }
+    )
+
+
+def _sql_bigram_collocations() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "p AS (SELECT doc_id, unnest(toks) AS w, "
+        "unnest(range(1, len(toks) + 1)) AS pos FROM t), "
+        "b AS (SELECT a.w AS w1, c.w AS w2 FROM p a "
+        "JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1), "
+        "pc2 AS (SELECT w1, w2, COUNT(*) AS pair_n FROM b GROUP BY w1, w2), "
+        "uc AS (SELECT w, COUNT(*) AS n_w FROM p GROUP BY w), "
+        "nn AS (SELECT COUNT(*) AS n FROM p), "
+        "top AS (SELECT * FROM pc2 ORDER BY pair_n DESC, w1, w2 LIMIT 50) "
+        "SELECT top.w1, top.w2, CAST(top.pair_n AS BIGINT) AS pair_n, "
+        "CAST(u1.n_w AS BIGINT) AS w1_n, CAST(u2.n_w AS BIGINT) AS w2_n, "
+        "CAST((CAST(top.pair_n AS HUGEINT) * (SELECT n FROM nn) * 1000000) "
+        "// (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT) AS lift_micro "
+        "FROM top JOIN uc u1 ON u1.w = top.w1 JOIN uc u2 ON u2.w = top.w2 "
+        "ORDER BY pair_n DESC, top.w1, top.w2"
+    )
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention-cohort triangle (round 5): cohort = a user's first
     activity week (epoch-week of MIN(ts)); for every (cohort_week,
@@ -7970,6 +8106,7 @@ QUERIES: dict[str, Callable] = {
     "sessionize": q_sessionize,
     "interval_coverage": q_interval_coverage,
     "retention_cohorts": q_retention_cohorts,
+    "bigram_collocations": q_bigram_collocations,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -8108,6 +8245,7 @@ ORACLES: dict[str, str] = {
     "sessionize": _sql_sessionize(),
     "interval_coverage": _sql_interval_coverage(),
     "retention_cohorts": _sql_retention_cohorts(),
+    "bigram_collocations": _sql_bigram_collocations(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
