@@ -3059,6 +3059,49 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_part_skyline(sf_dir: str):
+    """Pareto skyline of parts (round 5): minimize (price_cents, p_size)
+    — ``stages/skyline.py``'s self-reducing bounded-coalesce plan (per-
+    block sweep, re-sweep merged frontiers, measured single-block
+    finish). The twin is the DEFINITIONAL quadratic NOT EXISTS dominance
+    query — deliberately not a re-implementation of the sweep — so the
+    kernel's dominance rule (<= both, strict somewhere; equal points
+    coexist) is pinned semantically. Money in cents (half-away ROUND).
+
+    Output: (p_partkey, price_cents, p_size), the frontier rows."""
+    from gis_scripts_ray.stages.skyline import skyline_2d
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "price_cents": _cents(batch["p_retailprice"]),
+                "p_size": pc.cast(batch["p_size"], pa.int64()),
+            }
+        )
+
+    return skyline_2d(
+        ds.map_batches(prep, batch_format="pyarrow"), "price_cents", "p_size"
+    )
+
+
+def _sql_part_skyline() -> str:
+    return (
+        "WITH pts AS (SELECT p_partkey, "
+        "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents, "
+        "CAST(p_size AS BIGINT) AS p_size FROM part) "
+        "SELECT a.p_partkey, a.price_cents, a.p_size FROM pts a "
+        "WHERE NOT EXISTS (SELECT 1 FROM pts b "
+        "WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size "
+        "AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))"
+    )
+
+
 def q_bigram_collocations(sf_dir: str):
     """Top-50 bigram collocations with exact integer lift (round 5): the
     PMI-style corpus-statistics pass of an LLM data pipeline, kept in
@@ -8107,6 +8150,7 @@ QUERIES: dict[str, Callable] = {
     "interval_coverage": q_interval_coverage,
     "retention_cohorts": q_retention_cohorts,
     "bigram_collocations": q_bigram_collocations,
+    "part_skyline": q_part_skyline,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -8246,6 +8290,7 @@ ORACLES: dict[str, str] = {
     "interval_coverage": _sql_interval_coverage(),
     "retention_cohorts": _sql_retention_cohorts(),
     "bigram_collocations": _sql_bigram_collocations(),
+    "part_skyline": _sql_part_skyline(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
