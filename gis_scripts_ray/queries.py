@@ -3059,6 +3059,82 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_edit_distance_hist(sf_dir: str):
+    """Exact edit-distance verification over candidate near-dup pairs
+    (round 5): pairs = consecutive doc_ids on the same host (doc_id//16
+    — the link-graph host convention), distance =
+    ``stages/editdist.levenshtein_batch`` (UTF-8 byte domain, matching
+    DuckDB's ``levenshtein`` exactly — the twin uses the ENGINE'S OWN
+    primitive, a genuinely independent implementation). One sized
+    hash-join builds the pair stream; the DP kernel is vectorized
+    across pairs (the only Python loop is over byte positions).
+
+    Output: (bucket = lev // 16, n_pairs, sum_lev)."""
+    from gis_scripts_ray.stages.editdist import edit_distances
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def left_side(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.bit_wise_and(b["doc_id"], pa.scalar(15, pa.int64())), 15
+        )
+        f = b.filter(keep)
+        return pa.table(
+            {"k": f["doc_id"], "text_a": f["text"]}
+        )
+
+    def right_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.subtract(b["doc_id"], pa.scalar(1, pa.int64())),
+                "text_b": b["text"],
+            }
+        )
+
+    pairs = hash_join(
+        ds.map_batches(left_side, batch_format="pyarrow"),
+        ds.map_batches(right_side, batch_format="pyarrow"),
+        on="k",
+        num_partitions=16,
+    )
+    scored = edit_distances(pairs, "text_a", "text_b", out_col="lev")
+
+    def partial(b: pa.Table) -> pa.Table:
+        lev = b["lev"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "bucket": pa.array(lev // 16, pa.int64()),
+                "n_pairs": pa.array(np.ones(len(lev), dtype=np.int64)),
+                "sum_lev": pa.array(lev, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["bucket"])
+            .aggregate([("n_pairs", "sum"), ("sum_lev", "sum")])
+            .rename_columns(["bucket", "n_pairs", "sum_lev"])
+        )
+
+    return coalesce_shuffle_agg(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"],
+        {"n_pairs": "sum", "sum_lev": "sum"},
+    )
+
+
+def _sql_edit_distance_hist() -> str:
+    return (
+        "WITH p AS (SELECT levenshtein(d1.text, d2.text) AS lev "
+        "FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1 "
+        "WHERE d1.doc_id % 16 <> 15) "
+        "SELECT lev // 16 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(lev) AS BIGINT) AS sum_lev FROM p GROUP BY bucket"
+    )
+
+
 def q_part_skyline(sf_dir: str):
     """Pareto skyline of parts (round 5): minimize (price_cents, p_size)
     — ``stages/skyline.py``'s self-reducing bounded-coalesce plan (per-
@@ -8151,6 +8227,7 @@ QUERIES: dict[str, Callable] = {
     "retention_cohorts": q_retention_cohorts,
     "bigram_collocations": q_bigram_collocations,
     "part_skyline": q_part_skyline,
+    "edit_distance_hist": q_edit_distance_hist,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -8291,6 +8368,7 @@ ORACLES: dict[str, str] = {
     "retention_cohorts": _sql_retention_cohorts(),
     "bigram_collocations": _sql_bigram_collocations(),
     "part_skyline": _sql_part_skyline(),
+    "edit_distance_hist": _sql_edit_distance_hist(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
