@@ -3059,6 +3059,64 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_hist_equalization(sf_dir: str):
+    """Global histogram equalization (round 5): the exact-integer member
+    of the reference's radiometric-enhancement family (piecewise stretch
+    = ``stretch_breakpoints``, local matching = ``local_match``; this is
+    the global-CDF remap, ``Local_Histogram_Match.R``'s global cousin).
+    The value histogram is distributed (per-block pre-agg + adaptive
+    combine — the ``dos_value`` machinery); the driver holds only
+    (distinct value, count) rows bounded by the value DOMAIN, computes
+    the standard eq(v) = (cdf(v) - cdf_min) * 255 // (n - cdf_min) LUT,
+    and emits the mapping with its cell counts. Quantity convention:
+    half-even ↔ CAST(double AS BIGINT).
+
+    Output: (v, eq, n_cells) — the equalization map over the domain."""
+    from gis_scripts_ray.stages.stats import value_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
+        return pa.table({"v": pa.array(q, pa.int64())})
+
+    values, counts = value_histogram(
+        ds.map_batches(prep, batch_format="pyarrow"), "v"
+    )
+    n = int(counts.sum())
+    cdf = np.cumsum(counts)
+    cmin = int(cdf[0]) if len(cdf) else 0
+    denom = n - cmin
+    eq = (
+        ((cdf - cmin) * 255) // denom
+        if denom > 0
+        else np.zeros(len(cdf), dtype=np.int64)
+    )
+    return pa.table(
+        {
+            "v": pa.array(values, pa.int64()),
+            "eq": pa.array(eq.astype(np.int64), pa.int64()),
+            "n_cells": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _sql_hist_equalization() -> str:
+    return (
+        "WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem), "
+        "h AS (SELECT v, COUNT(*) AS n_cells FROM q GROUP BY v), "
+        "c AS (SELECT v, n_cells, SUM(n_cells) OVER (ORDER BY v) AS cdf "
+        "FROM h), "
+        "m AS (SELECT (SELECT MIN(cdf) FROM c) AS cmin, "
+        "(SELECT SUM(n_cells) FROM h) AS n) "
+        "SELECT v, CAST(COALESCE(((cdf - cmin) * 255) // "
+        "NULLIF(n - cmin, 0), 0) AS BIGINT) AS eq, "
+        "CAST(n_cells AS BIGINT) AS n_cells FROM c, m"
+    )
+
+
 def q_edit_distance_hist(sf_dir: str):
     """Exact edit-distance verification over candidate near-dup pairs
     (round 5): pairs = consecutive doc_ids on the same host (doc_id//16
@@ -8228,6 +8286,7 @@ QUERIES: dict[str, Callable] = {
     "bigram_collocations": q_bigram_collocations,
     "part_skyline": q_part_skyline,
     "edit_distance_hist": q_edit_distance_hist,
+    "hist_equalization": q_hist_equalization,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -8369,6 +8428,7 @@ ORACLES: dict[str, str] = {
     "bigram_collocations": _sql_bigram_collocations(),
     "part_skyline": _sql_part_skyline(),
     "edit_distance_hist": _sql_edit_distance_hist(),
+    "hist_equalization": _sql_hist_equalization(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
