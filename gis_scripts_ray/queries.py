@@ -3059,6 +3059,105 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_salient_terms(sf_dir: str):
+    """Per-source salient terms (round 5): the "what is distinctive
+    about this source" corpus diagnostic. Within a source, ranking by
+    c_ts / c_t IS the PMI/lift ranking (the N/N_s factor is constant per
+    source), so the score stays a single int64-safe floor ratio
+    (ratio_ppm = c_ts * 1e6 // c_t, support c_ts >= 20). (source, token)
+    and token-total counts each ride one adaptive combine; totals join
+    back by ONE sized hash-join on the token (vocab-bounded); the top-5
+    per source rides the distributed per-group top-k on EXACT counts,
+    tie order (ratio DESC, token ASC) = the twin's ROW_NUMBER order.
+
+    Output: (source, w, c_ts, c_t, ratio_ppm, rank), 5 rows/source."""
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = pa.array(
+            np.repeat(batch["source"].to_numpy(zero_copy_only=False), reps)
+        )
+        t = pa.table({"source": src, "w": toks.flatten()})
+        out = t.group_by(["source", "w"]).aggregate([([], "count_all")])
+        return out.rename_columns(["source", "w", "c_ts"])
+
+    st = coalesce_shuffle_agg(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["source", "w"],
+        {"c_ts": "sum"},
+    ).materialize()
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"w": batch["w"], "c_t": batch["c_ts"]})
+        out = t.group_by(["w"]).aggregate([("c_t", "sum")])
+        return out.rename_columns(["w", "c_t"])
+
+    tt = coalesce_shuffle_agg(
+        st.map_batches(tok_partial, batch_format="pyarrow"),
+        ["w"],
+        {"c_t": "sum"},
+    )
+    joined = hash_join(
+        st, tt.repartition(4), on="w", num_partitions=4
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        f = batch.filter(pc.greater_equal(batch["c_ts"], 20))
+        c_ts = f["c_ts"].to_numpy(zero_copy_only=False)
+        c_t = f["c_t"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": f["source"],
+                "w": f["w"],
+                "c_ts": f["c_ts"],
+                "c_t": f["c_t"],
+                "ratio_ppm": pa.array(c_ts * 1_000_000 // c_t, pa.int64()),
+            }
+        )
+
+    top = topk_per_group(
+        joined.map_batches(score, batch_format="pyarrow"),
+        group_col="source",
+        value_col="ratio_ppm",
+        id_col="w",
+        k=5,
+    ).to_pandas()
+    top = top.sort_values(
+        ["source", "ratio_ppm", "w"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    src = top["source"].to_numpy()
+    new = np.concatenate([[True], src[1:] != src[:-1]])
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(src)), 0))
+    top["rank"] = np.arange(len(src)) - run_start + 1
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def _sql_salient_terms() -> str:
+    return (
+        "WITH p AS (SELECT source, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "st AS (SELECT source, w, COUNT(*) AS c_ts FROM p "
+        "GROUP BY source, w), "
+        "tt AS (SELECT w, COUNT(*) AS c_t FROM p GROUP BY w), "
+        "r AS (SELECT source, st.w, c_ts, c_t, "
+        "c_ts * 1000000 // c_t AS ratio_ppm "
+        "FROM st JOIN tt USING (w) WHERE c_ts >= 20), "
+        "k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY ratio_ppm DESC, w) AS rk FROM r) "
+        "SELECT source, w, CAST(c_ts AS BIGINT) AS c_ts, "
+        "CAST(c_t AS BIGINT) AS c_t, CAST(ratio_ppm AS BIGINT) AS ratio_ppm, "
+        "CAST(rk AS BIGINT) AS rank FROM k WHERE rk <= 5"
+    )
+
+
 def q_hist_equalization(sf_dir: str):
     """Global histogram equalization (round 5): the exact-integer member
     of the reference's radiometric-enhancement family (piecewise stretch
@@ -8287,6 +8386,7 @@ QUERIES: dict[str, Callable] = {
     "part_skyline": q_part_skyline,
     "edit_distance_hist": q_edit_distance_hist,
     "hist_equalization": q_hist_equalization,
+    "salient_terms": q_salient_terms,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -8429,6 +8529,7 @@ ORACLES: dict[str, str] = {
     "part_skyline": _sql_part_skyline(),
     "edit_distance_hist": _sql_edit_distance_hist(),
     "hist_equalization": _sql_hist_equalization(),
+    "salient_terms": _sql_salient_terms(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
