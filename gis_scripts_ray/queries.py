@@ -3059,6 +3059,162 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_grouped_ols_slope(sf_dir: str):
+    """Per-group OLS slope as an EXACT RATIONAL (round 5): the
+    regression companion of A8's coefficient-of-variation — slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over (x = quantity, y = price
+    cents) per l_returnflag. The five moments are classic mergeable
+    partials (one in-block pre-agg + one adaptive combine); the driver
+    sees only per-group moment rows and finishes with PYTHON INTS
+    (no int64 ceiling on the cross products), reducing num/den by gcd
+    with a canonical positive-denominator convention. The twin computes
+    the identical reduced fraction in HUGEINT and DuckDB's gcd().
+
+    Output: (l_returnflag, n, slope_num, slope_den)."""
+    import math
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.round(batch["l_quantity"].to_numpy()).astype(np.int64)
+        y = _cents(batch["l_extendedprice"]).to_numpy()
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        out = t.group_by(["l_returnflag"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxy", "sxx"]
+        )
+
+    agg = coalesce_shuffle_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {c: "sum" for c in ("n", "sx", "sy", "sxy", "sxx")},
+    ).to_pandas()
+
+    flags, ns, nums, dens = [], [], [], []
+    for r in agg.itertuples():
+        n, sx, sy, sxy, sxx = (
+            int(r.n), int(r.sx), int(r.sy), int(r.sxy), int(r.sxx),
+        )
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        g = math.gcd(num, den)
+        if g:
+            num, den = num // g, den // g
+        if den < 0:
+            num, den = -num, -den
+        flags.append(r.l_returnflag)
+        ns.append(n)
+        nums.append(num)
+        dens.append(den)
+    order = np.argsort(np.array(flags, dtype=object), kind="stable")
+    return pa.table(
+        {
+            "l_returnflag": pa.array([flags[i] for i in order], pa.string()),
+            "n": pa.array([ns[i] for i in order], pa.int64()),
+            "slope_num": pa.array([nums[i] for i in order], pa.int64()),
+            "slope_den": pa.array([dens[i] for i in order], pa.int64()),
+        }
+    )
+
+
+def _sql_grouped_ols_slope() -> str:
+    return (
+        "WITH m AS (SELECT l_returnflag, COUNT(*) AS n, "
+        "SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sx, "
+        "SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) "
+        "AS sy, "
+        "SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) * "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy, "
+        "SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT) * "
+        "CAST(l_quantity AS BIGINT)) AS sxx "
+        "FROM lineitem GROUP BY l_returnflag), "
+        "f AS (SELECT l_returnflag, n, n * sxy - sx * sy AS num, "
+        "n * sxx - sx * sx AS den FROM m), "
+        "r AS (SELECT l_returnflag, n, "
+        "CASE WHEN gcd(num, den) <> 0 THEN num // gcd(num, den) "
+        "ELSE num END AS num2, "
+        "CASE WHEN gcd(num, den) <> 0 THEN den // gcd(num, den) "
+        "ELSE den END AS den2 FROM f) "
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+        "CAST(CASE WHEN den2 < 0 THEN -num2 ELSE num2 END AS BIGINT) "
+        "AS slope_num, "
+        "CAST(CASE WHEN den2 < 0 THEN -den2 ELSE den2 END AS BIGINT) "
+        "AS slope_den FROM r ORDER BY l_returnflag"
+    )
+
+
+def q_chi_square_contingency(sf_dir: str):
+    """Chi-square independence cells for the (lang, source) contingency
+    table (round 5) — the categorical companion of A14's Mann-Whitney
+    agreement test, in the EXACT integer domain: contribution_micro =
+    (o·N − rs·cs)² · 10⁶ // (N · rs · cs) per cell. Cell/margin counts
+    are distributed (one in-block pre-agg + adaptive combine); the
+    contingency table itself is category-bounded, so the exact finish
+    runs driver-side in PYTHON INTS (the cross products overflow int64
+    at corpus scale; the twin uses HUGEINT).
+
+    Output: (lang, source, o, contrib_micro) + the margins, sorted."""
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    cells = cell_count(ds, ["lang", "source"], alias="o").to_pandas()
+    # margins from the cells (exact; the cell table is category-bounded)
+    rs = cells.groupby("lang")["o"].sum().to_dict()
+    cs = cells.groupby("source")["o"].sum().to_dict()
+    n_tot = int(cells["o"].sum())
+    cells = cells.sort_values(["lang", "source"]).reset_index(drop=True)
+    contrib = [
+        (int(o) * n_tot - int(rs[la]) * int(cs[so])) ** 2
+        * 1_000_000
+        // (n_tot * int(rs[la]) * int(cs[so]))
+        for la, so, o in zip(cells["lang"], cells["source"], cells["o"])
+    ]
+    return pa.table(
+        {
+            "lang": pa.array(cells["lang"], pa.string()),
+            "source": pa.array(cells["source"], pa.string()),
+            "o": pa.array(cells["o"].astype(np.int64), pa.int64()),
+            "contrib_micro": pa.array(contrib, pa.int64()),
+        }
+    )
+
+
+def _sql_chi_square_contingency() -> str:
+    return (
+        "WITH c AS (SELECT lang, source, COUNT(*) AS o FROM documents "
+        "GROUP BY lang, source), "
+        "r AS (SELECT lang, SUM(o) AS rs FROM c GROUP BY lang), "
+        "s AS (SELECT source, SUM(o) AS cs FROM c GROUP BY source), "
+        "n AS (SELECT SUM(o) AS nt FROM c), "
+        "d AS (SELECT c.lang, c.source, c.o, "
+        "CAST(c.o AS HUGEINT) * nt - rs * cs AS dev, "
+        "CAST(nt AS HUGEINT) * rs * cs AS denom "
+        "FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN n) "
+        # dev*dev, not dev ** 2: DuckDB's power operator returns DOUBLE
+        "SELECT lang, source, CAST(o AS BIGINT) AS o, "
+        "CAST((dev * dev * 1000000) // denom AS BIGINT) AS contrib_micro "
+        "FROM d ORDER BY lang, source"
+    )
+
+
 def q_salient_terms(sf_dir: str):
     """Per-source salient terms (round 5): the "what is distinctive
     about this source" corpus diagnostic. Within a source, ranking by
@@ -8387,6 +8543,8 @@ QUERIES: dict[str, Callable] = {
     "edit_distance_hist": q_edit_distance_hist,
     "hist_equalization": q_hist_equalization,
     "salient_terms": q_salient_terms,
+    "grouped_ols_slope": q_grouped_ols_slope,
+    "chi_square_contingency": q_chi_square_contingency,
     "sliding_value_sum": q_sliding_value_sum,
     "pip_best_match": q_pip_best_match,
     "quantile_breakpoints": q_quantile_breakpoints,
@@ -8530,6 +8688,8 @@ ORACLES: dict[str, str] = {
     "edit_distance_hist": _sql_edit_distance_hist(),
     "hist_equalization": _sql_hist_equalization(),
     "salient_terms": _sql_salient_terms(),
+    "grouped_ols_slope": _sql_grouped_ols_slope(),
+    "chi_square_contingency": _sql_chi_square_contingency(),
     "sliding_value_sum": _sql_sliding_value_sum(),
     "pip_best_match": _sql_pip_best_match(),
     "quantile_breakpoints": _sql_quantile_breakpoints(),
