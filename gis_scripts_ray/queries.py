@@ -3059,6 +3059,52 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_value_outliers(sf_dir: str):
+    """Per-user sigma-rule outlier counts in the exact integer domain
+    (round 5): |v − μ| > 2σ evaluated as (n·v − Σ)² > 4·(n·Σv² − Σ²) —
+    no float ever computed, so the flag is bit-reproducible and fully
+    twinnable. ``stages/outliers.sigma_outlier_counts``: mergeable
+    moments + adaptive (worker-map broadcast / hash-join) delivery back
+    to the event stream. Money cents via half-away ROUND.
+
+    Output: (user_id, n, n_outliers) sorted."""
+    from gis_scripts_ray.stages.outliers import sigma_outlier_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch["user_id"], "v": _cents(batch["value"])}
+        )
+
+    out = sigma_outlier_counts(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", "v", k=2
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"user_id": b["key"], "n": b["n"], "n_outliers": b["n_outliers"]}
+        ),
+        batch_format="pyarrow",
+    ).sort("user_id")
+
+
+def _sql_value_outliers() -> str:
+    return (
+        "WITH s AS (SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS v "
+        "FROM events WHERE value IS NOT NULL), "
+        "m AS (SELECT user_id, COUNT(*) AS n, SUM(v) AS sv, "
+        "SUM(v * v) AS svv FROM s GROUP BY user_id) "
+        "SELECT s.user_id, CAST(m.n AS BIGINT) AS n, "
+        "CAST(COUNT(*) FILTER (WHERE "
+        "(m.n * s.v - m.sv) * (m.n * s.v - m.sv) > "
+        "4 * (m.n * m.svv - m.sv * m.sv)) AS BIGINT) AS n_outliers "
+        "FROM s JOIN m USING (user_id) GROUP BY s.user_id, m.n "
+        "ORDER BY s.user_id"
+    )
+
+
 def q_grouped_ols_slope(sf_dir: str):
     """Per-group OLS slope as an EXACT RATIONAL (round 5): the
     regression companion of A8's coefficient-of-variation — slope =
@@ -8543,6 +8589,7 @@ QUERIES: dict[str, Callable] = {
     "edit_distance_hist": q_edit_distance_hist,
     "hist_equalization": q_hist_equalization,
     "salient_terms": q_salient_terms,
+    "value_outliers": q_value_outliers,
     "grouped_ols_slope": q_grouped_ols_slope,
     "chi_square_contingency": q_chi_square_contingency,
     "sliding_value_sum": q_sliding_value_sum,
@@ -8688,6 +8735,7 @@ ORACLES: dict[str, str] = {
     "edit_distance_hist": _sql_edit_distance_hist(),
     "hist_equalization": _sql_hist_equalization(),
     "salient_terms": _sql_salient_terms(),
+    "value_outliers": _sql_value_outliers(),
     "grouped_ols_slope": _sql_grouped_ols_slope(),
     "chi_square_contingency": _sql_chi_square_contingency(),
     "sliding_value_sum": _sql_sliding_value_sum(),
