@@ -3059,6 +3059,41 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_frequent_pairs(sf_dir: str):
+    """Apriori k=2 frequent token pairs (round 5): pairs of tokens
+    co-occurring in at least n_docs // 5 documents —
+    ``stages/itemsets.frequent_token_pairs`` (distinct-per-doc document
+    frequencies, measured-broadcast frequent set, per-size
+    ``triu_indices`` pair expansion, adaptive combine). The twin is the
+    definitional distinct-unnest self-join with HAVING.
+
+    Output: (w1, w2, support), w1 < w2, support >= minsup."""
+    import pyarrow.parquet as pq
+
+    from gis_scripts_ray.stages.itemsets import frequent_token_pairs
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return frequent_token_pairs(ds, "doc_id", "text", n_docs // 5)
+
+
+def _sql_frequent_pairs() -> str:
+    return (
+        "WITH ms AS (SELECT COUNT(*) // 5 AS m FROM documents), "
+        "d AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "df AS (SELECT w, COUNT(*) AS c FROM d GROUP BY w), "
+        "f AS (SELECT w FROM df WHERE c >= (SELECT m FROM ms)), "
+        "dd AS (SELECT doc_id, w FROM d WHERE w IN (SELECT w FROM f)), "
+        "p AS (SELECT a.w AS w1, b.w AS w2 FROM dd a "
+        "JOIN dd b ON a.doc_id = b.doc_id AND a.w < b.w) "
+        "SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS support FROM p "
+        "GROUP BY w1, w2 HAVING COUNT(*) >= (SELECT m FROM ms)"
+    )
+
+
 def q_value_outliers(sf_dir: str):
     """Per-user sigma-rule outlier counts in the exact integer domain
     (round 5): |v − μ| > 2σ evaluated as (n·v − Σ)² > 4·(n·Σv² − Σ²) —
@@ -8590,6 +8625,7 @@ QUERIES: dict[str, Callable] = {
     "hist_equalization": q_hist_equalization,
     "salient_terms": q_salient_terms,
     "value_outliers": q_value_outliers,
+    "frequent_pairs": q_frequent_pairs,
     "grouped_ols_slope": q_grouped_ols_slope,
     "chi_square_contingency": q_chi_square_contingency,
     "sliding_value_sum": q_sliding_value_sum,
@@ -8736,6 +8772,7 @@ ORACLES: dict[str, str] = {
     "hist_equalization": _sql_hist_equalization(),
     "salient_terms": _sql_salient_terms(),
     "value_outliers": _sql_value_outliers(),
+    "frequent_pairs": _sql_frequent_pairs(),
     "grouped_ols_slope": _sql_grouped_ols_slope(),
     "chi_square_contingency": _sql_chi_square_contingency(),
     "sliding_value_sum": _sql_sliding_value_sum(),
