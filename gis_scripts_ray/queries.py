@@ -3059,6 +3059,104 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count of the (undirected, deduplicated) host link
+    graph (round 5) — the classic two-join formulation: canonical edges
+    a < b, wedges (a,b)⋈(b,c) give a < b < c, and a second join closes
+    them against (a,c). The two JoinOperators are separated by a
+    ``materialize()`` (one join per streaming execution — the documented
+    Ray 2.49 aggregator-CPU deadlock avoidance); edge dedup rides one
+    adaptive combine. The twin is the identical three-way self-join.
+
+    Output: one row (n_wedges, n_triangles)."""
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    nh = (_id_shift(sf_dir, "documents", "doc_id") - 1) // 16 + 1
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        src = (d // np.uint64(16)).astype(np.int64)
+        dst = (
+            (d * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(nh)
+        ).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        t = pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "one": pa.array(np.ones(len(a), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by(["a", "b"])
+            .aggregate([("one", "min")])
+            .rename_columns(["a", "b", "one"])
+        )
+
+    e0 = (
+        coalesce_shuffle_agg(
+            ds.map_batches(canon, batch_format="pyarrow"),
+            ["a", "b"],
+            {"one": "min"},
+        )
+        .map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    right = e0.map_batches(
+        lambda t: pa.table({"b2": t["a"], "c": t["b"]}),
+        batch_format="pyarrow",
+    )
+    wedges = hash_join(
+        e0, right, on="b", right_on="b2", num_partitions=8
+    ).materialize()  # ONE JoinOperator per execution
+    n_wedges = wedges.count()
+    closer = e0.map_batches(
+        lambda t: pa.table({"a2": t["a"], "c2": t["b"]}),
+        batch_format="pyarrow",
+    )
+    closed = hash_join(
+        wedges.map_batches(
+            lambda t: t.select(["a", "c"]), batch_format="pyarrow"
+        ),
+        closer,
+        on=("a", "c"),
+        right_on=("a2", "c2"),
+        num_partitions=8,
+    )
+    n_tri = closed.count()
+    return pa.table(
+        {
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )
+
+
+def _sql_triangle_count() -> str:
+    return (
+        "WITH nh AS (SELECT MAX(doc_id) // 16 + 1 AS n FROM documents), "
+        "raw AS (SELECT doc_id // 16 AS src, "
+        "CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "
+        "% (SELECT n FROM nh) AS BIGINT) AS dst FROM documents), "
+        "e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM raw WHERE src <> dst), "
+        "w AS (SELECT x.a, x.b, y.b AS c FROM e0 x "
+        "JOIN e0 y ON y.a = x.b) "
+        "SELECT (SELECT COUNT(*) FROM w) AS n_wedges, "
+        "(SELECT COUNT(*) FROM w JOIN e0 z ON z.a = w.a AND z.b = w.c) "
+        "AS n_triangles"
+    )
+
+
 def q_frequent_pairs(sf_dir: str):
     """Apriori k=2 frequent token pairs (round 5): pairs of tokens
     co-occurring in at least n_docs // 5 documents —
@@ -8626,6 +8724,7 @@ QUERIES: dict[str, Callable] = {
     "salient_terms": q_salient_terms,
     "value_outliers": q_value_outliers,
     "frequent_pairs": q_frequent_pairs,
+    "triangle_count": q_triangle_count,
     "grouped_ols_slope": q_grouped_ols_slope,
     "chi_square_contingency": q_chi_square_contingency,
     "sliding_value_sum": q_sliding_value_sum,
@@ -8773,6 +8872,7 @@ ORACLES: dict[str, str] = {
     "salient_terms": _sql_salient_terms(),
     "value_outliers": _sql_value_outliers(),
     "frequent_pairs": _sql_frequent_pairs(),
+    "triangle_count": _sql_triangle_count(),
     "grouped_ols_slope": _sql_grouped_ols_slope(),
     "chi_square_contingency": _sql_chi_square_contingency(),
     "sliding_value_sum": _sql_sliding_value_sum(),
