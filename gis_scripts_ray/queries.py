@@ -3059,6 +3059,118 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_morans_i(sf_dir: str):
+    """Moran's I spatial autocorrelation over the doc-count tile grid
+    (round 5) — THE classic geospatial statistic, in the exact integer
+    domain: with dev_i = n·x_i − S (so x_i − x̄ = dev_i / n and every
+    1/n² cancels in I), the three sufficient statistics are
+    W = #adjacent ordered pairs (rook), Σ dev², and Σ_{ij adj} dev_i·dev_j
+    — I = (n/W)·cross/dev_sq assembles exactly from them. The analysis
+    region is the OCCUPIED cells (both engines' GROUP BY produces
+    exactly those). One corpus pass builds cells; one equality
+    hash-join against the 4-shifted cell table finds adjacencies (never
+    a theta join); scalars ride `ds.sum`.
+
+    Output: one row (n_cells, w_pairs, dev_sq_sum, cross_sum)."""
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import cell_count
+
+    ds = encode_cells(located_documents(sf_dir), EncodeConfig(tile_z=TILE_Z))
+    cells = cell_count(ds, ["tile_x", "tile_y"], alias="x").materialize()
+    n = cells.count()
+    s = int(cells.sum("x") or 0)
+
+    def dev_tbl(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tx": b["tile_x"],
+                "ty": b["tile_y"],
+                "dev": pa.array(n * x - s, pa.int64()),
+            }
+        )
+
+    dv = cells.map_batches(dev_tbl, batch_format="pyarrow").materialize()
+    dev_sq = int(
+        dv.map_batches(
+            lambda b: pa.table(
+                {
+                    "d2": pa.array(
+                        b["dev"].to_numpy(zero_copy_only=False) ** 2,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("d2")
+        or 0
+    )
+
+    def shifted(b: pa.Table) -> pa.Table:
+        tx = b["tx"].to_numpy(zero_copy_only=False)
+        ty = b["ty"].to_numpy(zero_copy_only=False)
+        dev = b["dev"].to_numpy(zero_copy_only=False)
+        nx = np.concatenate([tx + 1, tx - 1, tx, tx])
+        ny = np.concatenate([ty, ty, ty + 1, ty - 1])
+        return pa.table(
+            {
+                "nx": pa.array(nx, pa.int64()),
+                "ny": pa.array(ny, pa.int64()),
+                "da": pa.array(np.tile(dev, 4), pa.int64()),
+            }
+        )
+
+    pairs = hash_join(
+        dv.map_batches(shifted, batch_format="pyarrow"),
+        dv,
+        on=("nx", "ny"),
+        right_on=("tx", "ty"),
+        num_partitions=8,
+    )
+
+    def prod(b: pa.Table) -> pa.Table:
+        da = b["da"].to_numpy(zero_copy_only=False)
+        db = b["dev"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "w": pa.array(np.ones(len(da), dtype=np.int64)),
+                "cr": pa.array(da * db, pa.int64()),
+            }
+        )
+
+    pp = pairs.map_batches(prod, batch_format="pyarrow").materialize()
+    w_pairs = int(pp.sum("w") or 0)
+    cross = int(pp.sum("cr") or 0)
+    return pa.table(
+        {
+            "n_cells": pa.array([n], pa.int64()),
+            "w_pairs": pa.array([w_pairs], pa.int64()),
+            "dev_sq_sum": pa.array([dev_sq], pa.int64()),
+            "cross_sum": pa.array([cross], pa.int64()),
+        }
+    )
+
+
+def _sql_morans_i() -> str:
+    x, y = _tile_sql(TILE_Z)
+    return (
+        _located_cte("d.doc_id")
+        + f", cells AS (SELECT {x} AS tx, {y} AS ty, COUNT(*) AS x "
+        "FROM located GROUP BY tx, ty), "
+        "m AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM cells), "
+        "dv AS (SELECT tx, ty, (SELECT n FROM m) * x - (SELECT s FROM m) "
+        "AS dev FROM cells), "
+        "sh AS (SELECT tx + dx AS nx, ty + dy AS ny, dev FROM dv, "
+        "(VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS dirs(dx, dy)), "
+        "pr AS (SELECT sh.dev AS da, dv.dev AS db FROM sh "
+        "JOIN dv ON dv.tx = sh.nx AND dv.ty = sh.ny) "
+        "SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_cells, "
+        "CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS w_pairs, "
+        "(SELECT CAST(SUM(dev * dev) AS BIGINT) FROM dv) AS dev_sq_sum, "
+        "CAST(COALESCE(SUM(da * db), 0) AS BIGINT) AS cross_sum FROM pr"
+    )
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count of the (undirected, deduplicated) host link
     graph (round 5) — the classic two-join formulation: canonical edges
@@ -8725,6 +8837,7 @@ QUERIES: dict[str, Callable] = {
     "value_outliers": q_value_outliers,
     "frequent_pairs": q_frequent_pairs,
     "triangle_count": q_triangle_count,
+    "morans_i": q_morans_i,
     "grouped_ols_slope": q_grouped_ols_slope,
     "chi_square_contingency": q_chi_square_contingency,
     "sliding_value_sum": q_sliding_value_sum,
@@ -8873,6 +8986,7 @@ ORACLES: dict[str, str] = {
     "value_outliers": _sql_value_outliers(),
     "frequent_pairs": _sql_frequent_pairs(),
     "triangle_count": _sql_triangle_count(),
+    "morans_i": _sql_morans_i(),
     "grouped_ols_slope": _sql_grouped_ols_slope(),
     "chi_square_contingency": _sql_chi_square_contingency(),
     "sliding_value_sum": _sql_sliding_value_sum(),
