@@ -3059,6 +3059,38 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_burst_pairs(sf_dir: str):
+    """Per-user burst-pair counts (round 5): ordered same-user event
+    pairs within a 2-hour window — ``stages/burst.burst_pair_counts``
+    replaces the twin's inequality self-join with ONE bucketed shuffle
+    and two ``searchsorted`` calls over a per-bucket composite key (no
+    JoinOperator, no pair materialization; identical timestamps never
+    pair, matching the strict ``>``).
+
+    Output: (user_id, n_pairs) for users with at least one pair."""
+    from gis_scripts_ray.stages.burst import burst_pair_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = burst_pair_counts(ds, "user_id", "ts", 7_200_000_000)
+    return out.map_batches(
+        lambda b: b.filter(pc.greater(b["n_pairs"], 0)),
+        batch_format="pyarrow",
+    ).sort("user_id")
+
+
+def _sql_burst_pairs() -> str:
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "p AS (SELECT a.user_id FROM e a JOIN e b ON "
+        "a.user_id = b.user_id AND b.us > a.us "
+        "AND b.us <= a.us + 7200000000) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p "
+        "GROUP BY user_id ORDER BY user_id"
+    )
+
+
 def q_morans_i(sf_dir: str):
     """Moran's I spatial autocorrelation over the doc-count tile grid
     (round 5) — THE classic geospatial statistic, in the exact integer
@@ -8838,6 +8870,7 @@ QUERIES: dict[str, Callable] = {
     "frequent_pairs": q_frequent_pairs,
     "triangle_count": q_triangle_count,
     "morans_i": q_morans_i,
+    "burst_pairs": q_burst_pairs,
     "grouped_ols_slope": q_grouped_ols_slope,
     "chi_square_contingency": q_chi_square_contingency,
     "sliding_value_sum": q_sliding_value_sum,
@@ -8987,6 +9020,7 @@ ORACLES: dict[str, str] = {
     "frequent_pairs": _sql_frequent_pairs(),
     "triangle_count": _sql_triangle_count(),
     "morans_i": _sql_morans_i(),
+    "burst_pairs": _sql_burst_pairs(),
     "grouped_ols_slope": _sql_grouped_ols_slope(),
     "chi_square_contingency": _sql_chi_square_contingency(),
     "sliding_value_sum": _sql_sliding_value_sum(),
