@@ -3059,6 +3059,250 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_token_gini(sf_dir: str):
+    """Per-language token-diversity quality signal (round 5): Gini
+    impurity of each doc's token distribution in exact integer micros —
+    gini_micro = (10⁶ · (n² − Σc²)) // n² (entropy's log never enters,
+    so the signal is float-free and twinnable; low diversity = the
+    repetition the Gopher filters target). One fused vectorized pass
+    per block (split → per-doc token counts via one lexsort-free
+    group_by → Σc² by reduceat), then a per-language sum/count combine.
+
+    Output: (lang, sum_gini_micro, n) per language."""
+    import polars as pl
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(
+            pa.table({"doc_id": batch["doc_id"], "text": batch["text"]})
+        )
+        per = (
+            df.with_columns(pl.col("text").str.split(" ").alias("w"))
+            .explode("w")
+            .group_by(["doc_id", "w"])
+            .len()
+            .group_by("doc_id")
+            .agg(
+                (pl.col("len") ** 2).sum().alias("c2"),
+                pl.col("len").sum().alias("n"),
+            )
+            .sort("doc_id")
+        )
+        n = per["n"].to_numpy().astype(np.int64)
+        c2 = per["c2"].to_numpy().astype(np.int64)
+        gini = (1_000_000 * (n * n - c2)) // (n * n)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(per["doc_id"].to_numpy(), pa.int64()),
+                "gini_micro": pa.array(gini, pa.int64()),
+            }
+        )
+        # reattach lang (both sides of this zip are the same block)
+        lang_by_doc = pa.table(
+            {"doc_id": batch["doc_id"], "lang": batch["lang"]}
+        ).sort_by("doc_id")
+        assert lang_by_doc["doc_id"].equals(docs["doc_id"])
+        return pa.table(
+            {
+                "lang": lang_by_doc["lang"],
+                "gini_micro": docs["gini_micro"],
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(per_doc, batch_format="pyarrow"),
+        ["lang"],
+        ["gini_micro"],
+    )
+
+
+def _sql_token_gini() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, lang, "
+        "unnest(string_split(text, ' ')) AS w FROM documents), "
+        "c AS (SELECT doc_id, lang, w, COUNT(*) AS cnt FROM t "
+        "GROUP BY doc_id, lang, w), "
+        "p AS (SELECT doc_id, lang, SUM(cnt * cnt) AS c2, SUM(cnt) AS n "
+        "FROM c GROUP BY doc_id, lang), "
+        "g AS (SELECT lang, (1000000 * (n * n - c2)) // (n * n) AS gm "
+        "FROM p) "
+        "SELECT lang, CAST(SUM(gm) AS BIGINT) AS sum_gini_micro, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY lang"
+    )
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source duplication matrix (round 5): for every source pair
+    (s1 < s2), how many DISTINCT texts appear in both — the
+    "contamination between corpus slices" diagnostic behind
+    cross-corpus dedup policy. Texts never shuffle: blocks emit
+    (content-hash fixed_size_binary(16), source) distinct pairs, one
+    adaptive combine dedupes globally, a second per-hash pass expands
+    each hash's source set into canonical pairs (per-size
+    ``triu_indices``, the itemsets kernel), and a final combine counts
+    per pair. MD5 collisions across ~2^64 distinct texts are the
+    documented negligible-risk assumption (the exact-dedup convention).
+
+    Fixture: the corpus texts are unique by construction, so the input
+    stream is the documents table UNIONed with a rotated-source mirror
+    of every third doc (source srcK -> src((K+1) mod n_sources)) — the
+    repo's shifted-union convention: real cross-source duplicates with
+    a closed-form twin, nothing hard-coded (n_sources is measured).
+
+    Output: (s1, s2, n_shared) for pairs with n_shared > 0."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    import pyarrow.parquet as _pq
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    n_sources = len(
+        set(
+            _pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["source"]
+            )["source"].to_pylist()
+        )
+    )
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        sel = pa.array(batch["doc_id"].to_numpy() % 3 == 0)
+        m = batch.filter(sel)
+        src = pl.from_arrow(m["source"])
+        if isinstance(src, pl.DataFrame):
+            src = src.to_series()
+        rot = (src.str.slice(3).cast(pl.Int64).to_numpy() + 1) % n_sources
+        mirrored = pa.table(
+            {
+                "source": pa.array([f"src{k}" for k in rot], pa.string()),
+                "text": m["text"],
+            }
+        )
+        orig = pa.table({"source": batch["source"], "text": batch["text"]})
+        return pa.concat_tables([orig, mirrored])
+
+    ds = base.map_batches(mirror, batch_format="pyarrow")
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        from gis_scripts_ray.stages.dedup import content_hash_cols
+
+        hb = content_hash_cols(batch, "text")
+        t = pa.table(
+            {
+                "h1": hb["h1"],
+                "h2": hb["h2"],
+                "source": batch["source"],
+                "one": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+        return (
+            t.group_by(["h1", "h2", "source"])
+            .aggregate([("one", "min")])
+            .rename_columns(["h1", "h2", "source", "one"])
+        )
+
+    distinct = coalesce_shuffle_agg(
+        ds.map_batches(hash_pairs, batch_format="pyarrow"),
+        ["h1", "h2", "source"],
+        {"one": "min"},
+    ).materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by(
+            [
+                ("h1", "ascending"),
+                ("h2", "ascending"),
+                ("source", "ascending"),
+            ]
+        )
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        src = t["source"].combine_chunks()
+        new = np.empty(len(h1), dtype=bool)
+        if len(h1) == 0:
+            return pa.table(
+                {
+                    "s1": pa.array([], pa.string()),
+                    "s2": pa.array([], pa.string()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(h1)]]))
+        i_parts, j_parts = [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            iu, ju = np.triu_indices(int(s), k=1)
+            base = starts[sizes == s]
+            i_parts.append((base[:, None] + iu[None, :]).ravel())
+            j_parts.append((base[:, None] + ju[None, :]).ravel())
+        if not i_parts:
+            return pa.table(
+                {
+                    "s1": pa.array([], pa.string()),
+                    "s2": pa.array([], pa.string()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        ii = np.concatenate(i_parts)
+        jj = np.concatenate(j_parts)
+        t2 = pa.table(
+            {
+                "s1": src.take(pa.array(ii, pa.int64())),
+                "s2": src.take(pa.array(jj, pa.int64())),
+                "n_shared": pa.array(np.ones(len(ii), dtype=np.int64)),
+            }
+        )
+        out = t2.group_by(["s1", "s2"]).aggregate([("n_shared", "sum")])
+        return out.rename_columns(["s1", "s2", "n_shared"])
+
+    # re-bucket by hash so each hash's source set is complete in one task
+    def rekey(b: pa.Table) -> pa.Table:
+        h1 = b["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "_bk", pa.array((h1 % np.uint64(32)).astype(np.int64), pa.int64())
+        )
+
+    grouped = distinct.map_batches(rekey, batch_format="pyarrow").groupby(
+        "_bk"
+    )
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        t = pa.Table.from_pandas(g, preserve_index=False)
+        return pair_partial(t).to_pandas()
+
+    pairs = grouped.map_groups(per_bucket, batch_format="pandas")
+    return coalesce_shuffle_agg(
+        pairs, ["s1", "s2"], {"n_shared": "sum"}
+    )
+
+
+def _sql_source_overlap() -> str:
+    return (
+        "WITH ns AS (SELECT COUNT(DISTINCT source) AS k FROM documents), "
+        "stream AS (SELECT source, text FROM documents "
+        "UNION ALL "
+        "SELECT 'src' || CAST((CAST(SUBSTR(source, 4) AS INT) + 1) "
+        "% (SELECT k FROM ns) AS VARCHAR) AS source, text "
+        "FROM documents WHERE doc_id % 3 = 0), "
+        "d AS (SELECT DISTINCT source, text FROM stream) "
+        "SELECT a.source AS s1, b.source AS s2, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared FROM d a "
+        "JOIN d b ON a.text = b.text AND a.source < b.source "
+        "GROUP BY a.source, b.source"
+    )
+
+
 def q_burst_pairs(sf_dir: str):
     """Per-user burst-pair counts (round 5): ordered same-user event
     pairs within a 2-hour window — ``stages/burst.burst_pair_counts``
@@ -8871,6 +9115,8 @@ QUERIES: dict[str, Callable] = {
     "triangle_count": q_triangle_count,
     "morans_i": q_morans_i,
     "burst_pairs": q_burst_pairs,
+    "token_gini": q_token_gini,
+    "source_overlap": q_source_overlap,
     "grouped_ols_slope": q_grouped_ols_slope,
     "chi_square_contingency": q_chi_square_contingency,
     "sliding_value_sum": q_sliding_value_sum,
@@ -9021,6 +9267,8 @@ ORACLES: dict[str, str] = {
     "triangle_count": _sql_triangle_count(),
     "morans_i": _sql_morans_i(),
     "burst_pairs": _sql_burst_pairs(),
+    "token_gini": _sql_token_gini(),
+    "source_overlap": _sql_source_overlap(),
     "grouped_ols_slope": _sql_grouped_ols_slope(),
     "chi_square_contingency": _sql_chi_square_contingency(),
     "sliding_value_sum": _sql_sliding_value_sum(),
