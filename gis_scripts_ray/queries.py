@@ -3059,6 +3059,51 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval via reciprocal-rank fusion (round 5): the
+    standard lexical+dense fusion of an LLM retrieval stack —
+    rrf_micro = Σ_lists 10⁶ // (60 + rank) over the BM25 top-12
+    (``bm25_topk``'s index-pruned integer pipeline) and the int8
+    quantized-cosine top-10 (``quantized_topk``'s exact matmul), which
+    share the doc/vec id space. Both rankings are deterministic
+    (score DESC, id ASC), so RRF is exact integers; the fusion itself
+    runs on the ≤22 winner rows. The twin nests both full pipelines'
+    SQL as CTEs — the whole stack re-verifies per run.
+
+    Output: top-10 (doc_id, rrf_micro)."""
+    bm = q_bm25_topk(sf_dir).to_pandas()
+    qz = q_quantized_topk(sf_dir)
+    qz = qz.to_pandas() if not isinstance(qz, pa.Table) else qz.to_pandas()
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True])
+    qz = qz.sort_values(["score", "vec_id"], ascending=[False, True])
+    rrf: dict[int, int] = {}
+    for ids in (bm["doc_id"].tolist(), qz["vec_id"].tolist()):
+        for r, d in enumerate(ids, start=1):
+            rrf[int(d)] = rrf.get(int(d), 0) + 1_000_000 // (60 + r)
+    top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in top], pa.int64()),
+            "rrf_micro": pa.array([s for _, s in top], pa.int64()),
+        }
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    return (
+        f"WITH bm AS ({_sql_bm25_topk()}), qz AS ({_sql_quantized_topk()}), "
+        "br AS (SELECT doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY score DESC, doc_id) AS r FROM bm), "
+        "qr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER "
+        "(ORDER BY score DESC, vec_id) AS r FROM qz), "
+        "u AS (SELECT doc_id, r FROM br UNION ALL "
+        "SELECT doc_id, r FROM qr) "
+        "SELECT doc_id, CAST(SUM(1000000 // (60 + r)) AS BIGINT) "
+        "AS rrf_micro FROM u GROUP BY doc_id "
+        "ORDER BY rrf_micro DESC, doc_id LIMIT 10"
+    )
+
+
 def q_token_gini(sf_dir: str):
     """Per-language token-diversity quality signal (round 5): Gini
     impurity of each doc's token distribution in exact integer micros —
@@ -9115,6 +9160,7 @@ QUERIES: dict[str, Callable] = {
     "triangle_count": q_triangle_count,
     "morans_i": q_morans_i,
     "burst_pairs": q_burst_pairs,
+    "hybrid_rrf": q_hybrid_rrf,
     "token_gini": q_token_gini,
     "source_overlap": q_source_overlap,
     "grouped_ols_slope": q_grouped_ols_slope,
@@ -9267,6 +9313,7 @@ ORACLES: dict[str, str] = {
     "triangle_count": _sql_triangle_count(),
     "morans_i": _sql_morans_i(),
     "burst_pairs": _sql_burst_pairs(),
+    "hybrid_rrf": _sql_hybrid_rrf(),
     "token_gini": _sql_token_gini(),
     "source_overlap": _sql_source_overlap(),
     "grouped_ols_slope": _sql_grouped_ols_slope(),
