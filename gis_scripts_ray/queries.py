@@ -3059,6 +3059,82 @@ def _sql_multimodal_bytes() -> str:
 _SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
+def q_value_mad(sf_dir: str):
+    """Median absolute deviation per event type (round 5): the robust
+    dispersion statistic — med = lower median of value cents, mad =
+    lower median of |v − med| — two passes of the exact distributed
+    grouped median (``stats.grouped_median``: per-group value
+    histograms, order statistics read off exactly), medians delivered
+    back by broadcast (the per-type table is category-bounded). Lower
+    (discrete) median == DuckDB PERCENTILE_DISC(0.5) — no interpolated
+    floats.
+
+    Output: (event_type, med, mad) sorted."""
+    from gis_scripts_ray.stages.stats import grouped_median
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": batch["event_type"], "v": _cents(batch["value"])}
+        )
+
+    vals = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    med = grouped_median(vals, ["event_type"], "v", out_col="med").to_pandas()
+    med_of = dict(zip(med["event_type"], med["med"].astype(int)))
+    med_ref = ray.put(med_of)
+
+    def absdev(batch: pa.Table, _ref=med_ref) -> pa.Table:
+        from gis_scripts_ray.state.broadcast import worker_broadcast
+
+        m = worker_broadcast(_ref)
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        lut = np.array(
+            [m[t] for t in enc.dictionary.to_pylist()], dtype=np.int64
+        )  # one lookup per DISTINCT type, not per row
+        meds = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "av": pa.array(np.abs(v - meds), pa.int64()),
+            }
+        )
+
+    mad = grouped_median(
+        vals.map_batches(absdev, batch_format="pyarrow"),
+        ["event_type"],
+        "av",
+        out_col="mad",
+    ).to_pandas()
+    mad = mad.sort_values("event_type").reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(mad["event_type"], pa.string()),
+            "med": pa.array(
+                [med_of[t] for t in mad["event_type"]], pa.int64()
+            ),
+            "mad": pa.array(mad["mad"].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _sql_value_mad() -> str:
+    return (
+        "WITH s AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) "
+        "AS v FROM events), "
+        "m AS (SELECT event_type, CAST(PERCENTILE_DISC(0.5) WITHIN GROUP "
+        "(ORDER BY v) AS BIGINT) AS med FROM s GROUP BY event_type), "
+        "d AS (SELECT s.event_type, ABS(s.v - m.med) AS av FROM s "
+        "JOIN m USING (event_type)) "
+        "SELECT d.event_type, m.med, CAST(PERCENTILE_DISC(0.5) WITHIN GROUP "
+        "(ORDER BY av) AS BIGINT) AS mad FROM d JOIN m USING (event_type) "
+        "GROUP BY d.event_type, m.med ORDER BY d.event_type"
+    )
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid retrieval via reciprocal-rank fusion (round 5): the
     standard lexical+dense fusion of an LLM retrieval stack —
@@ -9160,6 +9236,7 @@ QUERIES: dict[str, Callable] = {
     "triangle_count": q_triangle_count,
     "morans_i": q_morans_i,
     "burst_pairs": q_burst_pairs,
+    "value_mad": q_value_mad,
     "hybrid_rrf": q_hybrid_rrf,
     "token_gini": q_token_gini,
     "source_overlap": q_source_overlap,
@@ -9313,6 +9390,7 @@ ORACLES: dict[str, str] = {
     "triangle_count": _sql_triangle_count(),
     "morans_i": _sql_morans_i(),
     "burst_pairs": _sql_burst_pairs(),
+    "value_mad": _sql_value_mad(),
     "hybrid_rrf": _sql_hybrid_rrf(),
     "token_gini": _sql_token_gini(),
     "source_overlap": _sql_source_overlap(),
