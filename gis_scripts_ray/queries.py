@@ -9168,11 +9168,203 @@ def _sql_crawl_schedule() -> str:
     )
 
 
+def q_cms_freq_est(sf_dir: str):
+    """Count-Min sketch point-frequency estimation (round 5): the
+    mergeable-counter answer to "how often does this token appear in the
+    100-TB corpus" WITHOUT shuffling the vocabulary — each block reduces
+    to a fixed d x width register table (``sketch.cms_counters``), plain
+    integer sums merge them, and point queries read d registers. The
+    sketch is DETERMINISTIC (hash rows = the four 32-bit words of one md5
+    digest), so DuckDB rebuilds the identical registers and the twin is
+    exact — est defects (hash, bucketing, merge) and truth defects both
+    surface as value mismatches. Probe set: distinct tokens with 64-bit
+    md5 prefix == 0 mod 331 (corpus-independent, ~1/331 of the
+    vocabulary), each carrying its exact count so the CMS overestimate
+    invariant (est >= n_true, equality unless buckets collide) is
+    visible row-by-row. (The fixture corpus has a ~31-token vocabulary,
+    so the probe modulus here is 3 — 13 probes; an open-web run passes
+    ``probe_mod`` in the hundreds for the same ~1/mod sample.)
+
+    Output: (token, n_true, est) per probe token."""
+    from gis_scripts_ray.state.broadcast import worker_broadcast
+    from gis_scripts_ray.stages.sketch import (
+        _CMS_D,
+        _cms_words,
+        cms_counters,
+        cms_probe_counts,
+    )
+
+    width = 1024
+    docs = f"{sf_dir}/documents.parquet"
+    regs = cms_counters(
+        ray.data.read_parquet(docs, columns=["text"]), "text", width
+    ).take_all()  # fixed-size register set (<= d*width rows) — the one
+    # driver materialization, same convention as the HLL/MG sketches
+    dense = np.zeros((_CMS_D, width), dtype=np.int64)
+    for r in regs:
+        dense[r["row"], r["bucket"]] = r["c"]
+    import ray as _ray
+
+    ref = _ray.put(dense)
+
+    probes = cms_probe_counts(
+        ray.data.read_parquet(docs, columns=["text"]), "text", probe_mod=3
+    )
+
+    def add_est(batch: pa.Table) -> pa.Table:
+        C = worker_broadcast(ref)
+        toks = batch["token"].to_pylist()
+        est = np.zeros(len(toks), dtype=np.int64)
+        if toks:
+            words = _cms_words(toks)
+            est = C[0][(words[:, 0] % np.uint64(width)).astype(np.int64)]
+            for r in range(1, _CMS_D):
+                est = np.minimum(
+                    est, C[r][(words[:, r] % np.uint64(width)).astype(np.int64)]
+                )
+        return pa.table(
+            {
+                "token": batch["token"],
+                "n_true": batch["n_true"],
+                "est": pa.array(est, pa.int64()),
+            }
+        )
+
+    return probes.map_batches(add_est, batch_format="pyarrow")
+
+
+def _sql_cms_freq_est() -> str:
+    # the twin REBUILDS the sketch: same md5 words, same buckets, same
+    # integer sums — LEAST over the four counter lookups is the estimate
+    return (
+        "WITH tok AS (SELECT unnest(string_split(COALESCE(text, ''), ' ')) "
+        "AS w FROM documents), "
+        "hb AS (SELECT w, "
+        "CAST(('0x'||substr(md5(w),1,8))::UBIGINT % 1024 AS BIGINT) AS b0, "
+        "CAST(('0x'||substr(md5(w),9,8))::UBIGINT % 1024 AS BIGINT) AS b1, "
+        "CAST(('0x'||substr(md5(w),17,8))::UBIGINT % 1024 AS BIGINT) AS b2, "
+        "CAST(('0x'||substr(md5(w),25,8))::UBIGINT % 1024 AS BIGINT) AS b3 "
+        "FROM tok), "
+        "c0 AS (SELECT b0 AS b, COUNT(*) AS c FROM hb GROUP BY b0), "
+        "c1 AS (SELECT b1 AS b, COUNT(*) AS c FROM hb GROUP BY b1), "
+        "c2 AS (SELECT b2 AS b, COUNT(*) AS c FROM hb GROUP BY b2), "
+        "c3 AS (SELECT b3 AS b, COUNT(*) AS c FROM hb GROUP BY b3), "
+        "probes AS (SELECT w, COUNT(*) AS n_true, MIN(b0) AS b0, "
+        "MIN(b1) AS b1, MIN(b2) AS b2, MIN(b3) AS b3 FROM hb "
+        "WHERE ('0x'||substr(md5(w),1,16))::UBIGINT % 3 = 0 GROUP BY w) "
+        "SELECT p.w AS token, CAST(p.n_true AS BIGINT) AS n_true, "
+        "CAST(LEAST(c0.c, c1.c, c2.c, c3.c) AS BIGINT) AS est "
+        "FROM probes p JOIN c0 ON c0.b = p.b0 JOIN c1 ON c1.b = p.b1 "
+        "JOIN c2 ON c2.b = p.b2 JOIN c3 ON c3.b = p.b3"
+    )
+
+
+def q_image_phash_dedup(sf_dir: str):
+    """Perceptual near-duplicate IMAGE grouping (round 5): the image-side
+    sibling of minhash text dedup. Every doc ships a small gradient
+    image through the binary column — pixel ``idx`` of doc ``d`` is
+    ``(d*7 + (d//256)%3 + idx*11) % 256`` (R=G=B) — encoded BMP /
+    PNG / GIF cycling by ``d % 3``, and every fifth doc ships the
+    2x-UPSCALED 18x16 rendition instead of the native 9x8. So the same
+    picture arrives as byte-level DIFFERENT files (different codec,
+    different resolution, brightness-shifted by the ``(d//256)%3``
+    term); exact hashes split them, the 64-bit dHash
+    (``stages/phash.py``: real decode -> integer-mean grayscale ->
+    exact box-mean 8x9 -> row-gradient bits) collapses them. The twin
+    recomputes every hash bit arithmetically from the pattern — any
+    codec, grayscale, box-mean or bit-packing defect shifts a hash and
+    breaks the row set.
+
+    Output: (dhash_hi, dhash_lo, n_docs, min_doc) per perceptual
+    cluster."""
+    from gis_scripts_ray.stages.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+    from gis_scripts_ray.stages.phash import dhash_images
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    idx = np.arange(72, dtype=np.int64)
+
+    def make_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+
+        def enc(d: int) -> bytes:
+            gray = ((d * 7 + (d // 256) % 3 + idx * 11) % 256).astype(np.uint8)
+            img = np.repeat(gray.reshape(8, 9, 1), 3, axis=2)
+            if d % 5 == 0:  # 2x-upscaled rendition — exercises box-mean
+                img = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+            if d % 3 == 0:
+                return encode_bmp(img)
+            if d % 3 == 1:
+                return encode_png(img)
+            return encode_gif(img)
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "html": pa.array([enc(int(d)) for d in ids], pa.binary()),
+            }
+        )
+
+    hashed = dhash_images(
+        ds.map_batches(make_payload, batch_format="pyarrow"), "html"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        assert pc.min(batch["phash_ok"]).as_py() in (True, None)
+        n = len(batch)
+        return pa.table(
+            {
+                "dhash_hi": batch["dhash_hi"],
+                "dhash_lo": batch["dhash_lo"],
+                "n_docs": pa.array(np.ones(n, dtype=np.int64)),
+                "min_doc": batch["doc_id"],
+            }
+        )
+
+    return coalesce_shuffle_agg(
+        hashed.map_batches(partial, batch_format="pyarrow"),
+        ["dhash_hi", "dhash_lo"],
+        {"n_docs": "sum", "min_doc": "min"},
+    )
+
+
+def _sql_image_phash_dedup() -> str:
+    # the twin REBUILDS the hash arithmetically: gray(idx) =
+    # (v + idx*11) % 256 with v = (doc_id*7 + (doc_id//256)%3) % 256;
+    # bit r*8+c set iff gray(r*9+c) > gray(r*9+c+1); halves pack
+    # little-endian by bit position (each half < 2^32 — BIGINT-safe)
+    return (
+        "WITH v AS (SELECT doc_id, "
+        "(doc_id*7 + (doc_id//256)%3) % 256 AS v FROM documents), "
+        "bits AS (SELECT doc_id, r.r*8 + c.c AS bitpos, "
+        "CASE WHEN (v + (r.r*9+c.c)*11) % 256 > (v + (r.r*9+c.c+1)*11) % 256 "
+        "THEN 1 ELSE 0 END AS bit "
+        "FROM v, generate_series(0,7) AS r(r), generate_series(0,7) AS c(c)), "
+        "h AS (SELECT doc_id, "
+        "SUM(CASE WHEN bitpos < 32 THEN bit * (1::BIGINT << bitpos) "
+        "ELSE 0 END) AS dhash_lo, "
+        "SUM(CASE WHEN bitpos >= 32 THEN bit * (1::BIGINT << (bitpos-32)) "
+        "ELSE 0 END) AS dhash_hi FROM bits GROUP BY doc_id) "
+        "SELECT CAST(dhash_hi AS BIGINT) AS dhash_hi, "
+        "CAST(dhash_lo AS BIGINT) AS dhash_lo, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(MIN(doc_id) AS BIGINT) AS min_doc "
+        "FROM h GROUP BY dhash_hi, dhash_lo"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable] = {
+    "cms_freq_est": q_cms_freq_est,
+    "image_phash_dedup": q_image_phash_dedup,
     "spatial_dbscan": q_spatial_dbscan,
     "crawl_schedule": q_crawl_schedule,
     "geo_knn_join": q_geo_knn_join,
@@ -9330,6 +9522,8 @@ QUERIES: dict[str, Callable] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cms_freq_est": _sql_cms_freq_est(),
+    "image_phash_dedup": _sql_image_phash_dedup(),
     "geo_tile_counts": _sql_geo_tile_counts(),
     "geo_pip_class_stats": _sql_geo_pip_class_stats(),
     "agreement_test": _sql_agreement_test(),

@@ -389,3 +389,114 @@ def exact_distinct_tokens(ds: ray.data.Dataset, text_col: str = "text") -> int:
         ds.map_batches(partial, batch_format="pyarrow"), ["token"], ["n"]
     )
     return combined.count()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 5)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+
+
+def _cms_words(tokens: list) -> np.ndarray:
+    """(n, 4) uint64: the four big-endian 32-bit words of each token's
+    md5 digest — ONE digest pass yields all four CMS hash rows, and word
+    ``r`` is exactly ``substr(md5(w), 1+8r, 8)`` parsed as hex, so DuckDB
+    recomputes the identical sketch (``('0x'||substr(md5(w),1,8))::UBIGINT``
+    — cross-engine bit-equality pinned in tests/test_cms.py). md5 is the
+    repo's stable cross-platform string hash (``text_index.token_bucket``
+    convention); it touches DISTINCT tokens only (callers pass a
+    block-local vocabulary, never the occurrence stream)."""
+    import hashlib
+
+    out = np.empty((len(tokens), _CMS_D), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        dig = hashlib.md5(t.encode("utf-8")).digest()
+        out[i, 0] = int.from_bytes(dig[0:4], "big")
+        out[i, 1] = int.from_bytes(dig[4:8], "big")
+        out[i, 2] = int.from_bytes(dig[8:12], "big")
+        out[i, 3] = int.from_bytes(dig[12:16], "big")
+    return out
+
+
+def _block_token_counts(batch: pa.Table, text_col: str):
+    """Block-local (tokens, counts) — tokenization identical to
+    :func:`exact_distinct_tokens` / DuckDB
+    ``string_split(COALESCE(text,''), ' ')`` (empties kept, null -> '')."""
+    import pyarrow.compute as pc
+
+    toks = pc.list_flatten(
+        pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+    )
+    vc = (
+        pa.table({"token": toks})
+        .group_by(["token"])
+        .aggregate([([], "count_all")])
+    )
+    return vc["token"].to_pylist(), vc["count_all"].to_numpy().astype(np.int64)
+
+
+def cms_counters(
+    ds: ray.data.Dataset, text_col: str = "text", width: int = 1024
+) -> ray.data.Dataset:
+    """Mergeable Count-Min registers over a token stream (Cormode &
+    Muthukrishnan 2005): each block reduces to <= ``_CMS_D * width``
+    (row, bucket, c) partial counters — a FIXED-SIZE register set no
+    matter the corpus, merged by plain integer + (associative,
+    block-structure-independent), the 100-TB frequency-estimation
+    primitive. Per block the occurrence stream compacts to the block
+    vocabulary first (one ``group_by`` — the dictionary-encode
+    convention), md5 runs once per distinct token, and ``np.bincount``
+    accumulates each hash row (float64 weights are exact: block counts
+    << 2^53)."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, cnts = _block_token_counts(batch, text_col)
+        words = _cms_words(toks)
+        outs = []
+        for r in range(_CMS_D):
+            buck = (words[:, r] % np.uint64(width)).astype(np.int64)
+            acc = np.bincount(buck, weights=cnts.astype(np.float64), minlength=width)
+            nz = np.nonzero(acc)[0]
+            outs.append(
+                pa.table(
+                    {
+                        "row": pa.array(np.full(len(nz), r, dtype=np.int64)),
+                        "bucket": pa.array(nz.astype(np.int64)),
+                        "c": pa.array(acc[nz].astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return coalesce_shuffle_agg(parts, ["row", "bucket"], {"c": "sum"})
+
+
+def cms_probe_counts(
+    ds: ray.data.Dataset, text_col: str = "text", probe_mod: int = 331
+) -> ray.data.Dataset:
+    """Deterministic CMS probe set + exact truth: the distinct tokens
+    whose 64-bit md5 prefix == 0 (mod ``probe_mod``) — a
+    corpus-independent ~1/mod vocabulary sample that SQL derives from the
+    same digest — each with its exact global occurrence count (so the
+    point-query overestimate invariant ``est >= n_true`` is checkable
+    row-by-row). Blocks emit their filtered vocabulary only; the adaptive
+    combine sums counts globally."""
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, cnts = _block_token_counts(batch, text_col)
+        words = _cms_words(toks)
+        h64 = (words[:, 0] << np.uint64(32)) | words[:, 1]
+        sel = np.nonzero((h64 % np.uint64(probe_mod)) == 0)[0]
+        return pa.table(
+            {
+                "token": pa.array([toks[i] for i in sel], pa.string()),
+                "n_true": pa.array(cnts[sel], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return coalesce_shuffle_agg(parts, ["token"], {"n_true": "sum"})
