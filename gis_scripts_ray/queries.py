@@ -9359,6 +9359,242 @@ def _sql_image_phash_dedup() -> str:
 
 
 # ---------------------------------------------------------------------------
+# tabular interchange sources: NDJSON(.gz) / CSV / ORC round-trips
+# ---------------------------------------------------------------------------
+
+_TAB_SHARDS = 8
+
+
+def _tabular_fixture_dir(sf_dir: str, kind: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/graft_tab/v1_{h}_{kind}_s{_TAB_SHARDS}"
+
+
+def _build_tabular_fixture(
+    sf_dir: str,
+    out: str,
+    table: str,
+    key_col: str,
+    prep,
+    encode,
+    ext: str,
+) -> None:
+    """Materialize one testdata table as {_TAB_SHARDS} shards of an
+    interchange format — built DISTRIBUTED (per-batch prep, per-shard
+    group encode+write with tmp+rename), warm-cached behind a _DONE
+    marker.  ``prep(batch) -> batch`` adapts columns to what the format
+    can carry; ``encode(table) -> bytes`` is the byte-deterministic
+    serializer from :mod:`gis_scripts_ray.sources.tabular`."""
+    if os.path.exists(f"{out}/_DONE"):
+        return
+    os.makedirs(out, exist_ok=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+    def to_shard(batch: pa.Table) -> pa.Table:
+        batch = prep(batch)
+        shard = batch[key_col].to_numpy() % _TAB_SHARDS
+        return batch.append_column(
+            "shard", pa.array(shard.astype(np.int64), pa.int64())
+        )
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        s = g["shard"][0].as_py()
+        g = g.sort_by(key_col).drop_columns(["shard"])
+        path = f"{out}/part-{s:04d}.{ext}"
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(encode(g))
+        os.replace(tmp, path)
+        return pa.table({"shard": pa.array([s], pa.int64())})
+
+    n = (
+        ds.map_batches(to_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .count()
+    )
+    assert n == _TAB_SHARDS, f"tabular fixture wrote {n} shards"
+    with open(f"{out}/_DONE", "w") as f:
+        f.write("ok\n")
+
+
+def q_jsonl_events_stats(sf_dir: str):
+    """NDJSON-gz source end-to-end (round 5): the events table
+    materializes as 8 ``.jsonl.gz`` shards (the API-dump / event-log
+    convention — timestamps as int64 micros, doubles as
+    shortest-round-trip decimals), then the NATIVE
+    ``ray.data.read_json`` streams them back (file-per-task, gzip
+    inferred from the extension, Arrow JSON parse) and aggregates per
+    (event_type, hour) in the integer domain.  The twin reads the
+    parquet events view directly — any serialization loss (a float
+    that fails to round-trip, a dropped row, a shifted timestamp)
+    breaks the value hash.
+
+    Output: (event_type, hour, sum_vmic, sum_ts_us, n)."""
+    import glob as _glob
+
+    from gis_scripts_ray.sources.tabular import encode_ndjson_gz
+
+    out = _tabular_fixture_dir(sf_dir, "jsonl")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": ts_us,
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+            }
+        )
+
+    _build_tabular_fixture(
+        sf_dir, out, "events", "event_id", prep, encode_ndjson_gz, "jsonl.gz"
+    )
+    files = sorted(_glob.glob(f"{out}/part-*.jsonl.gz"))
+    ds = ray.data.read_json(files)
+
+    def agg_prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts_us"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(us // 3_600_000_000, pa.int64()),
+                "vmic": _micros(batch["value"]),
+                "ts_us": batch["ts_us"].cast(pa.int64()),
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(agg_prep, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        ["vmic", "ts_us"],
+    )
+
+
+def _sql_jsonl_events_stats() -> str:
+    return (
+        f"SELECT event_type, {_sql_floordiv('epoch_us(ts)', 3600000000)} AS hour, "
+        "CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_vmic, "
+        "CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type, hour"
+    )
+
+
+def q_csv_orders_stats(sf_dir: str):
+    """CSV source end-to-end (round 5): the orders table materializes
+    as 8 header-bearing CSV shards (vendor-export convention —
+    ISO-8601 timestamps, shortest-round-trip doubles), then the NATIVE
+    ``ray.data.read_csv`` streams them back with an EXPLICIT declared
+    schema (per-block type inference is the classic at-scale CSV
+    failure; see ``tabular.csv_convert_options``) and aggregates per
+    (o_orderstatus, o_orderpriority) in cents.  The twin reads the
+    parquet orders view directly.
+
+    Output: (o_orderstatus, o_orderpriority, sum_cents, sum_date_us, n)."""
+    import glob as _glob
+
+    from gis_scripts_ray.sources.tabular import csv_convert_options, encode_csv
+
+    out = _tabular_fixture_dir(sf_dir, "csv")
+    _build_tabular_fixture(
+        sf_dir, out, "orders", "o_orderkey", lambda b: b, encode_csv, "csv"
+    )
+    files = sorted(_glob.glob(f"{out}/part-*.csv"))
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    ds = ray.data.read_csv(files, convert_options=csv_convert_options(schema))
+
+    def agg_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderstatus": batch["o_orderstatus"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": _cents(batch["o_totalprice"]),
+                "date_us": batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(agg_prep, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        ["cents", "date_us"],
+    )
+
+
+def _sql_csv_orders_stats() -> str:
+    return (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+        "CAST(SUM(epoch_us(o_orderdate)) AS BIGINT) AS sum_date_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    )
+
+
+def q_orc_lineitem_stats(sf_dir: str):
+    """ORC source end-to-end (round 5): the lineitem table materializes
+    as 8 ORC shards, then :func:`sources.tabular.read_orc` streams them
+    back — one file per task with ``columns=`` pruned INSIDE the ORC
+    stripe reader (4 of 11 columns decode; the others' streams are never
+    decompressed) — and aggregates the pricing summary per
+    (l_returnflag, l_linestatus).  The twin reads the parquet lineitem
+    view directly.
+
+    Output: (l_returnflag, l_linestatus, sum_qty, sum_price_cents, n)."""
+    import glob as _glob
+
+    from gis_scripts_ray.sources.tabular import encode_orc, read_orc
+
+    out = _tabular_fixture_dir(sf_dir, "orc")
+    _build_tabular_fixture(
+        sf_dir, out, "lineitem", "l_orderkey", lambda b: b, encode_orc, "orc"
+    )
+    files = sorted(_glob.glob(f"{out}/part-*.orc"))
+    ds = read_orc(
+        files,
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def agg_prep(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty, pa.int64()),
+                "price_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    return cell_sum_count(
+        ds.map_batches(agg_prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty", "price_cents"],
+    )
+
+
+def _sql_orc_lineitem_stats() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9367,6 +9603,9 @@ QUERIES: dict[str, Callable] = {
     "image_phash_dedup": q_image_phash_dedup,
     "spatial_dbscan": q_spatial_dbscan,
     "crawl_schedule": q_crawl_schedule,
+    "jsonl_events_stats": q_jsonl_events_stats,
+    "csv_orders_stats": q_csv_orders_stats,
+    "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
     "geo_tile_counts": q_geo_tile_counts,
     "geo_pip_class_stats": q_geo_pip_class_stats,
@@ -9679,6 +9918,9 @@ ORACLES: dict[str, str] = {
     "spatial_dbscan": _sql_spatial_dbscan(),
     # round-5: per-host politeness fetch-slot assignment
     "crawl_schedule": _sql_crawl_schedule(),
+    "jsonl_events_stats": _sql_jsonl_events_stats(),
+    "csv_orders_stats": _sql_csv_orders_stats(),
+    "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
     "geo_knn_join": _sql_geo_knn_join(),
 }
