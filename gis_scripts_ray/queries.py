@@ -9595,6 +9595,81 @@ def _sql_orc_lineitem_stats() -> str:
 
 
 # ---------------------------------------------------------------------------
+# per-source convex hull (strict, integer-exact, gift-wrapping twin)
+# ---------------------------------------------------------------------------
+
+
+def q_convex_hull(sf_dir: str):
+    """Per-source footprint hull (round 5 — the reference derives tile
+    extents / survey footprints from point extrema; the convex hull is
+    the exact footprint of a point cloud): located docs → integer
+    centi-degree lattice coords → distributed strict hull
+    (:mod:`stages.hull`: per-block dedup + Akl–Toussaint prune +
+    monotone chain partials, per-group chain finish — hulls compose, so
+    only O(h) vertices per block ever shuffle).  The twin re-derives
+    the SAME hull by Jarvis gift wrapping in a recursive CTE (next
+    vertex = the candidate no other point lies strictly right of, or
+    collinear beyond), so vertex SET, CCW ORDER and the min-(y,x)
+    start rule are all value-certified.
+
+    Output: (source, seq, ilon, ilat) — hull vertices CCW."""
+    from gis_scripts_ray.stages.hull import convex_hull
+
+    ds = located_documents(sf_dir, cols=("doc_id", "source"))
+
+    def to_int_coords(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        return pa.table(
+            {
+                "source": batch["source"],
+                "ilon": pa.array(
+                    _round_half_away(lon * 100.0).astype(np.int64), pa.int64()
+                ),
+                "ilat": pa.array(
+                    _round_half_away(lat * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pts = ds.map_batches(to_int_coords, batch_format="pyarrow")
+    return convex_hull(pts, "source", x_col="ilon", y_col="ilat")
+
+
+def _sql_convex_hull() -> str:
+    # cross(p, q, r) — strictly-right test for the gift-wrap candidate rule
+    cr = "((c.qx-c.px)*(r.y-c.py) - (c.qy-c.py)*(r.x-c.px))"
+    d_r = "((r.x-c.px)*(r.x-c.px) + (r.y-c.py)*(r.y-c.py))"
+    d_q = "((c.qx-c.px)*(c.qx-c.px) + (c.qy-c.py)*(c.qy-c.py))"
+    return (
+        "WITH RECURSIVE "
+        + _located_cte("d.source")[5:]  # strip the leading "WITH "
+        + ", pts AS (SELECT DISTINCT source, "
+        "CAST(ROUND(CAST(lon AS DOUBLE)*100) AS BIGINT) AS x, "
+        "CAST(ROUND(CAST(lat AS DOUBLE)*100) AS BIGINT) AS y FROM located), "
+        "nxt AS (SELECT c.source, c.px, c.py, c.qx, c.qy FROM "
+        "(SELECT a.source, a.x AS px, a.y AS py, b.x AS qx, b.y AS qy "
+        "FROM pts a JOIN pts b ON a.source = b.source "
+        "AND NOT (a.x = b.x AND a.y = b.y)) c "
+        "WHERE NOT EXISTS (SELECT 1 FROM pts r WHERE r.source = c.source "
+        "AND NOT (r.x = c.px AND r.y = c.py) "
+        "AND NOT (r.x = c.qx AND r.y = c.qy) "
+        f"AND ({cr} < 0 OR ({cr} = 0 AND {d_r} > {d_q})))), "
+        "start AS (SELECT source, x, y FROM (SELECT pts.*, ROW_NUMBER() "
+        "OVER (PARTITION BY source ORDER BY y, x) AS rn FROM pts) WHERE rn = 1), "
+        "walk(source, seq, x, y) AS ("
+        "SELECT source, 0, x, y FROM start "
+        "UNION ALL "
+        "SELECT w.source, w.seq + 1, n.qx, n.qy FROM walk w "
+        "JOIN nxt n ON n.source = w.source AND n.px = w.x AND n.py = w.y "
+        "WHERE NOT EXISTS (SELECT 1 FROM start s WHERE s.source = w.source "
+        "AND s.x = n.qx AND s.y = n.qy)) "
+        "SELECT source, CAST(seq AS BIGINT) AS seq, "
+        "CAST(x AS BIGINT) AS ilon, CAST(y AS BIGINT) AS ilat FROM walk"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9604,6 +9679,7 @@ QUERIES: dict[str, Callable] = {
     "spatial_dbscan": q_spatial_dbscan,
     "crawl_schedule": q_crawl_schedule,
     "jsonl_events_stats": q_jsonl_events_stats,
+    "convex_hull": q_convex_hull,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -9919,6 +9995,7 @@ ORACLES: dict[str, str] = {
     # round-5: per-host politeness fetch-slot assignment
     "crawl_schedule": _sql_crawl_schedule(),
     "jsonl_events_stats": _sql_jsonl_events_stats(),
+    "convex_hull": _sql_convex_hull(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
