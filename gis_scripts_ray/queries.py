@@ -9669,6 +9669,84 @@ def _sql_convex_hull() -> str:
     )
 
 
+def q_jw_linkage(sf_dir: str):
+    """Fuzzy record linkage over blocked candidate pairs (round 5):
+    pairs = consecutive doc_ids on the same host (the
+    ``edit_distance_hist`` blocking convention), comparator =
+    Jaro-Winkler over the 32-char text prefix
+    (:mod:`stages/jarowinkler` — bit-exact to DuckDB's
+    ``jaro_winkler_similarity``, byte domain, integer transposition
+    halving; the twin uses the ENGINE'S OWN primitive, a genuinely
+    independent implementation).  Scores land in the integer domain as
+    jw-millionths (floor — both engines floor the SAME double).
+
+    Output: (bucket = jwm // 50000, n_pairs, sum_jwm)."""
+    from gis_scripts_ray.stages.jarowinkler import jw_scores
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def left_side(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            pc.bit_wise_and(b["doc_id"], pa.scalar(15, pa.int64())), 15
+        )
+        f = b.filter(keep)
+        return pa.table(
+            {"k": f["doc_id"], "pre_a": pc.utf8_slice_codeunits(f["text"], 0, 32)}
+        )
+
+    def right_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pc.subtract(b["doc_id"], pa.scalar(1, pa.int64())),
+                "pre_b": pc.utf8_slice_codeunits(b["text"], 0, 32),
+            }
+        )
+
+    pairs = hash_join(
+        ds.map_batches(left_side, batch_format="pyarrow"),
+        ds.map_batches(right_side, batch_format="pyarrow"),
+        on="k",
+        num_partitions=16,
+    )
+    scored = jw_scores(pairs, "pre_a", "pre_b", out_col="jw")
+
+    def partial(b: pa.Table) -> pa.Table:
+        jwm = np.floor(b["jw"].to_numpy() * 1_000_000.0).astype(np.int64)
+        t = pa.table(
+            {
+                "bucket": pa.array(jwm // 50_000, pa.int64()),
+                "n_pairs": pa.array(np.ones(len(jwm), dtype=np.int64)),
+                "sum_jwm": pa.array(jwm, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["bucket"])
+            .aggregate([("n_pairs", "sum"), ("sum_jwm", "sum")])
+            .rename_columns(["bucket", "n_pairs", "sum_jwm"])
+        )
+
+    return coalesce_shuffle_agg(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"],
+        {"n_pairs": "sum", "sum_jwm": "sum"},
+    )
+
+
+def _sql_jw_linkage() -> str:
+    return (
+        "WITH p AS (SELECT CAST(FLOOR(jaro_winkler_similarity("
+        "substr(d1.text, 1, 32), substr(d2.text, 1, 32)) * 1000000) AS BIGINT) "
+        "AS jwm FROM documents d1 JOIN documents d2 "
+        "ON d2.doc_id = d1.doc_id + 1 WHERE d1.doc_id % 16 <> 15) "
+        "SELECT jwm // 50000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(jwm) AS BIGINT) AS sum_jwm FROM p GROUP BY bucket"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9680,6 +9758,7 @@ QUERIES: dict[str, Callable] = {
     "crawl_schedule": q_crawl_schedule,
     "jsonl_events_stats": q_jsonl_events_stats,
     "convex_hull": q_convex_hull,
+    "jw_linkage": q_jw_linkage,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -9996,6 +10075,7 @@ ORACLES: dict[str, str] = {
     "crawl_schedule": _sql_crawl_schedule(),
     "jsonl_events_stats": _sql_jsonl_events_stats(),
     "convex_hull": _sql_convex_hull(),
+    "jw_linkage": _sql_jw_linkage(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
