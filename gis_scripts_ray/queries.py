@@ -9636,7 +9636,10 @@ def q_convex_hull(sf_dir: str):
     return convex_hull(pts, "source", x_col="ilon", y_col="ilat")
 
 
-def _sql_convex_hull() -> str:
+def _sql_hull_walk_ctes() -> str:
+    """Shared WITH-RECURSIVE chain: located -> distinct centi-degree
+    pts -> gift-wrap next-edge table -> ``walk`` (per-source hull
+    vertices, CCW from the min-(y, x) start)."""
     # cross(p, q, r) — strictly-right test for the gift-wrap candidate rule
     cr = "((c.qx-c.px)*(r.y-c.py) - (c.qy-c.py)*(r.x-c.px))"
     d_r = "((r.x-c.px)*(r.x-c.px) + (r.y-c.py)*(r.y-c.py))"
@@ -9663,9 +9666,62 @@ def _sql_convex_hull() -> str:
         "SELECT w.source, w.seq + 1, n.qx, n.qy FROM walk w "
         "JOIN nxt n ON n.source = w.source AND n.px = w.x AND n.py = w.y "
         "WHERE NOT EXISTS (SELECT 1 FROM start s WHERE s.source = w.source "
-        "AND s.x = n.qx AND s.y = n.qy)) "
-        "SELECT source, CAST(seq AS BIGINT) AS seq, "
+        "AND s.x = n.qx AND s.y = n.qy))"
+    )
+
+
+def _sql_convex_hull() -> str:
+    return (
+        _sql_hull_walk_ctes()
+        + " SELECT source, CAST(seq AS BIGINT) AS seq, "
         "CAST(x AS BIGINT) AS ilon, CAST(y AS BIGINT) AS ilat FROM walk"
+    )
+
+
+def q_source_diameter(sf_dir: str):
+    """Per-source footprint diameter (round 5 — the reference sizes
+    tile grids from point extrema; the exact diameter is the honest
+    "how wide is this survey" scalar): rides the hull plan — the
+    farthest pair of a point set is realized by hull vertices, so only
+    partial-hull vertices shuffle and the all-pairs scan is O(h²) on
+    the finished hull.  The twin computes the diameter DEFINITIONALLY
+    (max over the full distinct-point self-join) and the hull size via
+    the recursive gift-wrap walk — so the "diameter lives on the hull"
+    identity itself is value-certified.
+
+    Output: (source, d2_max, n_hull) — centi-degree² / vertex count."""
+    from gis_scripts_ray.stages.hull import hull_diameter
+
+    ds = located_documents(sf_dir, cols=("doc_id", "source"))
+
+    def to_int_coords(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lon = batch["lon"].to_numpy()
+        return pa.table(
+            {
+                "source": batch["source"],
+                "ilon": pa.array(
+                    _round_half_away(lon * 100.0).astype(np.int64), pa.int64()
+                ),
+                "ilat": pa.array(
+                    _round_half_away(lat * 100.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pts = ds.map_batches(to_int_coords, batch_format="pyarrow")
+    return hull_diameter(pts, "source", x_col="ilon", y_col="ilat")
+
+
+def _sql_source_diameter() -> str:
+    return (
+        _sql_hull_walk_ctes()
+        + ", nh AS (SELECT source, COUNT(*) AS n_hull FROM walk GROUP BY source), "
+        "dm AS (SELECT a.source, "
+        "MAX((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d2_max "
+        "FROM pts a JOIN pts b ON a.source = b.source GROUP BY a.source) "
+        "SELECT nh.source AS source, CAST(d2_max AS BIGINT) AS d2_max, "
+        "CAST(n_hull AS BIGINT) AS n_hull FROM nh JOIN dm ON nh.source = dm.source"
     )
 
 
@@ -9759,6 +9815,7 @@ QUERIES: dict[str, Callable] = {
     "jsonl_events_stats": q_jsonl_events_stats,
     "convex_hull": q_convex_hull,
     "jw_linkage": q_jw_linkage,
+    "source_diameter": q_source_diameter,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10076,6 +10133,7 @@ ORACLES: dict[str, str] = {
     "jsonl_events_stats": _sql_jsonl_events_stats(),
     "convex_hull": _sql_convex_hull(),
     "jw_linkage": _sql_jw_linkage(),
+    "source_diameter": _sql_source_diameter(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)

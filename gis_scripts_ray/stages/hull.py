@@ -207,3 +207,29 @@ def convex_hull(
         )
 
     return partials.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+
+
+def hull_diameter(
+    ds: ray.data.Dataset, group_col: str, x_col: str, y_col: str
+) -> ray.data.Dataset:
+    """Per-group exact diameter (max squared pairwise distance) +
+    hull-vertex count ``(group, d2_max, n_hull)``.  The farthest pair
+    of a point set is realized by hull vertices, so this rides the
+    :func:`convex_hull` partial-hull plan and the final all-pairs scan
+    is O(h²) over the FINISHED hull only — the corpus never pairs."""
+    hull = convex_hull(ds, group_col, x_col, y_col)
+
+    def diam(g: pa.Table) -> pa.Table:
+        x = g[x_col].to_numpy().astype(np.int64)
+        y = g[y_col].to_numpy().astype(np.int64)
+        d2 = (x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2
+        gtype = g.schema.field(group_col).type
+        return pa.table(
+            {
+                group_col: pa.array([g[group_col][0].as_py()], type=gtype),
+                "d2_max": pa.array([int(d2.max())], pa.int64()),
+                "n_hull": pa.array([len(x)], pa.int64()),
+            }
+        )
+
+    return hull.groupby(group_col).map_groups(diam, batch_format="pyarrow")

@@ -133,6 +133,33 @@ class TestDistributedHull:
             [6, 0],
         ]
 
+    def test_diameter_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from gis_scripts_ray.stages.hull import hull_diameter
+
+        rng = np.random.default_rng(5)
+        pts = rng.integers(-200, 200, size=(400, 2)).astype(np.int64)
+        groups = [f"s{i % 2}" for i in range(400)]
+        out = (
+            hull_diameter(
+                ray.data.from_arrow(_to_table(groups, pts)).repartition(5),
+                "g",
+                "x",
+                "y",
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+        for gname in ("s0", "s1"):
+            mask = np.array([g == gname for g in groups])
+            p = pts[mask]
+            d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(axis=2).max()
+            assert out.loc[gname, "d2_max"] == d2
+            assert out.loc[gname, "n_hull"] == len(
+                monotone_chain(np.unique(p, axis=0))
+            )
+
     def test_empty_input(self, ray_session):
         import ray.data
 
