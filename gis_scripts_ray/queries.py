@@ -9725,6 +9725,99 @@ def _sql_source_diameter() -> str:
     )
 
 
+_LATENESS_US = 300_000_000  # 5 min allowed disorder
+_JITTER_MOD_S = 86_400  # ingest delay drawn from [0, 1 day) in whole seconds
+
+
+def q_late_events(sf_dir: str):
+    """Streaming watermark replay (round 5): each event arrives at the
+    ingest after a deterministic per-event delivery delay (Knuth
+    multiplicative hash of event_id, up to one day — the fixture's
+    bounded-disorder model; events' raw ts is MONOTONE per user, so
+    un-jittered replay would make the late flag vacuous); per user,
+    the exclusive running max of event TIME over all strictly earlier
+    ARRIVALS is the WATERMARK, and an event is LATE when it is older
+    than watermark − 5 min — the audit a streaming ingest runs before
+    choosing its allowed lateness.  :mod:`stages/watermark`: bucketed
+    segmented exclusive cummax (C speed), (arr, event_id) tie-break,
+    measured hot-key guard routing to the arrival-range presplit plan.
+    The twin is the window definition verbatim (``MAX(us) OVER
+    (PARTITION BY user ORDER BY arr, event_id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``; NULL-first-row comparison agrees
+    with the engine's minus-infinity sentinel).
+
+    Output: (event_type, sum_late, sum_wm_s, n)."""
+    from gis_scripts_ray.stages.watermark import _NEG, grouped_watermark_late
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy().astype(np.uint64)
+        jit_s = (
+            (eid * np.uint64(2654435761))
+            % np.uint64(4294967296)
+            % np.uint64(_JITTER_MOD_S)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "arr": pa.array(us + jit_s * 1_000_000, pa.int64()),
+                "ts_us": pa.array(us, pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    flagged = grouped_watermark_late(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        arr_col="arr",
+        ts_col="ts_us",
+        lateness=_LATENESS_US,
+        carry_cols=("event_type",),
+        tie_col="event_id",
+    )
+
+    def agg_prep(batch: pa.Table) -> pa.Table:
+        wm = batch["wm"].to_numpy()
+        valid = wm != _NEG
+        wm_s = np.where(valid, wm // 1_000_000, 0)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "late": batch["late"],
+                "wm_s": pa.array(wm_s, pa.int64()),
+            }
+        )
+
+    return cell_sum_count(
+        flagged.map_batches(agg_prep, batch_format="pyarrow"),
+        ["event_type"],
+        ["late", "wm_s"],
+    )
+
+
+def _sql_late_events() -> str:
+    return (
+        "WITH j AS (SELECT event_type, user_id, event_id, "
+        "epoch_us(ts) AS us, epoch_us(ts) + "
+        "CAST(((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296) "
+        f"% {_JITTER_MOD_S} AS BIGINT) * 1000000 AS arr FROM events), "
+        "w AS (SELECT event_type, us, "
+        "MAX(us) OVER (PARTITION BY user_id ORDER BY arr, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM j) "
+        f"SELECT event_type, CAST(SUM(CASE WHEN us + {_LATENESS_US} < wm "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS sum_late, "
+        "CAST(SUM(CASE WHEN wm IS NULL THEN 0 ELSE wm // 1000000 END) "
+        "AS BIGINT) AS sum_wm_s, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY event_type"
+    )
+
+
 def q_jw_linkage(sf_dir: str):
     """Fuzzy record linkage over blocked candidate pairs (round 5):
     pairs = consecutive doc_ids on the same host (the
@@ -9816,6 +9909,7 @@ QUERIES: dict[str, Callable] = {
     "convex_hull": q_convex_hull,
     "jw_linkage": q_jw_linkage,
     "source_diameter": q_source_diameter,
+    "late_events": q_late_events,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10134,6 +10228,7 @@ ORACLES: dict[str, str] = {
     "convex_hull": _sql_convex_hull(),
     "jw_linkage": _sql_jw_linkage(),
     "source_diameter": _sql_source_diameter(),
+    "late_events": _sql_late_events(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
