@@ -9818,6 +9818,71 @@ def _sql_late_events() -> str:
     )
 
 
+def q_weighted_median_qty(sf_dir: str):
+    """Exact per-group WEIGHTED lower median (round 5,
+    ``stages/stats.grouped_weighted_median``): the median quantity where
+    each row counts its revenue (extendedprice cents) instead of 1 — the
+    robust "typical order size by dollar volume" statistic. The shuffle
+    carries per-block (group, value) weight sums — bounded by |groups| x
+    |value domain| (quantity is 1..50) — never rows; the finish selects
+    the smallest value with ``2 * cumw >= W`` (all integers: exactly
+    cumw >= ceil(W/2), pinned in the twin's window formula). Weights in
+    cents via the half-away kernel so both engines sum identical int64.
+
+    Output: (l_returnflag, l_linestatus, wmedian_qty, w_total)."""
+    from gis_scripts_ray.stages.stats import grouped_weighted_median
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+                "cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+
+    out = grouped_weighted_median(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        "qty",
+        "cents",
+        out_col="wmedian_qty",
+    )
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["l_returnflag", "l_linestatus", "wmedian_qty", "w_total"]
+        )
+
+    return out.map_batches(ren, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def _sql_weighted_median_qty() -> str:
+    # lower weighted median spelled as the explicit integer-rank rule:
+    # smallest q with 2 * (cumulative weight) >= total weight
+    return (
+        "WITH s AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(ROUND(l_quantity) AS BIGINT) AS q, "
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w FROM lineitem), "
+        "g AS (SELECT l_returnflag, l_linestatus, q, SUM(w) AS wq FROM s "
+        "GROUP BY 1, 2, 3), "
+        "c AS (SELECT l_returnflag, l_linestatus, q, "
+        "SUM(wq) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY q) AS cum, "
+        "SUM(wq) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot FROM g) "
+        "SELECT l_returnflag, l_linestatus, CAST(MIN(q) AS BIGINT) AS wmedian_qty, "
+        "CAST(MAX(tot) AS BIGINT) AS w_total FROM c WHERE 2 * cum >= tot "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    )
+
+
 def q_jw_linkage(sf_dir: str):
     """Fuzzy record linkage over blocked candidate pairs (round 5):
     pairs = consecutive doc_ids on the same host (the
@@ -9910,6 +9975,7 @@ QUERIES: dict[str, Callable] = {
     "jw_linkage": q_jw_linkage,
     "source_diameter": q_source_diameter,
     "late_events": q_late_events,
+    "weighted_median_qty": q_weighted_median_qty,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10229,6 +10295,7 @@ ORACLES: dict[str, str] = {
     "jw_linkage": _sql_jw_linkage(),
     "source_diameter": _sql_source_diameter(),
     "late_events": _sql_late_events(),
+    "weighted_median_qty": _sql_weighted_median_qty(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)

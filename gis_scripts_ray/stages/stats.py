@@ -135,6 +135,30 @@ def grouped_median(
     )
 
 
+def grouped_weighted_median(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+    small_limit: int = 8_000_000,
+) -> ray.data.Dataset:
+    """Exact lower WEIGHTED median per group: the smallest value whose
+    cumulative weight reaches half the group's total weight
+    (``2 * cumw >= W``, all integers) — :func:`grouped_quantile_disc`
+    at q = 1/2 over cumulative weight."""
+    return grouped_quantile_disc(
+        ds,
+        key_cols,
+        value_col,
+        1,
+        2,
+        out_col=out_col,
+        small_limit=small_limit,
+        weight_col=weight_col,
+    )
+
+
 def grouped_quantile_disc(
     ds: ray.data.Dataset,
     key_cols: list[str],
@@ -143,6 +167,7 @@ def grouped_quantile_disc(
     q_den: int,
     out_col: str = "quantile",
     small_limit: int = 8_000_000,
+    weight_col: "str | None" = None,
 ) -> ray.data.Dataset:
     """Exact discrete quantile per group: the value at ascending rank
     ``ceil(q * n)`` with ``q = q_num/q_den`` given as an INTEGER fraction
@@ -150,13 +175,21 @@ def grouped_quantile_disc(
     touches the rank computation, so the result is order-independent and
     SQL-twinnable bit-for-bit (an explicit window-rank formula).
 
+    With ``weight_col`` (an integer column) the rank runs over CUMULATIVE
+    WEIGHT instead of row count — the exact WEIGHTED quantile: the
+    smallest value v with ``q_den * cumw(v) >= q_num * W`` (integers, so
+    ``cumw >= ceil(q*W)`` exactly). The compaction sums weights per
+    (group, value) — the same bounded-cardinality all-to-all, weights
+    never widen it.
+
     Runs over the :func:`grouped_value_counts` compaction, then an
     adaptive finish mirroring ``tile_agg.coalesce_shuffle_agg``: a
     single-block vectorized segment scan when the MEASURED compacted size
     fits one comfortable block, else a hash-shuffle ``map_groups``
     weighted rank-select (the (group, value) space really is huge).
 
-    Output: (keys..., ``out_col``, n) with n = group row count."""
+    Output: (keys..., ``out_col``, n) with n = group row count (or total
+    weight under ``weight_col``)."""
 
     if not (0 < q_num <= q_den):
         raise ValueError("require 0 < q_num <= q_den")
@@ -164,7 +197,24 @@ def grouped_quantile_disc(
     def rank_of(totals):
         return (q_num * totals + q_den - 1) // q_den
 
-    compact = grouped_value_counts(ds, key_cols, value_col).materialize()
+    if weight_col is None:
+        compact = grouped_value_counts(ds, key_cols, value_col).materialize()
+    else:
+        from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_sum
+
+        cols = key_cols + [value_col]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            out = (
+                batch.select(cols + [weight_col])
+                .group_by(cols)
+                .aggregate([(weight_col, "sum")])
+            )
+            return out.rename_columns(cols + ["n"])
+
+        compact = coalesce_shuffle_sum(
+            ds.map_batches(partial, batch_format="pyarrow"), cols, ["n"]
+        ).materialize()
 
     def finish_block(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
