@@ -3666,6 +3666,92 @@ def _sql_triangle_count() -> str:
     )
 
 
+def q_link_reciprocity(sf_dir: str):
+    """Reciprocity of the directed host link graph (round 5): of all
+    unordered host pairs connected in at least one direction, how many
+    are connected in BOTH — the graph-health metric crawl scheduling
+    reads next to PageRank. Join-free (contrast ``triangle_count``'s
+    two-join plan): each directed edge maps to its canonical pair
+    (lo, hi) with per-direction presence bits, an in-batch ``group_by``
+    max pre-agg + ONE adaptive combine collapses the stream to distinct
+    pairs (all-to-all bounded by the distinct-pair count), and the
+    reciprocal flag is the product of the two bits. Same synthetic
+    edge rule as ``triangle_count``/``pagerank_hosts``
+    (src = doc_id//16, dst = Knuth hash mod n_hosts).
+
+    Output: one row (n_pairs, n_reciprocal)."""
+    from ray.data.aggregate import Sum
+
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    nh = (_id_shift(sf_dir, "documents", "doc_id") - 1) // 16 + 1
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        src = (d // np.uint64(16)).astype(np.int64)
+        dst = (
+            (d * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(nh)
+        ).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        fwd = src < dst
+        t = pa.table(
+            {
+                "lo": pa.array(np.minimum(src, dst)),
+                "hi": pa.array(np.maximum(src, dst)),
+                "h0": pa.array(fwd.astype(np.int64)),
+                "h1": pa.array((~fwd).astype(np.int64)),
+            }
+        )
+        return (
+            t.group_by(["lo", "hi"])
+            .aggregate([("h0", "max"), ("h1", "max")])
+            .rename_columns(["lo", "hi", "h0", "h1"])
+        )
+
+    pairs = coalesce_shuffle_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lo", "hi"],
+        {"h0": "max", "h1": "max"},
+    ).materialize()
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "recip": pc.multiply(batch["h0"], batch["h1"]),
+            }
+        )
+
+    row = pairs.map_batches(flag, batch_format="pyarrow").aggregate(
+        Sum("one"), Sum("recip")
+    )
+    return pa.table(
+        {
+            "n_pairs": pa.array([int(row["sum(one)"])], pa.int64()),
+            "n_reciprocal": pa.array([int(row["sum(recip)"])], pa.int64()),
+        }
+    )
+
+
+def _sql_link_reciprocity() -> str:
+    return (
+        "WITH nh AS (SELECT MAX(doc_id) // 16 + 1 AS n FROM documents), "
+        "raw AS (SELECT doc_id // 16 AS src, "
+        "CAST(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "
+        "% (SELECT n FROM nh) AS BIGINT) AS dst FROM documents), "
+        "p AS (SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi, "
+        "MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS h0, "
+        "MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS h1 "
+        "FROM raw WHERE src <> dst GROUP BY 1, 2) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(h0 * h1) AS BIGINT) AS n_reciprocal FROM p"
+    )
+
+
 def q_frequent_pairs(sf_dir: str):
     """Apriori k=2 frequent token pairs (round 5): pairs of tokens
     co-occurring in at least n_docs // 5 documents —
@@ -9976,6 +10062,7 @@ QUERIES: dict[str, Callable] = {
     "source_diameter": q_source_diameter,
     "late_events": q_late_events,
     "weighted_median_qty": q_weighted_median_qty,
+    "link_reciprocity": q_link_reciprocity,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10296,6 +10383,7 @@ ORACLES: dict[str, str] = {
     "source_diameter": _sql_source_diameter(),
     "late_events": _sql_late_events(),
     "weighted_median_qty": _sql_weighted_median_qty(),
+    "link_reciprocity": _sql_link_reciprocity(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
