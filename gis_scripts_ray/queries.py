@@ -9904,6 +9904,79 @@ def _sql_late_events() -> str:
     )
 
 
+def q_first_touch(sf_dir: str):
+    """First-touch attribution (round 5): which channel (event_type)
+    opens each (user, day) session — the marketing-attribution rollup.
+    The classic distributed ARGMIN-with-payload plan: an in-batch
+    ``group_by`` min pre-agg + ONE adaptive combine reduces the stream
+    to the per-(user, day) first timestamp (all-to-all bounded by
+    |users| x |days|, never rows), then one sized hash-join back
+    against the raw stream recovers the opening event's payload —
+    values never ride through the min (the CLAUDE.md merge-position
+    rule). Ties at the minimum (absent here: (user, ts) is unique in
+    the fixture) would match identically in both engines — the join
+    keeps every tying row, exactly like the SQL twin. The compacted
+    right side is ``repartition``-compacted before the join (Ray 2.49
+    rejects empty shuffle-partition blocks).
+
+    Output: (event_type, n_first) — days opened per channel."""
+    from gis_scripts_ray.stages.joins import hash_join
+    from gis_scripts_ray.stages.tile_agg import cell_count, coalesce_shuffle_agg
+
+    _DAY_US = 86_400_000_000
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        # post-1970 fixture: // matches SQL's truncating // on positives
+        return pa.table(
+            {
+                "u": batch["user_id"],
+                "us": pa.array(us, pa.int64()),
+                "day": pa.array(us // _DAY_US, pa.int64()),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def partial_min(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select(["u", "day", "us"])
+            .group_by(["u", "day"])
+            .aggregate([("us", "min")])
+        )
+        return out.rename_columns(["u", "day", "mus"])
+
+    firsts = coalesce_shuffle_agg(
+        prepped.map_batches(partial_min, batch_format="pyarrow"),
+        ["u", "day"],
+        {"mus": "min"},
+    ).repartition(4)
+
+    opened = hash_join(
+        prepped,
+        firsts,
+        on=("u", "day", "us"),
+        right_on=("u", "day", "mus"),
+        num_partitions=8,
+    )
+    return cell_count(opened, ["event_type"], alias="n_first").sort("event_type")
+
+
+def _sql_first_touch() -> str:
+    return (
+        "WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, "
+        "epoch_us(ts) // 86400000000 AS day, event_type FROM events), "
+        "f AS (SELECT u, day, MIN(us) AS mus FROM e GROUP BY 1, 2) "
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_first FROM e "
+        "JOIN f ON e.u = f.u AND e.day = f.day AND e.us = f.mus "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+
+
 def q_weighted_median_qty(sf_dir: str):
     """Exact per-group WEIGHTED lower median (round 5,
     ``stages/stats.grouped_weighted_median``): the median quantity where
@@ -10063,6 +10136,7 @@ QUERIES: dict[str, Callable] = {
     "late_events": q_late_events,
     "weighted_median_qty": q_weighted_median_qty,
     "link_reciprocity": q_link_reciprocity,
+    "first_touch": q_first_touch,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10384,6 +10458,7 @@ ORACLES: dict[str, str] = {
     "late_events": _sql_late_events(),
     "weighted_median_qty": _sql_weighted_median_qty(),
     "link_reciprocity": _sql_link_reciprocity(),
+    "first_touch": _sql_first_touch(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
