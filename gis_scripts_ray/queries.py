@@ -9904,6 +9904,39 @@ def _sql_late_events() -> str:
     )
 
 
+def q_embedding_gram(sf_dir: str):
+    """Exact int64 Gram matrix of the int8-quantized embedding corpus
+    (round 5, ``stages/quantize.gram_matrix``): G = Q^T Q upper
+    triangle — the covariance-shaped statistic PCA / whitening needs —
+    via one dim x dim integer matmul per block + adaptive combine of
+    triu partial rows (all-to-all scales with block count, not corpus).
+    The cross-engine bit-exact quantizer (float64 floor((v*127)/max|v|))
+    makes every cell hash-match the twin's list-indexed double sum
+    (|cell| <= n * 127^2 << 2^53, exact in DOUBLE and BIGINT).
+
+    Output: (i, j, s) for 0 <= i <= j < 64."""
+    from gis_scripts_ray.stages.quantize import gram_matrix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return gram_matrix(ds, "embedding", dim=64).sort(["i", "j"])
+
+
+def _sql_embedding_gram() -> str:
+    from gis_scripts_ray.stages.quantize import quantize_sql_expr
+
+    expr = quantize_sql_expr("embedding")
+    return (
+        f"WITH qt AS (SELECT {expr} AS qv FROM embeddings), "
+        "ij AS (SELECT i.g AS i, j.g AS j FROM generate_series(0, 63) i(g), "
+        "generate_series(0, 63) j(g) WHERE i.g <= j.g) "
+        "SELECT ij.i, ij.j, CAST(SUM(CAST(qt.qv[ij.i + 1] AS DOUBLE) * "
+        "CAST(qt.qv[ij.j + 1] AS DOUBLE)) AS BIGINT) AS s "
+        "FROM qt, ij GROUP BY ij.i, ij.j ORDER BY ij.i, ij.j"
+    )
+
+
 def q_first_touch(sf_dir: str):
     """First-touch attribution (round 5): which channel (event_type)
     opens each (user, day) session — the marketing-attribution rollup.
@@ -10137,6 +10170,7 @@ QUERIES: dict[str, Callable] = {
     "weighted_median_qty": q_weighted_median_qty,
     "link_reciprocity": q_link_reciprocity,
     "first_touch": q_first_touch,
+    "embedding_gram": q_embedding_gram,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10459,6 +10493,7 @@ ORACLES: dict[str, str] = {
     "weighted_median_qty": _sql_weighted_median_qty(),
     "link_reciprocity": _sql_link_reciprocity(),
     "first_touch": _sql_first_touch(),
+    "embedding_gram": _sql_embedding_gram(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)

@@ -138,3 +138,46 @@ def quantize_sql_expr(vec_expr: str) -> str:
         f"CASE WHEN {m} = 0 OR {m} IS NULL THEN list_transform({v}, x -> 0) "
         f"ELSE list_transform({v}, x -> CAST(floor((x * 127.0) / {m}) AS INTEGER)) END"
     )
+
+
+def gram_matrix(
+    ds: ray.data.Dataset, emb_col: str = "embedding", dim: "int | None" = None
+) -> ray.data.Dataset:
+    """Upper-triangle Gram matrix ``G = Q^T Q`` of the int8-quantized
+    embedding stream, EXACT in int64 — the covariance-shaped statistic
+    PCA / whitening / feature-correlation audits need over a corpus.
+
+    Scale shape: each block contributes ONE ``dim x dim`` integer
+    matmul (numpy int64 BLAS-free exact accumulate; |entry per block| <=
+    rows * 127^2, and the int64 total holds ~5.7e14 rows at dim-wide
+    127 extremes), emitted as triu (i, j, s) partial rows; the adaptive
+    combine then folds ``blocks x dim(dim+1)/2`` tiny rows — the
+    all-to-all never scales with the corpus, only with block count.
+    Associativity is exact (integer sums), so the result is
+    block-structure independent.
+
+    Output: (i, j, s) for 0 <= i <= j < dim.
+    """
+    from gis_scripts_ray.stages.similarity import _emb_matrix
+    from gis_scripts_ray.stages.tile_agg import coalesce_shuffle_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _emb_matrix(batch[emb_col], batch.num_rows, dim=dim)
+        if v.shape[0] == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"i": e, "j": e, "s": e})
+        q, _ = quantize_matrix(v)
+        g = q.astype(np.int64).T @ q.astype(np.int64)
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "s": pa.array(g[iu, ju]),
+            }
+        )
+
+    return coalesce_shuffle_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["i", "j"], {"s": "sum"}
+    )
