@@ -9904,6 +9904,90 @@ def _sql_late_events() -> str:
     )
 
 
+def q_interval_overlaps(sf_dir: str):
+    """Interval×interval overlap join (round 5,
+    ``stages/intervaljoin.py``): each event opens a session interval
+    [ts, ts + dur) with a deterministic hashed duration (60..3659 s);
+    engagement intervals (click/view) are range-joined against
+    consequence intervals (error/purchase/signup) of the SAME user, and
+    the exact overlap time is rolled up per type pair — the
+    "attention overlapping outcomes" audit. Tiled range join: bounded
+    bucket replication (2 h tiles ≥ max duration), one
+    ``groupby((user, tile)).map_groups`` vectorized sweep, pairs owned
+    solely by the tile containing max(starts). The twin is the
+    definitional range self-join.
+
+    Output: (type_a, type_b, sum_ov, n)."""
+    from gis_scripts_ray.stages.intervaljoin import interval_overlap_pairs
+
+    _A_TYPES = ("click", "view")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy().astype(np.uint64)
+        dur_s = (
+            (eid * np.uint64(2654435761))
+            % np.uint64(4294967296)
+            % np.uint64(3600)
+        ).astype(np.int64) + 60
+        side = ~np.isin(batch["event_type"].to_numpy(zero_copy_only=False), _A_TYPES)
+        return pa.table(
+            {
+                "u": batch["user_id"],
+                "side": pa.array(side.astype(np.int64), pa.int64()),
+                "s": pa.array(us, pa.int64()),
+                "e": pa.array(us + dur_s * 1_000_000, pa.int64()),
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    pairs = interval_overlap_pairs(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="u",
+        side_col="side",
+        start_col="s",
+        end_col="e",
+        id_col="event_id",
+        bucket_width=7_200_000_000,  # 2 h >= max duration: fan-out <= 2
+        carry_cols=("event_type",),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "type_a": batch["event_type_a"],
+                "type_b": batch["event_type_b"],
+                "ov": batch["overlap"],
+            }
+        )
+
+    return cell_sum_count(
+        pairs.map_batches(rename, batch_format="pyarrow"),
+        ["type_a", "type_b"],
+        ["ov"],
+    ).sort(["type_a", "type_b"])
+
+
+def _sql_interval_overlaps() -> str:
+    return (
+        "WITH iv AS (SELECT user_id AS u, event_type, epoch_us(ts) AS s, "
+        "epoch_us(ts) + (CAST(((CAST(event_id AS HUGEINT) * 2654435761) "
+        "% 4294967296) % 3600 AS BIGINT) + 60) * 1000000 AS e FROM events) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT) AS sum_ov, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM iv a JOIN iv b ON a.u = b.u AND a.s < b.e AND b.s < a.e "
+        "WHERE a.event_type IN ('click', 'view') "
+        "AND b.event_type NOT IN ('click', 'view') "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def q_embedding_gram(sf_dir: str):
     """Exact int64 Gram matrix of the int8-quantized embedding corpus
     (round 5, ``stages/quantize.gram_matrix``): G = Q^T Q upper
@@ -10171,6 +10255,7 @@ QUERIES: dict[str, Callable] = {
     "link_reciprocity": q_link_reciprocity,
     "first_touch": q_first_touch,
     "embedding_gram": q_embedding_gram,
+    "interval_overlaps": q_interval_overlaps,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10494,6 +10579,7 @@ ORACLES: dict[str, str] = {
     "link_reciprocity": _sql_link_reciprocity(),
     "first_touch": _sql_first_touch(),
     "embedding_gram": _sql_embedding_gram(),
+    "interval_overlaps": _sql_interval_overlaps(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
