@@ -9904,6 +9904,58 @@ def _sql_late_events() -> str:
     )
 
 
+def q_bottomk_sample(sf_dir: str):
+    """Deterministic fixed-SIZE corpus sample (round 5): the k = 100
+    documents with the smallest 64-bit Knuth multiplicative hash of
+    doc_id — the "give me exactly k reproducible rows" primitive
+    (rate-based ``hash_sample`` can't hit an exact size; bottom-k
+    is coordination-free and merge-associative, so it composes with
+    incremental corpora). Rides ``stages/topk.topk_per_group``
+    (constant group): per-block partial bottom-k, bounded coalesce
+    re-fold, adaptive finish — k rows per block cross the wire, never
+    the corpus. The hash is INJECTIVE (odd multiplier mod 2^64), so
+    the order — and the sample — is total with no tie contract needed.
+    Wide columns (text) are pruned at the read.
+
+    Output: (doc_id, lang, source), the sample as a set."""
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = d * np.uint64(2654435761)  # wraps mod 2^64
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "_h": pa.array(h, pa.uint64()),
+                "_g": pa.array(np.zeros(len(d), np.int64)),
+            }
+        )
+
+    out = topk_per_group(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        group_col="_g",
+        value_col="_h",
+        id_col="doc_id",
+        k=100,
+        ascending=True,
+    )
+    return out.select_columns(["doc_id", "lang", "source"]).sort("doc_id")
+
+
+def _sql_bottomk_sample() -> str:
+    return (
+        "SELECT doc_id, lang, source FROM (SELECT * FROM documents "
+        f"ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % {_WRAP64} "
+        "LIMIT 100) ORDER BY doc_id"
+    )
+
+
 def q_interval_overlaps(sf_dir: str):
     """Interval×interval overlap join (round 5,
     ``stages/intervaljoin.py``): each event opens a session interval
@@ -10256,6 +10308,7 @@ QUERIES: dict[str, Callable] = {
     "first_touch": q_first_touch,
     "embedding_gram": q_embedding_gram,
     "interval_overlaps": q_interval_overlaps,
+    "bottomk_sample": q_bottomk_sample,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10580,6 +10633,7 @@ ORACLES: dict[str, str] = {
     "first_touch": _sql_first_touch(),
     "embedding_gram": _sql_embedding_gram(),
     "interval_overlaps": _sql_interval_overlaps(),
+    "bottomk_sample": _sql_bottomk_sample(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
