@@ -9904,6 +9904,94 @@ def _sql_late_events() -> str:
     )
 
 
+def q_row_number(sf_dir: str):
+    """Global consecutive row numbering (round 5,
+    ``stages/rownumber.zip_with_index``): every document gets its
+    1-based rank in a deterministic shuffle order (injective 64-bit
+    multiplicative hash of doc_id) — the zipWithIndex primitive behind
+    stable shard ids and resumable cursors. Two-pass prefix-offset
+    plan: sort range-partitions, pass 1 lifts O(blocks) (min key,
+    count) stats, pass 2 broadcasts the tiny base map and assigns
+    ``base + local rank`` vectorized — the corpus never reaches the
+    driver. The twin is ``ROW_NUMBER() OVER (ORDER BY hash)``.
+
+    Output: (doc_id, rn)."""
+    from gis_scripts_ray.stages.rownumber import zip_with_index
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "_h": pa.array(d * np.uint64(2654435761), pa.uint64()),
+            }
+        )
+
+    out = zip_with_index(
+        ds.map_batches(add_hash, batch_format="pyarrow"), key_col="_h"
+    )
+    return out.select_columns(["doc_id", "rn"]).sort("doc_id")
+
+
+def _sql_row_number() -> str:
+    return (
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+        f"(CAST(doc_id AS HUGEINT) * 2654435761) % {_WRAP64}) AS BIGINT) AS rn "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+def q_quota_sample(sf_dir: str):
+    """Exact per-stratum QUOTA sample (round 5): the k = 25 documents
+    with the smallest injective doc hash WITHIN EACH LANGUAGE — the
+    fixed-size-per-group companion to rate-based
+    ``stratified_sample`` (quota sampling guarantees every stratum is
+    represented with exactly min(k, |stratum|) rows, reproducibly).
+    Rides ``stages/topk.topk_per_group`` (per-block partial k-per-group,
+    bounded coalesce re-fold, adaptive finish). The twin is the window
+    QUALIFY rank.
+
+    Output: (lang, doc_id)."""
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "doc_id": batch["doc_id"],
+                "_h": pa.array(d * np.uint64(2654435761), pa.uint64()),
+            }
+        )
+
+    out = topk_per_group(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        group_col="lang",
+        value_col="_h",
+        id_col="doc_id",
+        k=25,
+        ascending=True,
+    )
+    return out.select_columns(["lang", "doc_id"]).sort(["lang", "doc_id"])
+
+
+def _sql_quota_sample() -> str:
+    return (
+        "SELECT lang, doc_id FROM documents QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY "
+        f"(CAST(doc_id AS HUGEINT) * 2654435761) % {_WRAP64}) <= 25 "
+        "ORDER BY lang, doc_id"
+    )
+
+
 def q_bottomk_sample(sf_dir: str):
     """Deterministic fixed-SIZE corpus sample (round 5): the k = 100
     documents with the smallest 64-bit Knuth multiplicative hash of
@@ -10309,6 +10397,8 @@ QUERIES: dict[str, Callable] = {
     "embedding_gram": q_embedding_gram,
     "interval_overlaps": q_interval_overlaps,
     "bottomk_sample": q_bottomk_sample,
+    "row_number": q_row_number,
+    "quota_sample": q_quota_sample,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10634,6 +10724,8 @@ ORACLES: dict[str, str] = {
     "embedding_gram": _sql_embedding_gram(),
     "interval_overlaps": _sql_interval_overlaps(),
     "bottomk_sample": _sql_bottomk_sample(),
+    "row_number": _sql_row_number(),
+    "quota_sample": _sql_quota_sample(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
