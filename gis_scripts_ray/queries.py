@@ -10044,6 +10044,176 @@ def _sql_bottomk_sample() -> str:
     )
 
 
+def q_ntile_buckets(sf_dir: str):
+    """Windowed NTILE bucketing (round 5): every lineitem is assigned
+    its NTILE(4) price-quartile WITHIN its return flag — the
+    equal-frequency binning primitive behind per-group train/test
+    splits and quantile feature bucketing. Distributed window plan:
+    the multi-key zipWithIndex (``stages/rownumber.zip_with_index_multi``,
+    two-pass prefix-offset over a (flag, cents, pk) sort — the corpus
+    never reaches the driver) gives the global rank; group starts are
+    a 3-row exact count aggregate; the SQL-standard NTILE formula
+    (first ``c % n`` tiles get ``c//n + 1`` rows) is then pure
+    vectorized arithmetic. The twin is ``NTILE(4) OVER (PARTITION BY
+    flag ORDER BY cents, pk)``.
+
+    Output: (l_returnflag, tile, n, sum_cents)."""
+    from gis_scripts_ray.stages.rownumber import zip_with_index_multi
+    from gis_scripts_ray.stages.tile_agg import cell_count, cell_sum_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "cents": _cents(batch["l_extendedprice"]),
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    keys = ["l_returnflag", "cents", "l_orderkey", "l_linenumber"]
+    ranked = zip_with_index_multi(prepped, keys)
+
+    # group starts: 3-row exact aggregate, flag-ordered cumulative bases
+    gc = cell_count(ranked.select_columns(["l_returnflag"]), ["l_returnflag"])
+    gdf = gc.to_pandas().sort_values("l_returnflag")
+    flags = gdf["l_returnflag"].tolist()
+    counts = gdf["n"].to_numpy().astype(np.int64)
+    bases = 1 + np.concatenate([[0], np.cumsum(counts)[:-1]])
+    gmap_ref = ray.put({f: (int(b), int(c)) for f, b, c in zip(flags, bases, counts)})
+
+    def assign_tile(batch: pa.Table, *, _ref=gmap_ref) -> pa.Table:
+        from gis_scripts_ray.state.broadcast import worker_broadcast
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "tile": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        gmap = worker_broadcast(_ref)
+        fl = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        rn = batch["rn"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(fl, return_inverse=True)
+        base = np.array([gmap[str(u)][0] for u in uniq], dtype=np.int64)[inv]
+        c = np.array([gmap[str(u)][1] for u in uniq], dtype=np.int64)[inv]
+        rank0 = rn - base
+        q, r = c // 4, c % 4
+        cut = r * (q + 1)
+        # SQL NTILE: first r tiles have q+1 rows, the rest q
+        lo = rank0 // np.maximum(q + 1, 1) + 1
+        hi = r + 1 + (rank0 - cut) // np.maximum(q, 1)
+        tile = np.where(rank0 < cut, lo, np.where(q > 0, hi, rank0 + 1))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+                "cents": batch["cents"],
+            }
+        )
+
+    tiled = ranked.map_batches(assign_tile, batch_format="pyarrow")
+    out = cell_sum_count(tiled, ["l_returnflag", "tile"], ["cents"])
+    return out.select_columns(
+        ["l_returnflag", "tile", "n", "sum_cents"]
+    ).sort(["l_returnflag", "tile"])
+
+
+def _sql_ntile_buckets() -> str:
+    return (
+        "WITH c AS (SELECT l_returnflag, l_orderkey, l_linenumber, "
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem), "
+        "t AS (SELECT l_returnflag, cents, NTILE(4) OVER (PARTITION BY "
+        "l_returnflag ORDER BY cents, l_orderkey, l_linenumber) AS tile FROM c) "
+        "SELECT l_returnflag, CAST(tile AS BIGINT) AS tile, COUNT(*) AS n, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def q_unpivot_metrics(sf_dir: str):
+    """Unpivot / melt (round 5, ``stages/melt.py``): lineitem's four
+    numeric measures reshape wide -> long ((flag, metric, value) tidy
+    rows, 4x the input) and roll up per (flag, metric) — the SQL
+    ``UNPIVOT`` / pandas ``melt`` primitive. The melt is a per-batch
+    column stack (id columns repeat as extra chunks, metric labels are
+    a dictionary take — zero per-row Python) and streams straight into
+    the partial pre-agg combine; nothing widens at the driver. All four
+    measures enter the exact integer domain first (units / cents /
+    half-away pct) so the sums are order-independent. The twin is the
+    definitional UNION ALL.
+
+    Output: (l_returnflag, metric, n, sum_value)."""
+    from gis_scripts_ray.stages.melt import melt
+    from gis_scripts_ray.stages.tile_agg import cell_sum_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pa.array(
+                    np.round(batch["l_quantity"].to_numpy()).astype(np.int64),
+                    pa.int64(),
+                ),
+                "price_cents": _cents(batch["l_extendedprice"]),
+                "disc_pct": pa.array(
+                    _round_half_away(
+                        batch["l_discount"].to_numpy() * 100.0
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "tax_pct": pa.array(
+                    _round_half_away(batch["l_tax"].to_numpy() * 100.0).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    long = melt(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        id_cols=["l_returnflag"],
+        value_cols=["qty", "price_cents", "disc_pct", "tax_pct"],
+    )
+    out = cell_sum_count(long, ["l_returnflag", "metric"], ["value"])
+    return out.select_columns(
+        ["l_returnflag", "metric", "n", "sum_value"]
+    ).sort(["l_returnflag", "metric"])
+
+
+def _sql_unpivot_metrics() -> str:
+    return (
+        "WITH m AS ("
+        "SELECT l_returnflag, 'qty' AS metric, CAST(l_quantity AS BIGINT) AS value FROM lineitem "
+        "UNION ALL SELECT l_returnflag, 'price_cents', CAST(ROUND(l_extendedprice*100) AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT l_returnflag, 'disc_pct', CAST(ROUND(l_discount*100) AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT l_returnflag, 'tax_pct', CAST(ROUND(l_tax*100) AS BIGINT) FROM lineitem) "
+        "SELECT l_returnflag, metric, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(value) AS BIGINT) AS sum_value "
+        "FROM m GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def q_interval_overlaps(sf_dir: str):
     """Interval×interval overlap join (round 5,
     ``stages/intervaljoin.py``): each event opens a session interval
@@ -10399,6 +10569,8 @@ QUERIES: dict[str, Callable] = {
     "bottomk_sample": q_bottomk_sample,
     "row_number": q_row_number,
     "quota_sample": q_quota_sample,
+    "ntile_buckets": q_ntile_buckets,
+    "unpivot_metrics": q_unpivot_metrics,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10726,6 +10898,8 @@ ORACLES: dict[str, str] = {
     "bottomk_sample": _sql_bottomk_sample(),
     "row_number": _sql_row_number(),
     "quota_sample": _sql_quota_sample(),
+    "ntile_buckets": _sql_ntile_buckets(),
+    "unpivot_metrics": _sql_unpivot_metrics(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
