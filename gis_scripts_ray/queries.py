@@ -10139,6 +10139,64 @@ def _sql_ntile_buckets() -> str:
     )
 
 
+def q_grouped_mode(sf_dir: str):
+    """Exact per-group MODE (round 5): the most frequent quantity per
+    return flag — the argmax-count aggregate (SQL ``MODE()`` /
+    ``arg_max``) that a naive plan computes by shuffling every row
+    twice. Scale plan: in-batch partial (flag, qty) counts -> adaptive
+    combine (the corpus reduces to |flags|x|distinct qty| compacted
+    rows) -> ``topk_per_group`` k=1 on count with the repo's (value,
+    id) tie contract (equal counts break toward the SMALLER quantity —
+    deterministic, twinned). The twin is the window ROW_NUMBER argmax.
+
+    Output: (l_returnflag, mode_qty, n)."""
+    from gis_scripts_ray.stages.tile_agg import cell_count
+    from gis_scripts_ray.stages.topk import topk_per_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pa.array(
+                    np.round(batch["l_quantity"].to_numpy()).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counts = cell_count(
+        ds.map_batches(prep, batch_format="pyarrow"), ["l_returnflag", "qty"]
+    )
+    out = topk_per_group(
+        counts, group_col="l_returnflag", value_col="n", id_col="qty", k=1
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "mode_qty": batch["qty"],
+                "n": batch["n"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("l_returnflag")
+
+
+def _sql_grouped_mode() -> str:
+    return (
+        "WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2) "
+        "SELECT l_returnflag, qty AS mode_qty, n FROM c "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+        "ORDER BY n DESC, qty ASC) = 1 ORDER BY l_returnflag"
+    )
+
+
 def q_unpivot_metrics(sf_dir: str):
     """Unpivot / melt (round 5, ``stages/melt.py``): lineitem's four
     numeric measures reshape wide -> long ((flag, metric, value) tidy
@@ -10571,6 +10629,7 @@ QUERIES: dict[str, Callable] = {
     "quota_sample": q_quota_sample,
     "ntile_buckets": q_ntile_buckets,
     "unpivot_metrics": q_unpivot_metrics,
+    "grouped_mode": q_grouped_mode,
     "csv_orders_stats": q_csv_orders_stats,
     "orc_lineitem_stats": q_orc_lineitem_stats,
     "geo_knn_join": q_geo_knn_join,
@@ -10900,6 +10959,7 @@ ORACLES: dict[str, str] = {
     "quota_sample": _sql_quota_sample(),
     "ntile_buckets": _sql_ntile_buckets(),
     "unpivot_metrics": _sql_unpivot_metrics(),
+    "grouped_mode": _sql_grouped_mode(),
     "csv_orders_stats": _sql_csv_orders_stats(),
     "orc_lineitem_stats": _sql_orc_lineitem_stats(),
     # round-5: radius-bounded kNN self-join (one-shuffle spatial join)
